@@ -1,0 +1,109 @@
+"""Grok pattern compiler.
+
+Re-implements, from the public grok pattern-language spec, the
+semantics of the reference's grok processor
+(plugins/processor/grok/processor_grok.go:218-302): ``%{NAME}`` /
+``%{NAME:alias}`` / ``%{NAME:alias:type}`` references are expanded
+against a pattern dictionary into a single Python-``re`` regex with
+named groups, with cycle detection via depth-first expansion (the
+reference topo-sorts, processor_grok.go:380-427 — equivalent result).
+
+Compilation happens ONCE on the driver; the compiled patterns are
+closed over by a vectorized pandas UDF (see operators/parse.py), never
+per row. Type hints ``:int`` / ``:float`` / ``:long`` are returned so
+the caller can cast columns after extraction (regex.go:48-49 analog).
+
+The default pattern set below is hand-written from the public grok
+pattern definitions (Logstash/grok documentation); it is intentionally
+small — callers can pass ``custom_patterns``.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Public, well-known grok base patterns (hand-authored subset).
+DEFAULT_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "NUMBER": r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?))",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "IP": r"%{IPV4}",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "YEAR": r"(?:\d\d){1,2}",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{ISO8601_TIMEZONE}",
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "TIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
+    "QUOTEDSTRING": r'(?:"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\')',
+}
+
+_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.-]+))?(?::(\w+))?\}")
+
+
+class GrokError(ValueError):
+    pass
+
+
+def compile_grok(
+    expr: str,
+    custom_patterns: dict[str, str] | None = None,
+    flags: int = 0,
+) -> tuple[re.Pattern, dict[str, str]]:
+    """Expand *expr* into a compiled regex + ``{alias: type_hint}``.
+
+    Named aliases become ``(?P<alias>...)`` groups; unaliased
+    references expand anonymously. Cycles raise GrokError (the
+    reference detects them during topo sort,
+    processor_grok.go:401-412).
+    """
+    patterns = dict(DEFAULT_PATTERNS)
+    if custom_patterns:
+        patterns.update(custom_patterns)
+    types: dict[str, str] = {}
+
+    def expand(s: str, stack: tuple[str, ...]) -> str:
+        def sub(m: re.Match) -> str:
+            name, alias, typ = m.group(1), m.group(2), m.group(3)
+            if name in stack:
+                raise GrokError(f"cyclic grok reference: {' -> '.join(stack + (name,))}")
+            if name not in patterns:
+                raise GrokError(f"unknown grok pattern %{{{name}}}")
+            body = expand(patterns[name], stack + (name,))
+            if alias:
+                safe = re.sub(r"\W", "_", alias)
+                types[safe] = typ or "string"
+                return f"(?P<{safe}>{body})"
+            return f"(?:{body})"
+
+        return _REF.sub(sub, s)
+
+    compiled = re.compile(expand(expr, ()), flags)
+    return compiled, types
+
+
+def cast_for_hint(hint: str) -> str | None:
+    """Spark cast type for a grok type hint; None = leave as string."""
+    return {"int": "long", "long": "long", "float": "double", "double": "double"}.get(
+        hint
+    )

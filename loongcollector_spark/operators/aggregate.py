@@ -1,0 +1,163 @@
+"""Aggregation / grouping / shard-hash partitioning.
+
+The reference's "aggregators" are group-and-batch operators plus
+routing (SURVEY.md §2.6). Numeric verification aggregates (per-sink
+counts, per-conversation turn counts) are the north-star outputs.
+
+Capability parity (new code) with:
+
+* aggregator_base (pack id)    — plugins/aggregator/baseagg/aggregator_base.go:93-174
+* aggregator_context           — plugins/aggregator/context/aggregator_context.go:44-62
+* aggregator_content_value_group — plugins/aggregator/contentvaluegroup/...go:66-76
+* aggregator_shardhash         — plugins/aggregator/shardhash/aggregator_shardhash.go:67-188
+* self-metrics counters        — core/collection_pipeline/CollectionPipeline.h:108-117
+
+Shuffle notes (100 TB design):
+* ``group_count`` is a hash aggregate with map-side partial
+  aggregation — the shuffle carries one row per (group, partition),
+  not the data.
+* ``shard_repartition`` is the explicit xxhash64 partitioner with a
+  salt escape hatch for hot conversations; downstream per-conv windows
+  then run on co-located, bounded partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "group_count",
+    "per_conversation_stats",
+    "pack_groups",
+    "shard_repartition",
+    "salted_shard_repartition",
+    "stable_order",
+]
+
+
+def stable_order(
+    df: DataFrame, conv_col: str = "conv_id", order_col: str = "turn_idx"
+) -> DataFrame:
+    """Stable turn ordering: a deterministic per-conversation sequence
+    column via a window over (conv_id, turn_idx) — the engine-side
+    guarantee behind the reference's logNo order oracle
+    (test/engine/verify/log_order.go:58-77)."""
+    w = W.partitionBy(conv_col).orderBy(order_col)
+    return df.withColumn("seq", F.row_number().over(w) - 1)
+
+
+def group_count(df: DataFrame, keys: list[str]) -> DataFrame:
+    """The canonical value-group aggregate
+    (aggregator_content_value_group.go:66-76 → groupBy(keys).count)."""
+    return df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+
+
+def per_conversation_stats(
+    df: DataFrame, conv_col: str = "conv_id", order_col: str = "turn_idx"
+) -> DataFrame:
+    """Per-conversation turn counts + max turn index (north-star
+    verification aggregate; context-aggregator grouping,
+    aggregator_context.go:44-62)."""
+    return df.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.max(order_col).alias("max_turn_idx"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def pack_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    *,
+    max_log_count: int = 1024,
+    pack_prefix: str = "pack",
+    pack_col: str = "__pack_id__",
+) -> DataFrame:
+    """Assign ``__pack_id__ = <prefix>-<group>-<seq>`` batching rows
+    into groups of ``max_log_count`` per group key — the reference's
+    LogGroup rotation + pack-id provenance tag
+    (aggregator_base.go:107-147). Deterministic: seq derives from the
+    stable order, not arrival order."""
+    w = W.partitionBy(*group_cols).orderBy(order_col)
+    seq = ((F.row_number().over(w) - 1) / max_log_count).cast("long")
+    return df.withColumn(
+        pack_col,
+        F.concat_ws(
+            "-",
+            F.lit(pack_prefix),
+            *[F.col(c) for c in group_cols],
+            seq.cast("string"),
+        ),
+    )
+
+
+def shard_repartition(
+    df: DataFrame,
+    keys: list[str],
+    shard_count: int = 32,
+    connector: str = "_",
+) -> DataFrame:
+    """Explicit shard-hash partitioning
+    (aggregator_shardhash.go:158-162: xxhash64 of connector-joined key
+    values → bucket): ``repartition(n, xxhash64(concat_ws(...)))``.
+    Co-locates all rows of a conversation on one partition so per-conv
+    windows/collects never shuffle twice."""
+    h = F.xxhash64(F.concat_ws(connector, *[F.col(k) for k in keys]))
+    return df.repartition(shard_count, h)
+
+
+def salted_shard_repartition(
+    df: DataFrame,
+    keys: list[str],
+    shard_count: int = 32,
+    *,
+    hot_keys: DataFrame | None = None,
+    salt_mod: int = 8,
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Skew-aware variant (the reference has no skew handling — this is
+    the 100 TB addition SURVEY.md §4 calls out).
+
+    Rows whose key combo appears in *hot_keys* (a small DataFrame of
+    the hot key values, broadcast) get an extra salt derived
+    deterministically from ``order_col`` (so the same row always lands
+    on the same salted shard), spreading a monster conversation over
+    ``salt_mod`` partitions. Cold rows keep salt 0 — partition-local
+    ordering per conversation is preserved for them; hot conversations
+    trade per-partition locality for parallelism and are re-windowed
+    downstream where exact order is needed.
+    """
+    base = F.concat_ws("_", *[F.col(k) for k in keys])
+    if hot_keys is not None:
+        hk = hot_keys.select(
+            F.concat_ws("_", *[F.col(k) for k in keys]).alias("__hot")
+        ).withColumn("__is_hot", F.lit(True))
+        df = df.join(
+            F.broadcast(hk), base == F.col("__hot"), "left"
+        ).drop("__hot")
+        salt = F.when(
+            F.col("__is_hot"), (F.col(order_col) % salt_mod)
+        ).otherwise(F.lit(0))
+        out = df.repartition(shard_count, F.xxhash64(base, salt)).drop("__is_hot")
+    else:
+        # auto mode: salt everything lightly by order bucket — safe for
+        # aggregations with map-side combine, avoids the hot-key scan
+        salt = F.col(order_col) % salt_mod
+        out = df.repartition(shard_count, F.xxhash64(base, salt))
+    return out
+
+
+def find_hot_keys(
+    df: DataFrame, keys: list[str], threshold: int
+) -> DataFrame:
+    """Identify skewed key combos (count > threshold) — one cheap
+    partial-aggregated pass; result is tiny (broadcastable)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > threshold)
+        .select(*keys)
+    )

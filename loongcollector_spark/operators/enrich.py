@@ -1,0 +1,224 @@
+"""Enrichment / scalar-transform processors.
+
+Capability parity with the reference's enrich plugins (new code):
+
+* add_fields      — plugins/processor/addfields/processor_add_fields.go:26-86
+* tag stage       — pluginmanager/processor_tag.go:34-127,
+                    core/plugin/processor/inner/ProcessorTagNative.h:25-45
+* dict_map        — plugins/processor/dictmap/processor_dict_map.go:30-187
+                    (the north star's broadcast-join lookup enrich)
+* rename          — plugins/processor/rename/processor_rename.go:26-34
+* string_replace  — plugins/processor/stringreplace/processor_string_replace.go:30-47
+* desensitize     — plugins/processor/desensitize/processor_desensitize.go:29-40
+* md5 / base64    — plugins/processor/md5, plugins/processor/base64
+* pack_json       — plugins/processor/packjson/processor_packjson.go:26-33
+* appender        — plugins/processor/appender/processor_appender.go:31-42
+* drop / pick     — plugins/processor/drop, plugins/processor/pickkey
+
+Everything here is pure ``pyspark.sql.functions`` — JVM-side,
+whole-stage codegen, zero Python in the data path. Dictionary lookups
+are broadcast hash joins (no shuffle of the fact table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "add_fields",
+    "add_tags",
+    "dict_map",
+    "rename",
+    "string_replace",
+    "desensitize",
+    "md5_field",
+    "base64_encode",
+    "base64_decode",
+    "pack_json",
+    "appender",
+    "drop_keys",
+    "pick_keys",
+]
+
+
+def add_fields(
+    df: DataFrame, fields: dict[str, str], ignore_if_exist: bool = False
+) -> DataFrame:
+    """Append constant KV fields (processor_add_fields.go:56-86)."""
+    for k, v in fields.items():
+        if ignore_if_exist and k in df.columns:
+            continue
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def add_tags(
+    df: DataFrame,
+    tags: dict[str, str],
+    rename_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """The tag-enrich stage (processor_tag.go:50-84): inject pipeline
+    metadata tags (host/source identifiers) as constant columns,
+    resolved at submit time on the driver, with per-key renaming.
+    Constant columns cost nothing at scale (codegen literals)."""
+    rename_map = rename_map or {}
+    for k, v in tags.items():
+        df = df.withColumn(rename_map.get(k, k), F.lit(v))
+    return df
+
+
+def dict_map(
+    df: DataFrame,
+    dim: DataFrame,
+    source_key: str,
+    dest_key: str,
+    *,
+    dim_key: str | None = None,
+    dim_value: str | None = None,
+    mode: str = "fill",
+    handle_missing: bool = False,
+    missing: str = "Unknown",
+    max_dict_size: int | None = None,
+) -> DataFrame:
+    """Dictionary lookup as a **broadcast hash join**
+    (processor_dict_map.go:148-187 semantics).
+
+    * ``mode='overwrite'`` — mapped value replaces any existing
+      *dest_key*; ``mode='fill'`` — existing non-null *dest_key* wins.
+    * ``handle_missing`` — unmatched source values get *missing*
+      (processor_dict_map.go:175-186); otherwise left NULL.
+
+    The dim side is explicitly ``F.broadcast``-ed: at 100 TB fact
+    scale the lookup table (≤MaxDictSize≈1000 in the reference) must
+    never induce a shuffle of the fact table.
+    """
+    dim_key = dim_key or source_key
+    dim_value = dim_value or dest_key
+    sel = dim.select(
+        F.col(dim_key).alias("__dk"), F.col(dim_value).alias("__dv")
+    ).dropDuplicates(["__dk"])
+    if max_dict_size:
+        sel = sel.limit(max_dict_size)
+    joined = df.join(F.broadcast(sel), df[source_key] == sel["__dk"], "left")
+    mapped = F.col("__dv")
+    if handle_missing:
+        mapped = F.coalesce(mapped, F.lit(missing))
+    if dest_key in df.columns and mode == "fill":
+        mapped = F.coalesce(F.col(dest_key), mapped)
+    return joined.withColumn(dest_key, mapped).drop("__dk", "__dv")
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """SourceKeys→DestKeys (processor_rename.go:26-34)."""
+    return df.withColumnsRenamed(mapping)
+
+
+def string_replace(
+    df: DataFrame,
+    source_key: str,
+    *,
+    method: str = "regex",
+    match: str = "",
+    replace_string: str = "",
+    dest_key: str | None = None,
+) -> DataFrame:
+    """Regex/const replacement (processor_string_replace.go:30-47)."""
+    dest = dest_key or source_key
+    if method == "const":
+        col = F.replace(F.col(source_key), F.lit(match), F.lit(replace_string))
+    elif method == "unquote":
+        col = F.regexp_replace(F.col(source_key), r'^"(.*)"$', r"$1")
+    else:
+        col = F.regexp_replace(F.col(source_key), match, replace_string)
+    return df.withColumn(dest, col)
+
+
+def desensitize(
+    df: DataFrame,
+    source_key: str,
+    regex: str,
+    *,
+    method: str = "const",
+    replace_string: str = "********",
+) -> DataFrame:
+    """Mask secrets located by *regex* (processor_desensitize.go:29-40):
+    const replacement or md5-of-match replacement."""
+    if method == "md5":
+        col = F.regexp_replace(
+            F.col(source_key),
+            regex,
+            # regexp_replace can't call md5 on the match JVM-side with
+            # built-ins alone; md5 the whole matched span via expr.
+            "",
+        )
+        # md5 mode: extract → md5 → splice. Single-pass via expr:
+        return df.withColumn(
+            source_key,
+            F.when(
+                F.col(source_key).rlike(regex),
+                F.concat(
+                    F.regexp_extract(F.col(source_key), f"^(.*?){regex}", 1),
+                    F.md5(F.regexp_extract(F.col(source_key), f"({regex})", 1)),
+                    F.regexp_replace(
+                        F.col(source_key), f"^.*?(?:{regex})", "",
+                    ),
+                ),
+            ).otherwise(F.col(source_key)),
+        )
+    return df.withColumn(source_key, F.regexp_replace(F.col(source_key), regex, replace_string))
+
+
+def md5_field(df: DataFrame, source_key: str, md5_key: str) -> DataFrame:
+    """processor_md5.go:26-32."""
+    return df.withColumn(md5_key, F.md5(F.col(source_key)))
+
+
+def base64_encode(df: DataFrame, source_key: str, dest_key: str | None = None) -> DataFrame:
+    return df.withColumn(dest_key or source_key, F.base64(F.col(source_key).cast("binary")))
+
+
+def base64_decode(df: DataFrame, source_key: str, dest_key: str | None = None) -> DataFrame:
+    return df.withColumn(
+        dest_key or source_key, F.unbase64(F.col(source_key)).cast("string")
+    )
+
+
+def pack_json(
+    df: DataFrame, source_keys: list[str], dest_key: str, *, keep: bool = True
+) -> DataFrame:
+    """Pack keys into one JSON object (processor_packjson.go:26-33)."""
+    out = df.withColumn(dest_key, F.to_json(F.struct(*[F.col(k) for k in source_keys])))
+    if not keep:
+        out = out.drop(*source_keys)
+    return out
+
+
+def appender(
+    df: DataFrame, key: str, value_template: str, constants: dict[str, str] | None = None
+) -> DataFrame:
+    """Append a templated value to an existing key
+    (processor_appender.go:31-42). ``{{var}}`` placeholders resolve
+    from *constants* (host/ip analogs) at plan time."""
+    v = value_template
+    for name, const in (constants or {}).items():
+        v = v.replace("{{" + name + "}}", const)
+    return df.withColumn(key, F.concat(F.coalesce(F.col(key), F.lit("")), F.lit(v)))
+
+
+def drop_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """processor_drop.go:24-29."""
+    return df.drop(*keys)
+
+
+def pick_keys(
+    df: DataFrame, include: list[str] | None = None, exclude: list[str] | None = None
+) -> DataFrame:
+    """Static column pruning (processor_pick_key.go:26-37) — Catalyst
+    then prunes the scan to exactly these columns."""
+    cols = df.columns
+    if include:
+        cols = [c for c in cols if c in include]
+    if exclude:
+        cols = [c for c in cols if c not in exclude]
+    return df.select(*cols)

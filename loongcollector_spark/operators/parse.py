@@ -1,0 +1,418 @@
+"""Parsing processors: regex / grok / JSON / delimiter / KV / split.
+
+Spark-native re-implementations of the reference's parse plugins
+(capability parity, new code):
+
+* regex    — plugins/processor/regex/regex.go:32-129 and the C++ twin
+             core/plugin/processor/ProcessorParseRegexNative.cpp:103-163
+* grok     — plugins/processor/grok/processor_grok.go:35-258
+* json     — plugins/processor/json/processor_json.go:29-201
+* delimiter/CSV — plugins/processor/split/char/split_char.go:34-44,
+             plugins/processor/csv/processor_csv.go:30-43
+* key-value — plugins/processor/split/keyvalue/
+* split-one-into-many — plugins/processor/split/logstring/split_log_string.go:29-37
+* multiline merge — core/plugin/processor/inner/ProcessorMergeMultilineLogNative
+
+Hot paths stay JVM-side (regexp_extract / split / str_to_map /
+from_json are whole-stage-codegen'd). Where single-pass multi-group or
+dialect-exact semantics demand Python, we use Arrow-batched pandas
+UDFs with patterns compiled once on the driver (the reference's
+compile-once-run-many, regex.go:57) — never per-row Python.
+
+Unmatch policy flags mirror CommonParserOptions.h:27-40:
+``keep_source`` (copy raw alongside parsed), ``keep_source_if_parse_error``,
+``discard_unmatched`` (drop the event on parse failure).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.grok import cast_for_hint, compile_grok
+from ..functions.jsonflatten import parse_and_flatten
+
+__all__ = [
+    "parse_regex",
+    "parse_grok",
+    "parse_json",
+    "parse_delimiter",
+    "parse_keyvalue",
+    "split_log_string",
+    "merge_multiline",
+    "parse_timestamp",
+]
+
+
+def _apply_unmatch_policy(
+    df: DataFrame,
+    matched: Column,
+    source_key: str,
+    keep_source: bool,
+    discard_unmatched: bool,
+    rename_source_on_error: str | None = None,
+) -> DataFrame:
+    """Common keep/discard-source handling after a parse stage."""
+    if discard_unmatched:
+        # ProcessorParseRegexNative.cpp discards the event when parse
+        # fails and KeepingSourceWhenParseFail is off.
+        df = df.filter(matched)
+    if not keep_source:
+        if discard_unmatched:
+            df = df.drop(source_key)
+        elif rename_source_on_error:
+            # keep raw only for failed rows, under a renamed key
+            df = df.withColumn(
+                rename_source_on_error,
+                F.when(~matched, F.col(source_key)),
+            ).drop(source_key)
+    return df
+
+
+def parse_regex(
+    df: DataFrame,
+    source_key: str,
+    regex: str,
+    keys: list[str],
+    *,
+    full_match: bool = True,
+    keep_source: bool = True,
+    discard_unmatched: bool = False,
+    engine: str = "native",
+    types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Extract capture groups of *regex* into columns *keys*.
+
+    ``engine='native'`` → per-group ``F.regexp_extract`` (JVM, codegen;
+    Catalyst subsumes the reference's whole-line ``(.*)`` fast path,
+    ProcessorParseRegexNative.cpp:142-146, via constant-folding — we
+    still special-case it to skip regex entirely).
+    ``engine='pandas'`` → one Arrow-batched pass with a driver-compiled
+    pattern (the reference's single-match-then-emit loop,
+    regex.go:105-129).
+
+    ``full_match`` anchors the pattern (Go regexp full-find vs match
+    semantics); unmatched rows get NULL keys and follow the unmatch
+    policy flags.
+    """
+    # whole-line fast path (reference: Regex == '(.*)')
+    if regex in ("(.*)", "^(.*)$") and len(keys) == 1:
+        return df.withColumn(keys[0], F.col(source_key))
+
+    anchored = regex
+    if full_match and not regex.startswith("^"):
+        anchored = f"^(?:{regex.rstrip('$')})$" if regex.endswith("$") else f"^{regex}$"
+    if engine == "native":
+        matched = F.col(source_key).rlike(anchored)
+        out = df.withColumn("__m", matched)
+        for i, k in enumerate(keys, start=1):
+            out = out.withColumn(
+                k,
+                F.when(F.col("__m"), F.regexp_extract(F.col(source_key), anchored, i)),
+            )
+        out = _apply_unmatch_policy(
+            out, F.col("__m"), source_key, keep_source, discard_unmatched
+        ).drop("__m")
+    else:
+        pat = re.compile(anchored)
+        nkeys = len(keys)
+        schema = T.StructType(
+            [T.StructField(k, T.StringType()) for k in keys]
+            + [T.StructField("__m", T.BooleanType())]
+        )
+
+        @F.pandas_udf(schema)
+        def extract(s: pd.Series) -> pd.DataFrame:
+            rows = []
+            for v in s:
+                m = pat.match(v) if v is not None else None
+                if m:
+                    g = m.groups()
+                    rows.append(tuple(g[:nkeys]) + (True,))
+                else:
+                    rows.append((None,) * nkeys + (False,))
+            return pd.DataFrame(rows, columns=[*keys, "__m"])
+
+        out = df.withColumn("__p", extract(F.col(source_key)))
+        for k in keys:
+            out = out.withColumn(k, F.col("__p")[k])
+        out = _apply_unmatch_policy(
+            out.withColumn("__m", F.col("__p.__m")),
+            F.col("__m"),
+            source_key,
+            keep_source,
+            discard_unmatched,
+        ).drop("__p", "__m")
+    if types:
+        for k, t in types.items():
+            ct = cast_for_hint(t)
+            if ct:
+                out = out.withColumn(k, F.col(k).cast(ct))
+    return out
+
+
+def parse_grok(
+    df: DataFrame,
+    source_key: str,
+    match: list[str],
+    *,
+    custom_patterns: dict[str, str] | None = None,
+    keep_source: bool = True,
+    discard_unmatched: bool = False,
+    apply_type_hints: bool = True,
+) -> DataFrame:
+    """Try grok expressions in order; first hit wins (processor_grok.go:135-173).
+
+    All expressions are compiled ONCE on the driver via the grok
+    compiler (functions/grok.py) and closed over by one Arrow-batched
+    pandas UDF; output columns are the union of aliases across
+    patterns (a pattern that didn't match contributes NULLs).
+    """
+    compiled = [compile_grok(m, custom_patterns) for m in match]
+    all_keys: list[str] = []
+    hints: dict[str, str] = {}
+    for _, tps in compiled:
+        for k, t in tps.items():
+            if k not in all_keys:
+                all_keys.append(k)
+            hints[k] = t
+    pats = [p for p, _ in compiled]
+    schema = T.StructType(
+        [T.StructField(k, T.StringType()) for k in all_keys]
+        + [T.StructField("__m", T.BooleanType())]
+    )
+    nil = {k: None for k in all_keys}
+
+    @F.pandas_udf(schema)
+    def grok_extract(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in s:
+            hit = None
+            if v is not None:
+                for p in pats:
+                    m = p.match(v)
+                    if m:
+                        hit = m.groupdict()
+                        break
+            if hit is None:
+                rows.append({**nil, "__m": False})
+            else:
+                rows.append({**nil, **hit, "__m": True})
+        return pd.DataFrame(rows, columns=[*all_keys, "__m"])
+
+    out = df.withColumn("__p", grok_extract(F.col(source_key)))
+    for k in all_keys:
+        out = out.withColumn(k, F.col("__p")[k])
+    out = _apply_unmatch_policy(
+        out.withColumn("__m", F.col("__p.__m")),
+        F.col("__m"),
+        source_key,
+        keep_source,
+        discard_unmatched,
+    ).drop("__p", "__m")
+    if apply_type_hints:
+        for k, t in hints.items():
+            ct = cast_for_hint(t)
+            if ct:
+                out = out.withColumn(k, F.col(k).cast(ct))
+    return out
+
+
+def parse_json(
+    df: DataFrame,
+    source_key: str,
+    *,
+    expand_depth: int = 0,
+    expand_connector: str = "_",
+    prefix: str = "",
+    use_source_key_as_prefix: bool = False,
+    expand_array: bool = False,
+    keys: list[str] | None = None,
+    keep_source: bool = True,
+    discard_unmatched: bool = False,
+    dest_key: str = "parsed",
+) -> DataFrame:
+    """Parse+flatten JSON with the reference dialect (processor_json.go:141-201).
+
+    Produces a ``map<string,string>`` column *dest_key* (dynamic keys,
+    matching the reference's dynamic KV model); if *keys* is given the
+    named keys are additionally projected to top-level string columns
+    — the static-schema fast path Catalyst can prune.
+    """
+    if use_source_key_as_prefix:
+        prefix = f"{source_key}{expand_connector}{prefix}"
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def flatten(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: parse_and_flatten(
+                v,
+                depth=expand_depth,
+                connector=expand_connector,
+                prefix=prefix,
+                expand_array=expand_array,
+            )
+        )
+
+    out = df.withColumn(dest_key, flatten(F.col(source_key)))
+    matched = F.col(dest_key).isNotNull()
+    out = _apply_unmatch_policy(
+        out, matched, source_key, keep_source, discard_unmatched
+    )
+    if keys:
+        for k in keys:
+            out = out.withColumn(k, F.col(dest_key).getItem(k))
+    return out
+
+
+def parse_json_typed(
+    df: DataFrame, source_key: str, schema: T.StructType | str, dest_key: str = "parsed"
+) -> DataFrame:
+    """Schema-known fast path: JVM ``from_json`` (no Python at all).
+
+    Preferred at scale when the JSON shape is declared in the pipeline
+    config — Catalyst prunes unread subfields from the parse.
+    """
+    return df.withColumn(dest_key, F.from_json(F.col(source_key), schema))
+
+
+def parse_delimiter(
+    df: DataFrame,
+    source_key: str,
+    separator: str,
+    keys: list[str],
+    *,
+    quote: str | None = None,
+    keep_source: bool = True,
+    discard_unmatched: bool = False,
+) -> DataFrame:
+    """Split on a separator into *keys* (split_char.go:34-44).
+
+    Quoted mode delegates to ``from_csv`` (processor_csv semantics).
+    """
+    if quote:
+        schema = ", ".join(f"`{k}` string" for k in keys)
+        parsed = F.from_csv(
+            F.col(source_key),
+            F.lit(schema),
+            {"sep": separator, "quote": quote},
+        )
+        out = df.withColumn("__p", parsed)
+        for k in keys:
+            out = out.withColumn(k, F.col("__p")[k])
+        matched = F.col("__p").isNotNull()
+        return _apply_unmatch_policy(
+            out, matched, source_key, keep_source, discard_unmatched
+        ).drop("__p")
+    parts = F.split(F.col(source_key), re.escape(separator))
+    out = df.withColumn("__p", parts)
+    matched = F.size(F.col("__p")) >= len(keys)
+    for i, k in enumerate(keys):
+        out = out.withColumn(k, F.when(matched, F.col("__p").getItem(i)))
+    return _apply_unmatch_policy(
+        out, matched, source_key, keep_source, discard_unmatched
+    ).drop("__p")
+
+
+def parse_keyvalue(
+    df: DataFrame,
+    source_key: str,
+    *,
+    pair_separator: str = " ",
+    kv_separator: str = "=",
+    dest_key: str = "kv",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """``a=1 b=2`` → map (processor_split_key_value analog) via JVM
+    ``str_to_map`` — fully codegen'd, no Python."""
+    out = df.withColumn(
+        dest_key,
+        F.str_to_map(
+            F.col(source_key), F.lit(re.escape(pair_separator)), F.lit(re.escape(kv_separator))
+        ),
+    )
+    if keys:
+        for k in keys:
+            out = out.withColumn(k, F.col(dest_key).getItem(k))
+    return out
+
+
+def split_log_string(
+    df: DataFrame, source_key: str, separator: str = "\n", dest_key: str | None = None
+) -> DataFrame:
+    """One event → many by separator (split_log_string.go:29-37):
+    ``explode(split(...))``. Other columns are duplicated per part,
+    matching the reference's copy-contents semantics."""
+    dest = dest_key or source_key
+    out = df.withColumn(dest, F.explode(F.split(F.col(source_key), re.escape(separator))))
+    return out
+
+
+def merge_multiline(
+    df: DataFrame,
+    source_key: str,
+    start_pattern: str,
+    group_cols: Iterable[str],
+    order_col: str,
+    *,
+    joiner: str = "\n",
+    dest_key: str | None = None,
+) -> DataFrame:
+    """Multiline assembly: lines are grouped under the most recent line
+    matching *start_pattern* (ProcessorSplitMultilineLogStringNative.h:68-79
+    Start-pattern mode), then concatenated in order.
+
+    Implemented as a running-count window (each start line increments a
+    block id) + ``collect_list over window`` — distributed, no Python.
+    """
+    from pyspark.sql import Window as W
+
+    dest = dest_key or source_key
+    gcols = list(group_cols)
+    w = W.partitionBy(*gcols).orderBy(order_col)
+    is_start = F.col(source_key).rlike(start_pattern).cast("long")
+    blocks = df.withColumn("__blk", F.sum(is_start).over(w))
+    merged = (
+        blocks.groupBy(*gcols, "__blk")
+        .agg(
+            F.concat_ws(
+                joiner, F.array_sort(F.collect_list(F.struct(order_col, source_key)))[
+                    "".join([source_key])
+                ]
+            ).alias("__merged"),
+            F.min(order_col).alias(order_col),
+        )
+        .drop("__blk")
+        .withColumnRenamed("__merged", dest)
+    )
+    return merged
+
+
+def parse_timestamp(
+    df: DataFrame,
+    source_key: str,
+    fmt: str,
+    *,
+    dest_key: str = "ts",
+    source_timezone: str | None = None,
+    epoch_unit: str | None = None,
+) -> DataFrame:
+    """strptime/gotime analog (strptime.go, processor_gotime.go:34-50,
+    ProcessorParseTimestampNative.h:34-46): parse *source_key* with a
+    Spark datetime *fmt* into *dest_key*; epoch modes seconds /
+    milliseconds / microseconds; optional source-timezone shift."""
+    if epoch_unit:
+        divisor = {"seconds": 1, "milliseconds": 1000, "microseconds": 1000000}[
+            epoch_unit
+        ]
+        col = F.timestamp_seconds(F.col(source_key).cast("double") / divisor)
+    else:
+        col = F.to_timestamp(F.col(source_key), fmt)
+    if source_timezone:
+        col = F.to_utc_timestamp(col, source_timezone)
+    return df.withColumn(dest_key, col)

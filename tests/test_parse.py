@@ -1,0 +1,180 @@
+"""Golden tests for parsing operators (mirrors the reference's
+per-operator unit-test strategy, e.g.
+core/unittest/processor/ProcessorParseRegexNativeUnittest.cpp:655-664)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.parse import (
+    parse_delimiter,
+    parse_grok,
+    parse_json,
+    parse_keyvalue,
+    parse_regex,
+    parse_timestamp,
+    split_log_string,
+)
+from loongcollector_spark.sources.transcripts import load_transcripts, transcripts_sql
+
+NGINX_REGEX = (
+    r'(\S+) - - \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+) '
+    r'"([^"]*)" "([^"]*)" logNo=(\d+)'
+)
+NGINX_KEYS = [
+    "ip",
+    "time_local",
+    "method",
+    "path",
+    "protocol",
+    "status",
+    "body_bytes",
+    "referer",
+    "agent",
+    "log_no",
+]
+
+
+@pytest.fixture(scope="module")
+def tx(spark, sf_dir):
+    return load_transcripts(spark, sf_dir).cache()
+
+
+def test_regex_native_vs_duckdb_oracle(spark, sf_dir, tx):
+    out = parse_regex(tx, "text", NGINX_REGEX, NGINX_KEYS, engine="native")
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.ip, r.method, r.status, r.log_no)
+        for r in out.filter(F.col("ip").isNotNull())
+        .select("conv_id", "turn_idx", "ip", "method", "status", "log_no")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    anchored = f"^{NGINX_REGEX}$"
+    names = "[" + ", ".join(f"'{k}'" for k in NGINX_KEYS) + "]"
+    want = sorted(
+        con.execute(
+            f"""
+        WITH transcripts AS ({transcripts_sql('events')}),
+        parsed AS (
+          SELECT conv_id, turn_idx,
+                 regexp_extract(text, '{anchored}', {names}) AS g
+          FROM transcripts WHERE regexp_matches(text, '{anchored}')
+        )
+        SELECT conv_id, turn_idx, g.ip, g.method, g.status, g.log_no FROM parsed
+        """
+        ).fetchall()
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_regex_engines_agree(tx):
+    a = parse_regex(tx, "text", NGINX_REGEX, NGINX_KEYS, engine="native")
+    b = parse_regex(tx, "text", NGINX_REGEX, NGINX_KEYS, engine="pandas")
+    cols = ["conv_id", "turn_idx", *NGINX_KEYS]
+    ra = sorted(tuple(r) for r in a.select(*cols).collect())
+    rb = sorted(tuple(r) for r in b.select(*cols).collect())
+    assert ra == rb
+
+
+def test_regex_discard_unmatched(tx):
+    n_nginx = tx.filter(F.col("text").rlike("^\\d+\\.")).count()
+    out = parse_regex(
+        tx, "text", NGINX_REGEX, NGINX_KEYS, discard_unmatched=True, keep_source=False
+    )
+    assert out.count() == n_nginx
+    assert "text" not in out.columns
+
+
+def test_regex_whole_line_fast_path(tx):
+    out = parse_regex(tx, "text", "(.*)", ["content"])
+    row = out.select("text", "content").first()
+    assert row.text == row.content
+
+
+def test_grok_kv_dialect(tx):
+    out = parse_grok(
+        tx.filter(F.col("text").startswith("level=")),
+        "text",
+        [
+            "level=%{LOGLEVEL:level} svc=%{NOTSPACE:svc} code=%{INT:code:int} "
+            "dur=%{INT:dur:int}ms logNo=%{INT:log_no:int}"
+        ],
+    )
+    rows = out.select("level", "svc", "code", "dur", "log_no", "turn_idx").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.level in ("INFO", "WARN", "ERROR")
+        assert r.svc.startswith("svc-")
+        assert isinstance(r.code, int)
+        assert r.log_no == r.turn_idx
+
+
+def test_grok_first_match_wins(tx):
+    sub = tx.limit(50)
+    out = parse_grok(
+        sub,
+        "text",
+        ["%{GREEDYDATA:all1}", "%{GREEDYDATA:all2}"],
+    )
+    rows = out.collect()
+    assert all(r.all1 is not None and r.all2 is None for r in rows)
+
+
+def test_json_flatten(spark, tx):
+    jdf = tx.filter(F.col("text").startswith("{"))
+    out = parse_json(jdf, "text", expand_array=True)
+    row = out.select("parsed", "turn_idx").first()
+    p = row.parsed
+    assert p["level"] in ("INFO", "WARN", "ERROR")
+    assert p["ctx_k"].isdigit()
+    assert "ctx_arr[0]" in p and "ctx_arr[1]" in p
+    assert int(p["logNo"]) == row.turn_idx
+
+
+def test_json_flatten_depth_and_connector(spark):
+    df = spark.createDataFrame(
+        [('{"a":{"b":{"c":1}},"d":[5,6],"e":true}',)], ["text"]
+    )
+    out = parse_json(df, "text", expand_depth=2, expand_connector=".").first().parsed
+    assert out["a.b"] == '{"c":1}'
+    assert out["d"] == "[5,6]"
+    assert out["e"] == "true"
+    out2 = parse_json(df, "text", expand_array=True).first().parsed
+    assert out2["a_b_c"] == "1"
+    assert out2["d[0]"] == "5"
+
+
+def test_json_unparseable_is_null(spark):
+    df = spark.createDataFrame([("not json",), ('{"k":1}',)], ["text"])
+    rows = parse_json(df, "text").select("parsed").collect()
+    assert sum(1 for r in rows if r.parsed is None) == 1
+
+
+def test_delimiter_and_kv(spark):
+    df = spark.createDataFrame([("a|b|c",), ("x|y|z",)], ["line"])
+    out = parse_delimiter(df, "line", "|", ["f1", "f2", "f3"])
+    assert sorted((r.f1, r.f2, r.f3) for r in out.collect()) == [
+        ("a", "b", "c"),
+        ("x", "y", "z"),
+    ]
+    df2 = spark.createDataFrame([("k1=v1 k2=v2",)], ["line"])
+    row = parse_keyvalue(df2, "line").first()
+    assert row.kv == {"k1": "v1", "k2": "v2"}
+
+
+def test_split_log_string(spark):
+    df = spark.createDataFrame([("l1\nl2\nl3", "c1")], ["text", "conv_id"])
+    out = split_log_string(df, "text")
+    assert [r.text for r in out.collect()] == ["l1", "l2", "l3"]
+    assert all(r.conv_id == "c1" for r in out.collect())
+
+
+def test_parse_timestamp(spark):
+    df = spark.createDataFrame([("2024-03-05 10:00:00",)], ["t"])
+    row = parse_timestamp(df, "t", "yyyy-MM-dd HH:mm:ss", dest_key="parsed_ts").first()
+    assert row.parsed_ts.year == 2024 and row.parsed_ts.month == 3
+    df2 = spark.createDataFrame([("1704067200",)], ["t"])
+    row2 = parse_timestamp(df2, "t", "", dest_key="pts", epoch_unit="seconds").first()
+    assert row2.pts.year == 2024
