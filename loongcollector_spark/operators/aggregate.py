@@ -82,7 +82,7 @@ def pack_groups(
     (aggregator_base.go:107-147). Deterministic: seq derives from the
     stable order, not arrival order."""
     w = W.partitionBy(*group_cols).orderBy(order_col)
-    seq = ((F.row_number().over(w) - 1) / max_log_count).cast("long")
+    seq = F.floor((F.row_number().over(w) - 1) / max_log_count).cast("long")
     return df.withColumn(
         pack_col,
         F.concat_ws(

@@ -1,0 +1,454 @@
+"""Named queries with paired DuckDB oracles (the driver's correctness gate).
+
+Each entry in :data:`QUERIES` is ``name -> fn(spark, sf_dir) -> DataFrame``;
+:data:`ORACLES` holds the equivalent DuckDB SQL over the driver's
+pre-registered views (``events``, ``documents``, ``embeddings``, ...).
+Column names are aliased identically on both sides (the driver compares
+by sorted column name + value hash).
+
+The transcript pipeline queries all derive their input through the
+canonical cross-engine transcripts CTE (sources/transcripts.py), so
+both engines compute over byte-identical input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .operators import aggregate as agg
+from .operators import enrich, filter as flt, parse, route as rt
+from .sources.transcripts import load_transcripts, transcripts_sql
+
+# ---------------------------------------------------------------- constants
+
+NGINX_REGEX = (
+    r'(\S+) - - \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d+) (\d+) '
+    r'"([^"]*)" "([^"]*)" logNo=(\d+)'
+)
+NGINX_KEYS = [
+    "ip",
+    "time_local",
+    "method",
+    "path",
+    "protocol",
+    "status",
+    "body_bytes",
+    "referer",
+    "agent",
+    "log_no",
+]
+NGINX_ANCHORED = f"^{NGINX_REGEX}$"
+_NK_LIST = "[" + ", ".join(f"'{k}'" for k in NGINX_KEYS) + "]"
+
+ROLE_DIM = [
+    ("user", "human", 1),
+    ("assistant", "model", 2),
+    ("system", "infra", 3),
+    ("tool", "infra", 3),
+]
+TOOL_DIM = [
+    ("search", "retrieval", True),
+    ("code", "execution", True),
+    ("browser", "retrieval", True),
+    ("none", "na", False),
+]
+
+ROUTER_RULES = [
+    rt.RouterRule("assistant", "sink_assistant"),
+    rt.RouterRule("tool", "sink_tool"),
+    rt.RouterRule("user|system", "sink_human"),
+]
+DEFAULT_SINK = "sink_default"
+
+_TX = transcripts_sql("events")
+
+# routing CASE used by oracle SQL — mirrors the anchored first-match chain
+_ROUTE_CASE = """
+    CASE WHEN regexp_matches(role, '^(?:assistant)$') THEN 'sink_assistant'
+         WHEN regexp_matches(role, '^(?:tool)$') THEN 'sink_tool'
+         WHEN regexp_matches(role, '^(?:user|system)$') THEN 'sink_human'
+         ELSE 'sink_default' END
+"""
+
+
+def _role_dim_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ROLE_DIM, ["role", "role_class", "priority"])
+
+
+def _tool_dim_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TOOL_DIM, ["tool", "tool_family", "billable"])
+
+
+_ROLE_DIM_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{r}', '{c}', {p})" for r, c, p in ROLE_DIM)
+    + ") AS role_dim(role, role_class, priority)"
+)
+_TOOL_DIM_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}', '{f}', {str(b).lower()})" for t, f, b in TOOL_DIM)
+    + ") AS tool_dim(tool, tool_family, billable)"
+)
+
+# ---------------------------------------------------------------- helpers
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = load_transcripts(spark, sf_dir)
+    cfg = rt.RouterConfig(
+        source_key="role", rules=ROUTER_RULES, default_sink=DEFAULT_SINK
+    )
+    return rt.route(tx, cfg)
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = load_transcripts(spark, sf_dir)
+    out = enrich.dict_map(
+        tx,
+        _role_dim_df(spark),
+        "role",
+        "role_class",
+        handle_missing=True,
+        missing="Unknown",
+    )
+    out = enrich.dict_map(out, _tool_dim_df(spark), "tool", "tool_family")
+    return out
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_parse_nginx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nginx-dialect regex parse (reference bench payload,
+    test/benchmark/.../loongcollector.yaml:8-27)."""
+    tx = load_transcripts(spark, sf_dir)
+    out = parse.parse_regex(
+        tx, "text", NGINX_REGEX, NGINX_KEYS, discard_unmatched=True, keep_source=False
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ip",
+        "method",
+        "path",
+        "status",
+        "body_bytes",
+        "log_no",
+    )
+
+
+def q_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key=value dialect via JVM str_to_map (processor_split_key_value)."""
+    tx = load_transcripts(spark, sf_dir).filter(F.col("text").startswith("level="))
+    out = parse.parse_keyvalue(tx, "text", keys=["level", "svc", "code", "dur"])
+    return out.select("conv_id", "turn_idx", "level", "svc", "code", "dur")
+
+
+def q_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON dialect flatten (processor_json dialect: connector keys,
+    array [i] expansion)."""
+    tx = load_transcripts(spark, sf_dir).filter(F.col("text").startswith("{"))
+    out = parse.parse_json(tx, "text", expand_array=True)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("parsed")["level"].alias("level"),
+        F.col("parsed")["msg"].alias("msg"),
+        F.col("parsed")["ctx_k"].alias("ctx_k"),
+        F.col("parsed")["ctx_arr[0]"].alias("arr0"),
+        F.col("parsed")["logNo"].alias("log_no"),
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink routed-row counts — the north-star verification
+    aggregate (aggregator_router + groupBy(sink).count)."""
+    return agg.group_count(_routed(spark, sf_dir), ["sink"]).orderBy("sink")
+
+
+def q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-row multiset (conv_id, turn_idx, sink) incl. an
+    unconditional copy-sink — Router copy semantics
+    (core/collection_pipeline/route/Router.cpp:62-80)."""
+    tx = load_transcripts(spark, sf_dir)
+    cfg = rt.RouterConfig(
+        source_key="role",
+        rules=ROUTER_RULES,
+        default_sink=DEFAULT_SINK,
+        unconditional_sinks=["sink_audit"],
+    )
+    return rt.route(tx, cfg).select("conv_id", "turn_idx", "sink")
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn counts (context-aggregator grouping)."""
+    tx = load_transcripts(spark, sf_dir)
+    return tx.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"), F.max("turn_idx").alias("max_turn_idx")
+    )
+
+
+def q_enrich_dictmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dict lookup w/ missing handling (processor_dict_map)."""
+    out = _enriched(spark, sf_dir)
+    return out.groupBy("role", "role_class", "tool_family").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Include/exclude regex filter (processor_filter_regex)."""
+    tx = load_transcripts(spark, sf_dir)
+    out = flt.filter_regex(
+        tx, include={"text": r".*logNo=\d+.*", "role": "user|assistant"},
+        exclude={"text": r".*ERROR.*"},
+    )
+    return out.select("conv_id", "turn_idx", "role")
+
+
+def q_filter_expression_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean expression-tree filter (ProcessorFilterNative.h:34-96)."""
+    tx = load_transcripts(spark, sf_dir)
+    tree = {
+        "operator": "and",
+        "operands": [
+            {
+                "operator": "or",
+                "operands": [
+                    {"key": "role", "exp": "^assistant$"},
+                    {"key": "tool", "exp": "^code$"},
+                ],
+            },
+            {"operator": "not", "operands": [{"key": "text", "exp": "^\\{"}]},
+        ],
+    }
+    return flt.filter_expression(tx, tree).select("conv_id", "turn_idx", "role", "tool")
+
+
+def q_fields_with_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Switch-case enrich (processor_fields_with_condition)."""
+    tx = load_transcripts(spark, sf_dir)
+    out = flt.fields_with_condition(
+        tx,
+        [
+            {
+                "fields": [{"key": "role", "value": "assistant"}],
+                "add_fields": {"speaker": "model"},
+            },
+            {
+                "fields": [
+                    {"key": "role", "value": "user"},
+                    {"key": "role", "value": "system"},
+                ],
+                "logical_operator": "or",
+                "add_fields": {"speaker": "human_or_infra"},
+            },
+        ],
+    )
+    return out.groupBy("speaker").agg(F.count("*").alias("cnt"))
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rate-sample: ≤3 rows per (role, 1-hour window)
+    (processor_rate_limit batch analog)."""
+    tx = load_transcripts(spark, sf_dir)
+    w = W.partitionBy("role", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "conv_id", "turn_idx"
+    )
+    out = (
+        tx.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+    return out.groupBy("role").agg(F.count("*").alias("cnt"))
+
+
+def q_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn ordering + per-turn text (logNo order oracle,
+    test/engine/verify/log_order.go:58-77): seq must equal turn_idx."""
+    tx = load_transcripts(spark, sf_dir)
+    out = agg.stable_order(tx)
+    return out.select("conv_id", "turn_idx", "seq", "text")
+
+
+def q_pack_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """__pack_id__ provenance batching (aggregator_base.go:139-147):
+    16-row packs per conversation."""
+    tx = load_transcripts(spark, sf_dir)
+    out = agg.pack_groups(tx, ["conv_id"], "turn_idx", max_log_count=16)
+    return out.groupBy("__pack_id__").agg(F.count("*").alias("cnt"))
+
+
+def q_enrich_pipeline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: parse all three dialects → enrich → route → per-sink,
+    per-status counts (full pipeline in one plan)."""
+    tx = load_transcripts(spark, sf_dir)
+    parsed = parse.parse_regex(tx, "text", NGINX_REGEX, NGINX_KEYS)
+    enriched = enrich.dict_map(
+        parsed,
+        _role_dim_df(spark),
+        "role",
+        "role_class",
+        handle_missing=True,
+        missing="Unknown",
+    )
+    cfg = rt.RouterConfig(
+        source_key="role", rules=ROUTER_RULES, default_sink=DEFAULT_SINK
+    )
+    routed = rt.route(enriched, cfg)
+    return routed.groupBy("sink", "role_class").agg(
+        F.count("*").alias("cnt"),
+        F.count("status").alias("n_nginx"),
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+ORACLES: dict[str, str] = {
+    "parse_nginx": f"""
+        WITH transcripts AS ({_TX}),
+        parsed AS (
+          SELECT conv_id, turn_idx,
+                 regexp_extract(text, '{NGINX_ANCHORED}', {_NK_LIST}) AS g
+          FROM transcripts
+          WHERE regexp_matches(text, '{NGINX_ANCHORED}')
+        )
+        SELECT conv_id, turn_idx, g.ip AS ip, g.method AS method,
+               g.path AS path, g.status AS status,
+               g.body_bytes AS body_bytes, g.log_no AS log_no
+        FROM parsed
+    """,
+    "parse_kv": f"""
+        WITH transcripts AS ({_TX})
+        SELECT conv_id, turn_idx,
+               regexp_extract(text, 'level=(\\S+)', 1) AS level,
+               regexp_extract(text, 'svc=(\\S+)', 1) AS svc,
+               regexp_extract(text, 'code=(\\S+)', 1) AS code,
+               regexp_extract(text, 'dur=(\\S+)', 1) AS dur
+        FROM transcripts WHERE text LIKE 'level=%'
+    """,
+    "parse_json": f"""
+        WITH transcripts AS ({_TX})
+        SELECT conv_id, turn_idx,
+               json_extract_string(text, '$.level') AS level,
+               json_extract_string(text, '$.msg') AS msg,
+               json_extract_string(text, '$.ctx.k') AS ctx_k,
+               json_extract_string(text, '$.ctx.arr[0]') AS arr0,
+               json_extract_string(text, '$.logNo') AS log_no
+        FROM transcripts WHERE text LIKE '{{%'
+    """,
+    "route_counts": f"""
+        WITH transcripts AS ({_TX})
+        SELECT {_ROUTE_CASE} AS sink, count(*) AS cnt
+        FROM transcripts GROUP BY 1 ORDER BY sink
+    """,
+    "routed_rows": f"""
+        WITH transcripts AS ({_TX})
+        SELECT conv_id, turn_idx, {_ROUTE_CASE} AS sink FROM transcripts
+        UNION ALL
+        SELECT conv_id, turn_idx, 'sink_audit' AS sink FROM transcripts
+    """,
+    "conv_stats": f"""
+        WITH transcripts AS ({_TX})
+        SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx
+        FROM transcripts GROUP BY conv_id
+    """,
+    "enrich_dictmap": f"""
+        WITH transcripts AS ({_TX}),
+        role_dim AS ({_ROLE_DIM_SQL}),
+        tool_dim AS ({_TOOL_DIM_SQL})
+        SELECT t.role AS role,
+               coalesce(r.role_class, 'Unknown') AS role_class,
+               td.tool_family AS tool_family,
+               count(*) AS cnt
+        FROM transcripts t
+        LEFT JOIN role_dim r ON t.role = r.role
+        LEFT JOIN tool_dim td ON t.tool = td.tool
+        GROUP BY 1, 2, 3
+    """,
+    "filter_regex": f"""
+        WITH transcripts AS ({_TX})
+        SELECT conv_id, turn_idx, role FROM transcripts
+        WHERE regexp_matches(text, 'logNo=\\d+')
+          AND regexp_matches(role, 'user|assistant')
+          AND NOT regexp_matches(text, 'ERROR')
+    """,
+    "filter_expression_tree": f"""
+        WITH transcripts AS ({_TX})
+        SELECT conv_id, turn_idx, role, tool FROM transcripts
+        WHERE (regexp_matches(role, '^assistant$')
+               OR regexp_matches(tool, '^code$'))
+          AND NOT regexp_matches(text, '^\\{{')
+    """,
+    "fields_with_condition": f"""
+        WITH transcripts AS ({_TX})
+        SELECT CASE WHEN role = 'assistant' THEN 'model'
+                    WHEN role = 'user' OR role = 'system'
+                         THEN 'human_or_infra' END AS speaker,
+               count(*) AS cnt
+        FROM transcripts GROUP BY 1
+    """,
+    "rate_limit": f"""
+        WITH transcripts AS ({_TX}),
+        ranked AS (
+          SELECT role,
+                 row_number() OVER (
+                   PARTITION BY role, date_trunc('hour', ts)
+                   ORDER BY ts, conv_id, turn_idx) AS rn
+          FROM transcripts
+        )
+        SELECT role, count(*) AS cnt FROM ranked WHERE rn <= 3 GROUP BY role
+    """,
+    "stable_order": f"""
+        WITH transcripts AS ({_TX})
+        SELECT conv_id, turn_idx,
+               row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+                 AS seq,
+               text
+        FROM transcripts
+    """,
+    "pack_groups": f"""
+        WITH transcripts AS ({_TX}),
+        seq AS (
+          SELECT conv_id,
+                 cast(floor((row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       - 1) / 16.0) AS BIGINT) AS packno
+          FROM transcripts
+        )
+        SELECT concat('pack-', conv_id, '-', cast(packno AS STRING)) AS __pack_id__,
+               count(*) AS cnt
+        FROM seq GROUP BY 1
+    """,
+    "enrich_pipeline_fanout": f"""
+        WITH transcripts AS ({_TX}),
+        role_dim AS ({_ROLE_DIM_SQL}),
+        enriched AS (
+          SELECT t.*, coalesce(r.role_class, 'Unknown') AS role_class,
+                 CASE WHEN regexp_matches(text, '{NGINX_ANCHORED}')
+                      THEN regexp_extract(text, '{NGINX_ANCHORED}', {_NK_LIST}).status
+                      END AS status
+          FROM transcripts t LEFT JOIN role_dim r ON t.role = r.role
+        )
+        SELECT {_ROUTE_CASE} AS sink, role_class,
+               count(*) AS cnt, count(status) AS n_nginx
+        FROM enriched GROUP BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "parse_nginx": q_parse_nginx,
+    "parse_kv": q_parse_kv,
+    "parse_json": q_parse_json,
+    "route_counts": q_route_counts,
+    "routed_rows": q_routed_rows,
+    "conv_stats": q_conv_stats,
+    "enrich_dictmap": q_enrich_dictmap,
+    "filter_regex": q_filter_regex,
+    "filter_expression_tree": q_filter_expression_tree,
+    "fields_with_condition": q_fields_with_condition,
+    "rate_limit": q_rate_limit,
+    "stable_order": q_stable_order,
+    "pack_groups": q_pack_groups,
+    "enrich_pipeline_fanout": q_enrich_pipeline_fanout,
+}
