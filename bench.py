@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line. Additionally evidences the north rule's two-cluster-size
+scaling criterion in-sandbox: the identical parse→enrich→route→aggregate
+job over the identical deterministic generated input at N and 4N local
+cores, reporting turns/sec at each and efficiency
+``E = thr_4N / (4 · thr_N)`` (BASELINE.md protocol).
+
+Scaling run is skipped when SPARK_GRAFT_BENCH_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "24000000"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+HEADLINE = [
+    "parse_nginx",
+    "parse_json",
+    "route_counts",
+    "enrich_dictmap",
+    "conv_stats",
+    "stable_order",
+    "enrich_pipeline_fanout",
+]
+
+
+def _pipeline(spark, src_path: str):
+    """The measured job: scan → regex parse → broadcast enrich → route →
+    per-sink count. Mirrors the reference's benchmark scenario
+    (regex parse + filter → sink, test/benchmark/.../case.feature:9-12)."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.operators import enrich, parse, route as rt
+    from loongcollector_spark.queries import (
+        DEFAULT_SINK,
+        NGINX_KEYS,
+        NGINX_REGEX,
+        ROLE_DIM,
+        ROUTER_RULES,
+    )
+
+    df = spark.read.parquet(src_path)
+    parsed = parse.parse_regex(df, "text", NGINX_REGEX, NGINX_KEYS)
+    dim = spark.createDataFrame(ROLE_DIM, ["role", "role_class", "priority"])
+    enriched = enrich.dict_map(
+        parsed, dim, "role", "role_class", handle_missing=True, missing="Unknown"
+    )
+    cfg = rt.RouterConfig(
+        source_key="role", rules=ROUTER_RULES, default_sink=DEFAULT_SINK
+    )
+    routed = rt.route(enriched, cfg)
+    return routed.groupBy("sink", "role_class").agg(
+        F.count("*").alias("cnt"), F.count("status").alias("n_nginx")
+    )
+
+
+def _ensure_bench_input(n_turns: int) -> str:
+    """Generate (once) the deterministic bench transcript table."""
+    path = os.path.join(CACHE_DIR, f"transcripts_{n_turns}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    from loongcollector_spark.session import get_spark
+    from loongcollector_spark.sources.transcripts import generate_transcripts
+
+    spark = get_spark("bench-gen", cores=CPUS)
+    generate_transcripts(spark, n_turns, partitions=max(CPUS * 4, 32)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return path
+
+
+def _run_throughput(cores: int, src_path: str, n_turns: int) -> float:
+    """Run the pipeline at a given parallelism; return turns/sec."""
+    from loongcollector_spark.session import get_spark
+
+    import statistics
+
+    spark = get_spark(f"bench-{cores}", cores=cores)
+    # warm-up: JVM/codegen, file listing (excluded from timing)
+    _pipeline(spark, src_path).collect()
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        _pipeline(spark, src_path).collect()
+        times.append(time.monotonic() - t0)
+    spark.stop()
+    return n_turns / statistics.median(times)
+
+
+def main() -> None:
+    from loongcollector_spark.session import get_spark
+    from loongcollector_spark.queries import QUERIES
+
+    t_all0 = time.monotonic()
+    spark = get_spark("bench", cores=CPUS)
+    q_secs: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).count()  # warm (scan caching, codegen)
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        q_secs[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {q_secs[name]:.3f}s rows={n}", file=sys.stderr)
+    spark.stop()
+
+    result = {
+        "metric": "headline queries total wall time",
+        "value": round(sum(q_secs.values()), 3),
+        "unit": "sec",
+        "queries": q_secs,
+        "sf": SF_DIR,
+    }
+
+    if DO_SCALING:
+        low = max(CPUS // 4, 1)
+        src = _ensure_bench_input(BENCH_TURNS)
+        thr_low = _run_throughput(low, src, BENCH_TURNS)
+        thr_high = _run_throughput(CPUS, src, BENCH_TURNS)
+        ratio = CPUS / low
+        eff = thr_high / (ratio * thr_low)
+        result["scaling"] = {
+            "n_turns": BENCH_TURNS,
+            "cores_low": low,
+            "cores_high": CPUS,
+            "turns_per_sec_low": round(thr_low, 1),
+            "turns_per_sec_high": round(thr_high, 1),
+            "efficiency": round(eff, 3),
+        }
+        print(
+            f"# scaling: {thr_low:.0f} t/s @{low} cores, "
+            f"{thr_high:.0f} t/s @{CPUS} cores, E={eff:.3f}",
+            file=sys.stderr,
+        )
+
+    result["total_bench_sec"] = round(time.monotonic() - t_all0, 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

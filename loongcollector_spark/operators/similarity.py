@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline addition (not in the reference — SURVEY.md
+§2.11): approximate nearest neighbor over the ``embeddings`` table
+(vec_id:bigint, embedding:array<float>, label:int).
+
+Two paths:
+* brute-force cosine top-k — the correctness baseline. Dot products
+  via JVM ``F.zip_with`` + ``F.aggregate`` (codegen'd, no Python);
+  top-k via window over the query id.
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+  (deterministic seeded planes), candidates = same bucket in ≥1 table,
+  exact re-rank inside buckets only. At 10^9 vectors the bucket join
+  shuffles candidates, never the cross product.
+* embedding-cosine near-dup — same kernel, thresholded self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "lsh_ann_topk",
+    "embedding_near_dups",
+]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float/double> columns —
+    one codegen'd expression."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    ``queries`` (small) is broadcast against the big vector table —
+    each partition scores its local vectors against every query
+    (embarrassingly parallel), then a per-query top-k window. Ties
+    broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    scored = v.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col)).select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("__v"), F.col("__qv")).alias("cos_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _hyperplane_signature(vec_col, n_planes: int, dim: int):
+    """Random-hyperplane LSH signature (sign of dot with seeded
+    pseudo-random planes). Planes are generated deterministically
+    JVM-side: plane[p][i] = xxhash64(p, i) scaled to [-1, 1] — seeded,
+    reproducible, no driver-side data."""
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.xxhash64(p, i) % 10000).cast("double") / 10000.0,
+        ),
+    )
+    return F.transform(
+        planes, lambda pl: (_dot(vec_col, pl) > 0).cast("int")
+    )
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> DataFrame:
+    """ANN: hyperplane-LSH bucketing + exact re-rank inside buckets.
+
+    Each row gets ``n_tables`` bucket keys (disjoint plane slices of
+    one signature); candidates are rows sharing ≥1 bucket with a
+    query. Recall < 1 by construction — the scale path; use
+    brute_force_topk as the exactness baseline.
+    """
+    per_table = n_planes // n_tables
+    sig = _hyperplane_signature(F.col(vec_col), n_planes, dim)
+
+    def bucketed(df, idc):
+        s = df.withColumn("__sig", sig)
+        t = F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                lambda tbl: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("__sig"), tbl * per_table + 1, per_table),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        )
+        return s.select(F.col(idc), F.col(vec_col), t.alias("table", "bucket"))
+
+    vb = bucketed(vectors.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id")
+    qb = bucketed(queries.select(query_id_col, vec_col), query_id_col)
+    qb = qb.select(query_id_col, F.col(vec_col).alias("__qv"), "table", "bucket")
+    cand = (
+        vb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold)
+    via LSH self-join: bucket on the full signature, exact cosine
+    inside buckets. High thresholds → near-dups almost surely agree on
+    all plane signs, so full-signature bucketing keeps recall high
+    while the join stays linear-ish."""
+    sig = _hyperplane_signature(F.col(vec_col), n_planes, dim)
+    s = vectors.select(
+        F.col(id_col), F.col(vec_col), F.concat_ws(
+            ",", F.transform(sig, lambda x: x.cast("string"))
+        ).alias("bucket")
+    )
+    a = s.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = s.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

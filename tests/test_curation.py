@@ -1,0 +1,193 @@
+"""Tests for training-data curation operators: dedup, similarity,
+text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup.dedup_exact(docs)
+    n_docs = docs.count()
+    n_uniq_text = docs.select("text").distinct().count()
+    assert out.count() == n_uniq_text
+    assert out.agg(F.sum("dup_count")).collect()[0][0] == n_docs
+
+
+def test_shingles_and_minhash(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r t")],
+        ["doc_id", "text"],
+    )
+    sh = dedup.shingles(df, k=3)
+    row = {r.doc_id: r.shingles for r in sh.collect()}
+    assert row[1][0] == "a b c"
+    assert row[1] == row[2] != row[3]
+    sig = dedup.minhash_signatures(sh, num_perm=16)
+    s = {r.doc_id: r.minhash for r in sig.collect()}
+    assert s[1] == s[2]
+    assert s[1] != s[3]
+    assert len(s[1]) == 16
+
+
+def test_minhash_dedup_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different content about spark sql engines and columnar io"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(
+        df, k=3, num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (1, 2) in got
+    assert all(4 not in p for p in got)
+
+
+def test_simhash_and_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark makes distributed data processing simple and fast today"),
+            (2, "spark makes distributed data processing simple and fast now"),
+            (3, "an entirely unrelated musing on cooking pasta with tomatoes"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.simhash(df).select("doc_id", "simhash")
+    sh = {r.doc_id: r.simhash for r in out.collect()}
+    a = out.alias("a")
+    b = out.alias("b")
+    d = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "a.doc_id",
+            "b.doc_id",
+            dedup.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("ham"),
+        )
+        .collect()
+    )
+    dist = {(r[0], r[1]): r.ham for r in d}
+    assert dist[(1, 2)] < dist[(1, 3)]
+    assert dist[(1, 2)] < dist[(2, 3)]
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "f g h i j")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["a", "b"])
+    out = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, pairs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 0.0
+
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
+        assert all(r.neighbor_id != q for r in rs)
+        sims = [r.cos_sim for r in sorted(rs, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_recall(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_ann_topk(emb, queries, k=5, n_planes=8, n_tables=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dups_finds_self_clusters(spark, emb):
+    # duplicate a few vectors with new ids -> must be found at cos≈1
+    dup = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(dup)
+    out = similarity.embedding_near_dups(both, threshold=0.999)
+    got = {(r.a, r.b) for r in out.collect()}
+    for i in [r.vec_id for r in emb.limit(3).collect()]:
+        assert (i, i + 100000) in got
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 times."), (2, "")], ["doc_id", "text"]
+    )
+    r = {x.doc_id: x for x in text.token_stats(df).collect()}
+    assert r[1].n_ws_tokens == 4
+    assert r[2].n_ws_tokens == 0
+    # regex tokens: Hello , world ! 42 times . = 7
+    assert r[1].n_re_tokens == 7
+    q = {x.doc_id: x for x in text.quality_signals(df).collect()}
+    assert q[1].n_punct == 3
+    assert q[1].n_digits == 2
+    assert q[2].mean_word_len == 0.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht in das haus und die katze"),
+            (3, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "unknown"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_multimodal_plumbing(spark):
+    png = b"\x89PNG\r\n\x1a\n" + b"fakepayload"
+    wav = b"RIFF" + b"fakeaudio"
+    df = spark.createDataFrame([(1, png), (2, wav), (3, b"junk")], ["id", "media"])
+    meta = multimodal.attach_media_metadata(df)
+    m = {r.id: r.media_meta for r in meta.collect()}
+    assert m[1].format == "png" and m[1].media_type == "image"
+    assert m[2].format == "wav" and m[2].media_type == "audio"
+    assert m[3].format == "unknown"
+    assert m[1].size_bytes == len(png)
+    feats = multimodal.extract_features(df, dim=8)
+    f = {r.id: r.features for r in feats.collect()}
+    assert len(f[1]) == 8
+    assert f[1] != f[2]
+    # determinism
+    f2 = {r.id: r.features for r in multimodal.extract_features(df, dim=8).collect()}
+    assert f == f2
+    frames = multimodal.sample_frames(df, n_frames=3)
+    fr = {r.id: r.frames for r in frames.collect()}
+    assert len(fr[1]) == 3
