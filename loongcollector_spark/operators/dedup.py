@@ -81,17 +81,29 @@ def minhash_signatures(
     dest: str = "minhash",
 ) -> DataFrame:
     """MinHash signature per row: ``sig[p] = min over shingles of
-    xxhash64(shingle, p)``.
+    perm_hash(shingle, p)`` with ``perm_hash = xxhash64(xxhash64(s), p)``.
 
-    Entirely JVM-side: ``transform`` over a seed array with
-    ``array_min`` inside — one codegen'd expression, no
-    explode/shuffle, no Python. O(num_perm × shingles) per row.
+    Entirely JVM-side, no explode/shuffle, no Python. Plan-shape note:
+    the obvious ``transform(seeds, p -> array_min(transform(shingles,
+    ...)))`` inlines the (expensive) shingle-construction expression
+    into every one of the ``num_perm`` branches after Catalyst's
+    projection collapse — a 64× recompute measured at ~60× slowdown.
+    This fold references the shingle array ONCE: per element, one
+    string hash + ``num_perm`` cheap long re-hashes, accumulated with
+    ``zip_with(..., least)``.
     """
-    seeds = F.sequence(F.lit(1), F.lit(num_perm))
-    sig = F.transform(
-        seeds,
-        lambda p: F.array_min(
-            F.transform(F.col(shingle_col), lambda s: F.xxhash64(s, p))
+    max_long = (1 << 63) - 1
+    perms = F.sequence(F.lit(1), F.lit(num_perm))
+    init = F.array_repeat(F.lit(max_long).cast("long"), num_perm)
+    # hash each shingle string once; the fold's element var is a long
+    hashes = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(perms, lambda p: F.xxhash64(h, p)),
+            lambda a, b: F.least(a, b),
         ),
     )
     return df.withColumn(dest, sig)

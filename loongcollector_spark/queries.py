@@ -303,6 +303,114 @@ def q_enrich_pipeline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a conversation's turns into one document in stable order
+    (ProcessorMergeMultilineLogNative analog: collect + ordered concat)."""
+    tx = load_transcripts(spark, sf_dir)
+    merged = (
+        tx.groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("__a")
+        )
+        .select(
+            "conv_id",
+            F.concat_ws(
+                "\n", F.transform(F.col("__a"), lambda s: s["text"])
+            ).alias("doc"),
+        )
+    )
+    return merged
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup winners on the documents table (hash-groupBy)."""
+    from .operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact(docs)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 document fingerprint over normalized text."""
+    from .operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per document."""
+    from .operators.text import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(docs).select(
+        "doc_id", "n_chars_calc", "n_ws_tokens", "n_re_tokens"
+    )
+
+
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score integer signals per document."""
+    from .operators.text import quality_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_signals(docs).select("doc_id", "n_punct", "n_digits", "n_stopwords")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-3 neighbors for 5 query vectors, ranked by an
+    integer-scaled dot product (round(v*1000) per element) so the
+    ranking is bit-identical across engines (float cosine ordering is
+    engine-sensitive at knife-edge margins; the integer kernel is the
+    oracle-checkable variant of similarity.brute_force_topk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    iv = F.transform(F.col("embedding"), lambda v: F.round(v * 1000).cast("long"))
+    vecs = emb.select(F.col("vec_id"), iv.alias("iv"))
+    q = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("qv")
+    )
+    scored = vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(F.col("iv"), F.col("qv"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on documents (rows-only check:
+    xxhash64 signatures are not reproducible in DuckDB)."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: engine-specific hash)."""
+    from .operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs).select("doc_id", "simhash")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs the table's lang column
+    (rows-only: heuristic has no SQL twin)."""
+    from .operators.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
 # ---------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -436,6 +544,66 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["merge_transcript"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+    FROM transcripts GROUP BY conv_id
+"""
+ORACLES["dedup_exact"] = """
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY text
+"""
+ORACLES["fingerprint"] = """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+"""
+ORACLES["token_stats"] = """
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
+             AS n_re_tokens
+    FROM documents
+"""
+ORACLES["quality_signals"] = """
+    SELECT doc_id,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS n_punct,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             AS n_digits,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> list_contains(['the','and','of','to','in','is','that',
+                                   'with','a','an','it','on','for','as','are'],
+                                  t)))
+             AS n_stopwords
+    FROM documents
+"""
+ORACLES["ann_topk"] = """
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> cast(round(v * 1000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, iv AS qv FROM iv WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             cast(list_sum(list_transform(list_zip(v.iv, q.qv),
+                           p -> p[1] * p[2])) AS BIGINT) AS dot
+      FROM iv v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot,
+             cast(row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 3
+"""
+
 QUERIES = {
     "parse_nginx": q_parse_nginx,
     "parse_kv": q_parse_kv,
@@ -451,4 +619,14 @@ QUERIES = {
     "stable_order": q_stable_order,
     "pack_groups": q_pack_groups,
     "enrich_pipeline_fanout": q_enrich_pipeline_fanout,
+    "merge_transcript": q_merge_transcript,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "token_stats": q_token_stats,
+    "quality_signals": q_quality_signals,
+    "ann_topk": q_ann_topk,
+    # rows-only (no SQL-expressible oracle; driver records weaker check)
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "language_id": q_language_id,
 }

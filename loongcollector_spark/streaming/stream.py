@@ -1,0 +1,167 @@
+"""Structured Streaming execution of the same pipeline.
+
+The reference is fundamentally a streaming agent (bounded queues,
+timeout flushes, at-least-once retry — SURVEY.md §2.9). This module
+runs the IDENTICAL pipeline spec over ``readStream``:
+
+* micro-batches    ⇔ PipelineEventGroup batches
+* trigger interval ⇔ TimeoutFlushManager tick
+  (core/collection_pipeline/batch/TimeoutFlushManager.*)
+* checkpointLocation ⇔ exactly-once queue checkpoints
+  (core/checkpoint/RangeCheckpoint.h:27-31)
+* watermark + windowed agg ⇔ age-based flush of pending groups
+  (FlushStrategy.h:54-56)
+* foreachBatch fan-out ⇔ Router → multi-flusher send
+
+Because ``Pipeline.run`` is a pure DataFrame→DataFrame function, the
+exact same spec object drives batch and streaming — the property the
+reference gets from its shared processor interface
+(pkg/pipeline/processor.go:31-39).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pipeline import Pipeline
+
+__all__ = [
+    "read_transcript_stream",
+    "stream_pipeline_to_sinks",
+    "windowed_sink_counts",
+    "stateful_conv_counter",
+]
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """File-source stream over a transcript parquet directory (the
+    batch analog of input_file tailing: new files ⇔ appended log
+    chunks; maxFilesPerTrigger ⇔ batch size flush strategy)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_pipeline_to_sinks(
+    stream_df: DataFrame,
+    pipe: Pipeline,
+    base_path: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Run the pipeline per micro-batch and fan-out-write each batch
+    (foreachBatch = Router.Route + flusher send; the checkpoint dir
+    gives exactly-once across restarts like the reference's queue
+    checkpoints)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = pipe.run(batch_df)
+        (
+            routed.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("sink")
+            .mode("append")
+            .parquet(base_path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_sink_counts(
+    stream_df: DataFrame,
+    pipe: Pipeline,
+    *,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked windowed per-sink counts — late rows beyond the
+    watermark are dropped, the streaming analog of the age-based flush
+    (FlushStrategy.h:54-56). Returns a streaming aggregate DataFrame
+    for any sink (memory/parquet/kafka)."""
+    routed = pipe.run(stream_df)
+    # watermarks require TIMESTAMP (with zone); parquet NTZ casts 1:1
+    # under the UTC session timezone
+    routed = routed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        routed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("sink"))
+        .agg(F.count("*").alias("cnt"))
+        .select("win.start", "win.end", "sink", "cnt")
+    )
+
+
+def stateful_conv_counter(
+    stream_df: DataFrame,
+    timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator: running per-conversation turn counts
+    with idle-timeout emission — applyInPandasWithState, the Spark
+    analog of the reference's per-source aggregator state
+    (aggregator_context.go:44-62 keeps per-source LogGroups until
+    flush; here state is (count, max_turn) per conv_id and a timeout
+    plays the timeout-flush tick)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns long, max_turn_idx long, closed boolean"
+    state_schema = "n long, mx long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "max_turn_idx": [mx],
+                    "closed": [True],
+                }
+            )
+        else:
+            n, mx = state.get if state.exists else (0, -1)
+            for pdf in pdfs:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, int(pdf["turn_idx"].max()))
+            state.update((n, mx))
+            state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "max_turn_idx": [mx],
+                    "closed": [False],
+                }
+            )
+
+    return (
+        stream_df.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

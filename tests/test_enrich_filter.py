@@ -1,0 +1,151 @@
+"""Golden tests for enrichment and filter operators (mirrors the
+reference's table-driven plugin tests, e.g.
+plugins/processor/dictmap/processor_dict_map.go tests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import enrich, filter as flt
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "user", "alpha", "secret=hunter2 rest"),
+            (2, "assistant", "beta", "no secrets here"),
+            (3, "alien", None, "secret=abc tail"),
+        ],
+        ["id", "role", "val", "msg"],
+    )
+
+
+def test_add_fields_ignore_if_exist(spark, df):
+    out = enrich.add_fields(df, {"env": "prod", "role": "forced"})
+    assert out.first().env == "prod"
+    assert {r.role for r in out.collect()} == {"forced"}
+    out2 = enrich.add_fields(df, {"role": "forced"}, ignore_if_exist=True)
+    assert {r.role for r in out2.collect()} == {"user", "assistant", "alien"}
+
+
+def test_dict_map_modes(spark, df):
+    dim = spark.createDataFrame(
+        [("user", "human"), ("assistant", "model")], ["role", "role_class"]
+    )
+    # missing handling
+    out = enrich.dict_map(
+        df, dim, "role", "role_class", handle_missing=True, missing="UNK"
+    )
+    m = {r.id: r.role_class for r in out.collect()}
+    assert m == {1: "human", 2: "model", 3: "UNK"}
+    # fill mode: existing non-null dest wins
+    pre = df.withColumn("role_class", F.when(F.col("id") == 1, "preset"))
+    out2 = enrich.dict_map(pre, dim, "role", "role_class", mode="fill")
+    m2 = {r.id: r.role_class for r in out2.collect()}
+    assert m2[1] == "preset" and m2[2] == "model" and m2[3] is None
+    # overwrite mode: mapping wins
+    out3 = enrich.dict_map(pre, dim, "role", "role_class", mode="overwrite")
+    m3 = {r.id: r.role_class for r in out3.collect()}
+    assert m3[1] == "human"
+
+
+def test_rename_and_pick_drop(spark, df):
+    out = enrich.rename(df, {"val": "value", "msg": "message"})
+    assert "value" in out.columns and "msg" not in out.columns
+    assert enrich.pick_keys(df, include=["id", "role"]).columns == ["id", "role"]
+    assert "msg" not in enrich.drop_keys(df, ["msg"]).columns
+
+
+def test_string_replace_and_desensitize(spark, df):
+    out = enrich.string_replace(
+        df, "msg", method="regex", match=r"secret=\S+", replace_string="secret=***"
+    )
+    texts = {r.id: r.msg for r in out.collect()}
+    assert texts[1] == "secret=*** rest"
+    assert texts[2] == "no secrets here"
+    out2 = enrich.string_replace(
+        df, "msg", method="const", match="secret", replace_string="S", dest_key="m2"
+    )
+    assert out2.filter(F.col("id") == 1).first().m2 == "S=hunter2 rest"
+    out3 = enrich.desensitize(df, "msg", r"secret=\S+", replace_string="XXX")
+    assert out3.filter(F.col("id") == 1).first().msg == "XXX rest"
+
+
+def test_md5_base64_packjson_appender(spark, df):
+    assert enrich.md5_field(df, "role", "h").first().h is not None
+    enc = enrich.base64_encode(df, "role", "b64")
+    dec = enrich.base64_decode(enc, "b64", "back")
+    assert {r.role for r in dec.collect()} == {r.back for r in dec.collect()}
+    pj = enrich.pack_json(df, ["id", "role"], "packed").first()
+    import json
+
+    assert json.loads(pj.packed) == {"id": 1, "role": "user"}
+    ap = enrich.appender(
+        df, "val", "-{{host}}", constants={"host": "h1"}
+    )
+    vals = {r.id: r.val for r in ap.collect()}
+    assert vals[1] == "alpha-h1"
+    assert vals[3] == "-h1"  # null coalesces to empty before append
+
+
+def test_filter_key_regex(spark, df):
+    out = flt.filter_key_regex(df, include="id|role")
+    assert out.columns == ["id", "role"]
+    out2 = flt.filter_key_regex(df, exclude="msg|val")
+    assert out2.columns == ["id", "role"]
+
+
+def test_filter_regex_null_semantics(spark, df):
+    # NULL field fails Include, and Exclude on NULL keeps the row
+    out = flt.filter_regex(df, include={"val": "alpha|beta"})
+    assert {r.id for r in out.collect()} == {1, 2}
+    out2 = flt.filter_regex(df, exclude={"val": "alpha"})
+    assert {r.id for r in out2.collect()} == {2, 3}
+
+
+def test_fields_with_condition_first_match_wins(spark, df):
+    out = flt.fields_with_condition(
+        df,
+        [
+            {
+                "fields": [{"key": "role", "value": "user"}],
+                "add_fields": {"cls": "first"},
+            },
+            {
+                "fields": [
+                    {"key": "role", "value": "user|assistant", "relation": "regexp"}
+                ],
+                "add_fields": {"cls": "second"},
+            },
+        ],
+    )
+    m = {r.id: r.cls for r in out.collect()}
+    assert m == {1: "first", 2: "second", 3: None}
+    out2 = flt.fields_with_condition(
+        df,
+        [
+            {
+                "fields": [
+                    {"key": "role", "value": "user"},
+                    {"key": "val", "value": "alpha"},
+                ],
+                "logical_operator": "and",
+                "add_fields": {"cls": "both"},
+            }
+        ],
+        drop_if_not_match=True,
+    )
+    assert [r.id for r in out2.collect()] == [1]
+
+
+def test_rate_limit(spark):
+    from datetime import datetime
+
+    rows = [
+        (i, "k", datetime(2024, 1, 1, 0, 0, 0, i * 1000)) for i in range(10)
+    ] + [(i, "k2", datetime(2024, 1, 1, 0, 0, 1)) for i in range(2)]
+    df = spark.createDataFrame(rows, ["id", "key", "ts"])
+    out = flt.rate_limit(df, ["key"], limit=3, window="1 second")
+    counts = {r.key: r["cnt"] for r in
+              out.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"k": 3, "k2": 2}

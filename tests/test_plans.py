@@ -1,0 +1,117 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+These tests pin the properties that make the pipeline scale:
+* filters/column pruning reach the parquet scan (PushedFilters/ReadSchema)
+* dictionary enrich is a BroadcastHashJoin (fact table never shuffles)
+* routing + parsing is shuffle-free (narrow, whole-stage codegen)
+* shard_repartition produces exactly one exchange, hash-partitioned
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import aggregate as agg, enrich, parse, route as rt
+from loongcollector_spark.queries import (
+    NGINX_KEYS,
+    NGINX_REGEX,
+    ROLE_DIM,
+    ROUTER_RULES,
+    DEFAULT_SINK,
+)
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def raw(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "ts")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+    # column pruning: scan must read only the needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "event_id:bigint",
+        "ts:timestamp_ntz",
+        "event_type:string",
+    }
+
+
+def test_dict_map_is_broadcast_join(spark, raw):
+    df = raw.withColumnRenamed("event_type", "role")
+    dim = spark.createDataFrame(ROLE_DIM, ["role", "role_class", "priority"])
+    out = enrich.dict_map(df, dim, "role", "role_class")
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_route_is_narrow(spark, sf_dir):
+    """Scan → parse → route must be a single narrow stage: no Exchange
+    (shuffle) anywhere — the property that lets 1000 executors chew
+    100 TB without any cross-node traffic until the final aggregate."""
+    from loongcollector_spark.sources.transcripts import load_transcripts
+
+    tx = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "cast(event_id as string) as conv_id",
+        "cast(event_id as int) as turn_idx",
+        "event_type as role",
+        "props as text",
+        "'none' as tool",
+        "ts",
+    )
+    parsed = parse.parse_regex(tx, "text", NGINX_REGEX, NGINX_KEYS)
+    routed = rt.route(
+        parsed, rt.RouterConfig("role", ROUTER_RULES, DEFAULT_SINK)
+    )
+    plan = plan_of(routed)
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage codegen covers the chain
+
+
+def test_route_counts_single_shuffle(spark, sf_dir):
+    """groupBy(sink).count over parse+route: exactly ONE exchange (the
+    aggregate's), with partial aggregation before it."""
+    tx = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type as role", "props as text"
+    )
+    routed = rt.route(tx, rt.RouterConfig("role", ROUTER_RULES, DEFAULT_SINK))
+    counts = routed.groupBy("sink").count()
+    plan = plan_of(counts)
+    assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 2  # fmt lists op + detail
+    assert "HashAggregate" in plan
+    # partial agg appears before the exchange (two HashAggregate nodes)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_shard_repartition_hash_partitioning(spark, raw):
+    df = raw.selectExpr("cast(event_id as string) as conv_id", "ts")
+    out = agg.shard_repartition(df, ["conv_id"], shard_count=16)
+    plan = plan_of(out)
+    assert "hashpartitioning(xxhash64" in plan and "Exchange" in plan
+
+
+def test_pandas_parse_is_arrow_batched(spark, raw):
+    df = raw.selectExpr("props as text")
+    out = parse.parse_regex(
+        df, "text", r'\{"k": (\d+)\}', ["k"], engine="pandas"
+    )
+    plan = plan_of(out)
+    assert "ArrowEvalPython" in plan

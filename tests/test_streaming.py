@@ -1,0 +1,115 @@
+"""Structured Streaming pipeline tests: the same spec drives batch and
+streaming; streaming results must equal the batch run (the reference's
+single processor interface shared by both planes)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.pipeline import Pipeline
+from loongcollector_spark.sources.transcripts import load_transcripts
+from loongcollector_spark.streaming.stream import (
+    read_transcript_stream,
+    stateful_conv_counter,
+    stream_pipeline_to_sinks,
+    windowed_sink_counts,
+)
+
+SPEC = {
+    "processors": [],
+    "router": {
+        "source_key": "role",
+        "rules": [
+            {"regex": "assistant", "sink": "sink_assistant"},
+            {"regex": "user|system", "sink": "sink_human"},
+        ],
+        "default_sink": "sink_other",
+    },
+}
+
+
+@pytest.fixture()
+def tx_path(spark, sf_dir, tmp_path):
+    p = str(tmp_path / "tx_in")
+    # several files so the stream sees multiple micro-batches
+    load_transcripts(spark, sf_dir).repartition(8).write.parquet(p)
+    return p
+
+
+def test_stream_equals_batch(spark, tx_path, tmp_path):
+    pipe = Pipeline(SPEC)
+    stream = read_transcript_stream(spark, tx_path, max_files_per_trigger=2)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = stream_pipeline_to_sinks(stream, pipe, out, ck)
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out)
+        .groupBy("sink")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    batch = (
+        pipe.run(spark.read.parquet(tx_path))
+        .groupBy("sink")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert {(r.sink, r.cnt) for r in got} == {(r.sink, r.cnt) for r in batch}
+    # exactly-once on restart: rerunning with same checkpoint adds nothing
+    q2 = stream_pipeline_to_sinks(
+        read_transcript_stream(spark, tx_path, max_files_per_trigger=2),
+        pipe, out, ck,
+    )
+    q2.awaitTermination(120)
+    total = spark.read.parquet(out).count()
+    assert total == sum(r.cnt for r in batch)
+
+
+def test_windowed_counts(spark, tx_path, tmp_path):
+    pipe = Pipeline(SPEC)
+    stream = read_transcript_stream(spark, tx_path)
+    agg = windowed_sink_counts(stream, pipe, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_counts").collect()
+    # watermark closes all but the trailing windows; totals must not
+    # exceed the batch equivalent and window bounds must be 1h apart
+    assert len(rows) > 0
+    for r in rows:
+        assert (r.end - r.start).total_seconds() == 3600
+        assert r.cnt > 0
+
+
+def test_stateful_conv_counter(spark, tx_path, tmp_path):
+    stream = read_transcript_stream(spark, tx_path)
+    counted = stateful_conv_counter(stream)
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("conv_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select conv_id, max(n_turns) as n from conv_counts group by conv_id"
+    ).collect()
+    want = {
+        r.conv_id: r.n
+        for r in spark.read.parquet(tx_path)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r.conv_id: r.n for r in rows}
+    assert got == want
