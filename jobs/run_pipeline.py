@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the transcript pipeline.
+
+Cluster usage (the production shape the north rule names)::
+
+    zip -r lc.zip loongcollector_spark
+    spark-submit --py-files lc.zip jobs/run_pipeline.py \
+        --input  <transcript table path / iceberg name> \
+        --output <sink base path> \
+        --spec   pipeline_spec.json \
+        [--metrics <metrics table path>] \
+        [--lineage <lineage dir> --job-id <id> --units 64]  # resumable
+        [--shards 256]                                       # shard-hash
+
+Local smoke (this sandbox)::
+
+    spark-submit --master 'local[8]' --py-files lc.zip \
+        jobs/run_pipeline.py --input ... --output ...
+
+With ``--lineage`` the run is checkpointed per work unit (hash buckets
+of conv_id) and reruns resume idempotently; without it, one fan-out
+write. Per-stage row counts land in the metrics table either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--spec", required=True, help="pipeline spec JSON file")
+    ap.add_argument("--dims", help="JSON file {dim_name: parquet_path}")
+    ap.add_argument("--metrics")
+    ap.add_argument("--lineage")
+    ap.add_argument("--job-id", default="job")
+    ap.add_argument("--units", type=int, default=16)
+    ap.add_argument("--shards", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("lc-pipeline").getOrCreate()
+
+    from loongcollector_spark.operators.aggregate import shard_repartition
+    from loongcollector_spark.operators.route import fanout_write
+    from loongcollector_spark.pipeline import Pipeline
+    from loongcollector_spark.plans.checkpoint import run_with_checkpoint
+    from loongcollector_spark.plans.metrics import MetricsCollector
+    from loongcollector_spark.sources.sinks import read_table
+
+    with open(args.spec) as fh:
+        spec = json.load(fh)
+    dims = {}
+    if args.dims:
+        with open(args.dims) as fh:
+            dims = {
+                name: read_table(spark, path)
+                for name, path in json.load(fh).items()
+            }
+    pipe = Pipeline(spec, dims)
+    df = read_table(spark, args.input)
+    if args.shards:
+        df = shard_repartition(df, ["conv_id"], args.shards)
+
+    t0 = time.monotonic()
+    metrics = MetricsCollector(args.job_id)
+    if args.lineage:
+        out = run_with_checkpoint(
+            spark,
+            df,
+            pipe.run,
+            out_dir=args.output,
+            lineage_dir=args.lineage,
+            job_id=args.job_id,
+            n_units=args.units,
+        )
+        n = out.count()
+    else:
+        routed = pipe.run(df)
+        fanout_write(routed, args.output)
+        n = spark.read.parquet(args.output).count()
+    metrics.add("pipeline", df.count(), n, round(time.monotonic() - t0, 3))
+    if args.metrics:
+        metrics.write(spark, args.metrics)
+    print(json.dumps({"job_id": args.job_id, "rows_out": n,
+                      "wall_sec": round(time.monotonic() - t0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -206,6 +206,59 @@ def appender(
     return df.withColumn(key, F.concat(F.coalesce(F.col(key), F.lit("")), F.lit(v)))
 
 
+def encrypt_fields(
+    df: DataFrame,
+    source_keys: list[str],
+    key_hex: str,
+    *,
+    mode: str = "GCM",
+    iv_hex: str | None = None,
+) -> DataFrame:
+    """AES field encryption (processor_encrypt.go:57-68 capability) via
+    JVM ``aes_encrypt`` — key distributed as a literal into codegen,
+    no Python. GCM default (CBC without padding is not exposed by
+    Spark; semantic parity is 'field value -> AES ciphertext hex')."""
+    for k in source_keys:
+        args = [
+            F.col(k).cast("binary"),
+            F.unhex(F.lit(key_hex)),
+            F.lit(mode),
+            F.lit("DEFAULT"),
+        ]
+        if iv_hex is not None:
+            args.append(F.unhex(F.lit(iv_hex)))
+        df = df.withColumn(k, F.hex(F.aes_encrypt(*args)))
+    return df
+
+
+def log_to_metric(
+    df: DataFrame,
+    time_key: str,
+    label_keys: list[str],
+    value_keys: list[str],
+) -> DataFrame:
+    """Reshape log rows into metric rows (processor_log_to_sls_metric
+    .go:31-42): one output row per (input row × value key) carrying
+    ``__time__``, sorted labels string, metric name and value —
+    the unpivot via a map + explode (single pass, no shuffle)."""
+    labels = F.concat_ws(
+        "|",
+        *[
+            F.concat_ws("#$#", F.lit(k), F.col(k).cast("string"))
+            for k in sorted(label_keys)
+        ],
+    )
+    kv = F.create_map(
+        *[c for k in value_keys for c in (F.lit(k), F.col(k).cast("double"))]
+    )
+    name_val = F.explode(kv).alias("metric_name", "metric_value")
+    return df.select(
+        F.col(time_key).alias("__time__"),
+        labels.alias("__labels__"),
+        name_val,
+    )
+
+
 def drop_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """processor_drop.go:24-29."""
     return df.drop(*keys)

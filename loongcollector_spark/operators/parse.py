@@ -385,20 +385,83 @@ def merge_multiline(
     w = W.partitionBy(*gcols).orderBy(order_col)
     is_start = F.col(source_key).rlike(start_pattern).cast("long")
     blocks = df.withColumn("__blk", F.sum(is_start).over(w))
+    # order within a block is restored by sorting (order_col, line)
+    # structs — struct ordering is by first field, so the concat is
+    # deterministic regardless of collect_list arrival order
+    sorted_lines = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(source_key)))),
+        lambda s: s[source_key],
+    )
     merged = (
         blocks.groupBy(*gcols, "__blk")
         .agg(
-            F.concat_ws(
-                joiner, F.array_sort(F.collect_list(F.struct(order_col, source_key)))[
-                    "".join([source_key])
-                ]
-            ).alias("__merged"),
+            F.concat_ws(joiner, sorted_lines).alias(dest),
             F.min(order_col).alias(order_col),
         )
         .drop("__blk")
-        .withColumnRenamed("__merged", dest)
     )
     return merged
+
+
+def parse_anchor(
+    df: DataFrame,
+    source_key: str,
+    anchors: list[dict],
+) -> DataFrame:
+    """Substring extraction between Start/Stop anchor strings
+    (plugins/processor/anchor/anchor.go:62-71): for each anchor spec
+    ``{"start": s, "stop": e, "field": name}`` extract the text
+    between the first occurrence of ``s`` and the next ``e`` (empty
+    start ⇒ line begin; empty stop ⇒ line end). JVM regex, one
+    extraction per anchor."""
+    out = df
+    for a in anchors:
+        start = re.escape(a.get("start", ""))
+        stop = re.escape(a.get("stop", ""))
+        if a.get("start") and a.get("stop"):
+            pat = f"{start}(.*?){stop}"
+        elif a.get("start"):
+            pat = f"{start}(.*)$"
+        else:
+            pat = f"^(.*?){stop}"
+        out = out.withColumn(
+            a["field"], F.regexp_extract(F.col(source_key), pat, 1)
+        )
+    return out
+
+
+def split_log_regex(
+    df: DataFrame,
+    source_key: str,
+    start_pattern: str,
+    dest_key: str | None = None,
+) -> DataFrame:
+    """Split one text blob into multiple events at lines matching
+    *start_pattern* (split_log_regex.go:27-36 multiline semantics):
+    every line starting a match begins a new event; continuation lines
+    attach to the current event.
+
+    JVM-only plan: split to lines → fold lines into blocks with
+    ``aggregate`` (append to last block when not a start line) →
+    explode blocks."""
+    dest = dest_key or source_key
+    lines = F.split(F.col(source_key), "\n")
+    blocks = F.aggregate(
+        lines,
+        F.array().cast("array<string>"),
+        lambda acc, line: F.when(
+            (F.size(acc) == 0) | line.rlike(start_pattern),
+            F.concat(acc, F.array(line)),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.concat(F.element_at(acc, -1), F.lit("\n"), line)
+                ),
+            )
+        ),
+    )
+    return df.withColumn(dest, F.explode(blocks))
 
 
 def parse_timestamp(

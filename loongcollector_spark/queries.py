@@ -411,6 +411,60 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs).select("doc_id", "lang", "lang_pred")
 
 
+def q_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-one-into-many (split_log_string → explode): token counts
+    over documents (each doc splits into whitespace tokens)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+def q_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor substring extraction (processor_anchor) on the kv
+    dialect: value between 'svc=' and the following space."""
+    from .operators.parse import parse_anchor
+
+    tx = load_transcripts(spark, sf_dir).filter(F.col("text").startswith("level="))
+    out = parse_anchor(
+        tx, "text", [{"start": "svc=", "stop": " ", "field": "svc"}]
+    )
+    return out.select("conv_id", "turn_idx", "svc")
+
+
+def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log→metric unpivot (processor_log_to_sls_metric) over events."""
+    from .operators.enrich import log_to_metric
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return log_to_metric(
+        ev.withColumn("t", F.col("event_id")),
+        "t",
+        ["event_type", "user_id"],
+        ["value"],
+    )
+
+
+def q_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strptime/gotime analog: format event time to a string and parse
+    it back (processor_strptime / processor_parse_timestamp_native)."""
+    from .operators.parse import parse_timestamp
+
+    tx = load_transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+    out = parse_timestamp(tx, "ts_str", "yyyy-MM-dd HH:mm:ss", dest_key="parsed_ts")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ts_str",
+        F.col("parsed_ts").cast("timestamp_ntz").alias("parsed_ts"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -604,6 +658,34 @@ ORACLES["ann_topk"] = """
     SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 3
 """
 
+ORACLES["split_explode"] = """
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+"""
+ORACLES["anchor_extract"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT conv_id, turn_idx,
+           regexp_extract(text, 'svc=(.*?) ', 1) AS svc
+    FROM transcripts WHERE text LIKE 'level=%'
+"""
+ORACLES["log_to_metric"] = """
+    SELECT event_id AS __time__,
+           concat('event_type#$#', event_type, '|user_id#$#',
+                  cast(user_id AS STRING)) AS __labels__,
+           'value' AS metric_name,
+           value AS metric_value
+    FROM events
+"""
+ORACLES["timestamp_roundtrip"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT conv_id, turn_idx,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') AS parsed_ts
+    FROM transcripts
+"""
+
 QUERIES = {
     "parse_nginx": q_parse_nginx,
     "parse_kv": q_parse_kv,
@@ -625,6 +707,10 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_signals": q_quality_signals,
     "ann_topk": q_ann_topk,
+    "split_explode": q_split_explode,
+    "anchor_extract": q_anchor_extract,
+    "log_to_metric": q_log_to_metric,
+    "timestamp_roundtrip": q_timestamp_roundtrip,
     # rows-only (no SQL-expressible oracle; driver records weaker check)
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,

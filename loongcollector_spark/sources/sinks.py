@@ -1,0 +1,125 @@
+"""Flushers / sinks & serializers.
+
+Capability parity (new code) with the reference flusher layer:
+
+* JSON-lines sink      — flusher_stdout/flusher_file golden-output
+                         format (plugins/flusher/stdout/flusher_stdout.go:47-57):
+                         each row becomes a JSON object of its columns
+* blackhole            — benchmark sink (``noop`` format)
+* dynamic-topic layout — flusher_kafka_v2 ``%{field}`` topic routing
+                         (pkg/fmtstr/format_topic.go:18-31) →
+                         partitionBy(topic column) directory layout /
+                         per-topic tables; hash partitioner
+                         (flusher_kafka_v2.go:500-510) → pre-shuffle on
+                         HashKeys
+* sls-shard layout     — FlusherSLS shard-hash key
+                         (core/plugin/flusher/sls/FlusherSLS.cpp:1157-1170)
+                         → repartition on xxhash64(tags) before write
+* iceberg              — production sink: atomic-commit table appends;
+                         gated on the runtime having Iceberg jars, with
+                         parquet directory fallback carrying the same
+                         layout semantics (this sandbox has no Iceberg
+                         runtime jar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_json_lines",
+    "write_blackhole",
+    "write_dynamic_topics",
+    "iceberg_available",
+    "write_table",
+    "read_table",
+]
+
+
+def serialize_json(df: DataFrame, dest: str = "value") -> DataFrame:
+    """Row → JSON string of all columns (the stdout-flusher golden
+    serializer; also the Kafka value serializer shape)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias(dest))
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Golden-output sink: JSON lines (flusher_stdout KeyValuePairs
+    format)."""
+    df.write.mode(mode).json(path)
+
+
+def write_blackhole(df: DataFrame) -> None:
+    """Benchmark sink: full execution, no output (flusher_blackhole,
+    used by the reference perf harness)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def write_dynamic_topics(
+    df: DataFrame,
+    base_path: str,
+    topic_format: str,
+    *,
+    hash_keys: list[str] | None = None,
+    n_partitions: int = 32,
+    fmt: str = "parquet",
+    mode: str = "append",
+) -> None:
+    """Kafka-v2-style dynamic topic fan-out: ``topic_format`` may
+    reference columns as ``%{col}`` (fmtstr.FormatTopic semantics);
+    each distinct rendered topic becomes a partition directory (= a
+    topic/table). ``hash_keys`` pre-shuffles rows so all rows of a key
+    land in one task's files (the hash partitioner analog)."""
+    import re as _re
+
+    parts: list = []
+    pos = 0
+    for m in _re.finditer(r"%\{(\w+)\}", topic_format):
+        if m.start() > pos:
+            parts.append(F.lit(topic_format[pos : m.start()]))
+        parts.append(F.col(m.group(1)).cast("string"))
+        pos = m.end()
+    if pos < len(topic_format):
+        parts.append(F.lit(topic_format[pos:]))
+    out = df.withColumn("__topic", F.concat(*parts) if parts else F.lit(topic_format))
+    if hash_keys:
+        out = out.repartition(n_partitions, *[F.col(k) for k in hash_keys])
+    out.write.partitionBy("__topic").format(fmt).mode(mode).save(base_path)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg catalog can be instantiated in this JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    name_or_path: str,
+    spark: SparkSession | None = None,
+    mode: str = "append",
+) -> None:
+    """Sink-table append: Iceberg ``writeTo(...).append()`` when the
+    runtime has Iceberg (atomic snapshot commit — the exactly-once
+    sink contract), else parquet directory append (idempotence then
+    comes from the checkpoint layer's per-unit overwrite,
+    plans/checkpoint.py)."""
+    spark = spark or df.sparkSession
+    if iceberg_available(spark) and "/" not in name_or_path:
+        if mode == "append":
+            df.writeTo(name_or_path).append()
+        else:
+            df.writeTo(name_or_path).createOrReplace()
+    else:
+        df.write.mode(mode).parquet(name_or_path)
+
+
+def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+    if iceberg_available(spark) and "/" not in name_or_path:
+        return spark.read.table(name_or_path)
+    return spark.read.parquet(name_or_path)

@@ -1,0 +1,125 @@
+"""Tests for the second wave of operators: anchor, split-by-regex,
+multiline merge, metric unpivot, AES encrypt, sinks/serializers."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.enrich import encrypt_fields, log_to_metric
+from loongcollector_spark.operators.parse import (
+    merge_multiline,
+    parse_anchor,
+    split_log_regex,
+)
+from loongcollector_spark.sources import sinks
+
+
+def test_parse_anchor(spark):
+    df = spark.createDataFrame(
+        [("time=[12:00] level=INFO msg=[hello world] end",)], ["text"]
+    )
+    out = parse_anchor(
+        df,
+        "text",
+        [
+            {"start": "time=[", "stop": "]", "field": "time"},
+            {"start": "msg=[", "stop": "]", "field": "msg"},
+            {"start": "level=", "stop": " ", "field": "level"},
+        ],
+    ).first()
+    assert out.time == "12:00"
+    assert out.msg == "hello world"
+    assert out.level == "INFO"
+
+
+def test_split_log_regex(spark):
+    blob = "ERR first\n  detail a\n  detail b\nERR second\n  detail c"
+    df = spark.createDataFrame([(blob, "c1")], ["text", "conv_id"])
+    out = split_log_regex(df, "text", r"^ERR ")
+    rows = [r.text for r in out.collect()]
+    assert rows == ["ERR first\n  detail a\n  detail b", "ERR second\n  detail c"]
+    assert all(r.conv_id == "c1" for r in out.collect())
+
+
+def test_split_log_regex_leading_continuation(spark):
+    df = spark.createDataFrame([("orphan\nERR x\n  y",)], ["text"])
+    rows = [r.text for r in split_log_regex(df, "text", r"^ERR ").collect()]
+    assert rows == ["orphan", "ERR x\n  y"]
+
+
+def test_merge_multiline(spark):
+    rows = [
+        ("c1", 0, "ERR one"),
+        ("c1", 1, "  cont"),
+        ("c1", 2, "ERR two"),
+        ("c2", 0, "ERR solo"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = merge_multiline(df, "text", r"^ERR ", ["conv_id"], "turn_idx")
+    got = sorted((r.conv_id, r.turn_idx, r.text) for r in out.collect())
+    assert got == [
+        ("c1", 0, "ERR one\n  cont"),
+        ("c1", 2, "ERR two"),
+        ("c2", 0, "ERR solo"),
+    ]
+
+
+def test_log_to_metric(spark):
+    df = spark.createDataFrame(
+        [(1700000000, "api", "us", 12.5, 3.0)],
+        ["t", "svc", "region", "latency", "errors"],
+    )
+    out = log_to_metric(df, "t", ["svc", "region"], ["latency", "errors"])
+    rows = sorted((r.metric_name, r.metric_value) for r in out.collect())
+    assert rows == [("errors", 3.0), ("latency", 12.5)]
+    r = out.first()
+    assert r["__labels__"] == "region#$#us|svc#$#api"
+    assert r["__time__"] == 1700000000
+
+
+def test_encrypt_fields_roundtrip(spark):
+    key = "00112233445566778899aabbccddeeff"
+    df = spark.createDataFrame([("secret-value",)], ["payload"])
+    enc = encrypt_fields(df, ["payload"], key)
+    ct = enc.first().payload
+    assert ct != "secret-value" and len(ct) > 32
+    dec = enc.withColumn(
+        "plain",
+        F.aes_decrypt(
+            F.unhex(F.col("payload")), F.unhex(F.lit(key)), F.lit("GCM")
+        ).cast("string"),
+    )
+    assert dec.first().plain == "secret-value"
+
+
+def test_json_lines_sink_and_blackhole(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    p = str(tmp_path / "golden")
+    sinks.write_json_lines(df, p)
+    vals = sorted(json.loads(r.value)["v"] for r in spark.read.text(p).collect())
+    assert vals == ["a", "b"]
+    ser = sinks.serialize_json(df).collect()
+    assert sorted(json.loads(r.value)["id"] for r in ser) == [1, 2]
+    sinks.write_blackhole(df)  # must simply execute
+
+
+def test_dynamic_topic_fanout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("logs", "a", 1), ("logs", "b", 2), ("metrics", "c", 3)],
+        ["kind", "v", "n"],
+    )
+    base = str(tmp_path / "topics")
+    sinks.write_dynamic_topics(df, base, "etl_%{kind}_v1", hash_keys=["v"], n_partitions=4)
+    import os
+
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("__topic="))
+    assert dirs == ["__topic=etl_logs_v1", "__topic=etl_metrics_v1"]
+    back = spark.read.parquet(base)
+    assert back.filter(F.col("__topic") == "etl_logs_v1").count() == 2
+
+
+def test_iceberg_gate(spark):
+    # no Iceberg runtime in this sandbox: gate must report False and
+    # write_table must fall back to parquet paths without raising
+    assert sinks.iceberg_available(spark) is False
