@@ -59,9 +59,14 @@ def route(df: DataFrame, cfg: RouterConfig, sink_col: str = "sink") -> DataFrame
 
     Rows matching no rule go to ``default_sink`` or are dropped
     (aggregator_router.go:104-110). Copy semantics (unconditional /
-    tag-condition sinks) append duplicate rows with the extra sink —
-    the routed output is therefore a MULTISET over (row, sink), exactly
-    the reference's group-copy behavior (Router.cpp:62-80).
+    tag-condition sinks) duplicate rows with the extra sink — the
+    routed output is a MULTISET over (row, sink), exactly the
+    reference's group-copy behavior (Router.cpp:62-80).
+
+    Plan shape: ONE scan. Each row builds a (usually 1-element) sink
+    array — first-match chain + copy sinks — and explodes it. The
+    union-per-extra-sink alternative re-reads the 100 TB input once
+    per copy sink; this stays a single narrow pass.
     """
     chain: Column | None = None
     src = F.col(cfg.source_key)
@@ -74,17 +79,18 @@ def route(df: DataFrame, cfg: RouterConfig, sink_col: str = "sink") -> DataFrame
         chain = F.lit(cfg.default_sink)
     elif cfg.default_sink is not None and not cfg.drop_dismatch:
         chain = chain.otherwise(F.lit(cfg.default_sink))
-    routed = df.withColumn(sink_col, chain)
-    if cfg.drop_dismatch or cfg.default_sink is None:
-        routed = routed.filter(F.col(sink_col).isNotNull())
-    extras = []
+    empty = F.array().cast("array<string>")
+    arr = F.array(chain)
     for s in cfg.unconditional_sinks:
-        extras.append(df.withColumn(sink_col, F.lit(s)))
+        arr = F.concat(arr, F.array(F.lit(s)))
     for key, value, s in cfg.tag_copy_sinks:
-        extras.append(df.filter(F.col(key) == F.lit(value)).withColumn(sink_col, F.lit(s)))
-    for e in extras:
-        routed = routed.unionByName(e)
-    return routed
+        arr = F.concat(
+            arr,
+            F.when(F.col(key) == F.lit(value), F.array(F.lit(s))).otherwise(empty),
+        )
+    # nulls in slot 0 = dropped-dismatch rows; array_compact removes
+    # them and explode drops rows whose array became empty
+    return df.withColumn(sink_col, F.explode(F.array_compact(arr)))
 
 
 def fanout_write(

@@ -411,6 +411,47 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs).select("doc_id", "lang", "lang_pred")
 
 
+GROK_KV = (
+    "level=%{LOGLEVEL:level} svc=%{NOTSPACE:svc} code=%{INT:code:int} "
+    "dur=%{INT:dur:int}ms logNo=%{INT:log_no:int}"
+)
+
+
+def q_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok parse of the kv dialect (processor_grok): driver-compiled
+    pattern graph → Arrow-batched first-match UDF, with :int type
+    hints applied."""
+    from .operators.parse import parse_grok
+
+    tx = load_transcripts(spark, sf_dir).filter(F.col("text").startswith("level="))
+    out = parse_grok(tx, "text", [GROK_KV])
+    return out.select("conv_id", "turn_idx", "level", "svc", "code", "dur", "log_no")
+
+
+def _grok_oracle_sql() -> str:
+    """Build the DuckDB oracle for q_grok from the SAME compiled grok
+    pattern (named groups → positional; RE2 dialect-compatible)."""
+    import re as _re
+
+    from .functions.grok import compile_grok
+
+    pat, _types = compile_grok(GROK_KV)
+    plain = _re.sub(r"\(\?P<\w+>", "(", pat.pattern).replace("'", "''")
+    return f"""
+        WITH transcripts AS ({_TX}),
+        g AS (
+          SELECT conv_id, turn_idx,
+                 regexp_extract(text, '{plain}',
+                    ['level', 'svc', 'code', 'dur', 'log_no']) AS m
+          FROM transcripts WHERE text LIKE 'level=%'
+        )
+        SELECT conv_id, turn_idx, m.level AS level, m.svc AS svc,
+               cast(m.code AS BIGINT) AS code, cast(m.dur AS BIGINT) AS dur,
+               cast(m.log_no AS BIGINT) AS log_no
+        FROM g
+    """
+
+
 def q_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-one-into-many (split_log_string → explode): token counts
     over documents (each doc splits into whitespace tokens)."""
@@ -658,6 +699,7 @@ ORACLES["ann_topk"] = """
     SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 3
 """
 
+ORACLES["grok"] = _grok_oracle_sql()
 ORACLES["split_explode"] = """
     SELECT token, count(*) AS cnt
     FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -707,6 +749,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_signals": q_quality_signals,
     "ann_topk": q_ann_topk,
+    "grok": q_grok,
     "split_explode": q_split_explode,
     "anchor_extract": q_anchor_extract,
     "log_to_metric": q_log_to_metric,
