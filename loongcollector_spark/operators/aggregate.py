@@ -150,6 +150,33 @@ def salted_shard_repartition(
     return out
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    session_col: str = "session_id",
+    tie_break_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event of the same key exceeds *gap_seconds*.
+
+    ``session_id = cumulative count of gap-breaks`` over the per-key
+    time-ordered window — one shuffle on the key, deterministic
+    (pass *tie_break_cols* when ``ts`` can collide).
+    (Log-pipeline staple; not in the reference — SURVEY §2.11 addition
+    for transcript/agent-session analytics.)
+    """
+    w = W.partitionBy(*key_cols).orderBy(ts_col, *(tie_break_cols or []))
+    prev = F.lag(F.col(ts_col)).over(w)
+    # NTZ → timestamp → long (epoch seconds); 1:1 under the UTC session
+    secs = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    is_break = (
+        prev.isNull() | (secs(F.col(ts_col)) - secs(prev) > gap_seconds)
+    ).cast("long")
+    return df.withColumn(session_col, F.sum(is_break).over(w) - 1)
+
+
 def find_hot_keys(
     df: DataFrame, keys: list[str], threshold: int
 ) -> DataFrame:

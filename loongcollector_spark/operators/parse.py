@@ -464,6 +464,52 @@ def split_log_regex(
     return df.withColumn(dest, F.explode(blocks))
 
 
+def parse_apsara(
+    df: DataFrame,
+    source_key: str,
+    *,
+    keep_source: bool = True,
+    discard_unmatched: bool = False,
+) -> DataFrame:
+    """Apsara log format parser
+    (core/plugin/processor/ProcessorParseApsaraNative.cpp capability):
+    ``[2024-01-01 00:00:00.123456]\\t[LEVEL]\\t[tid]\\t[file:line]\\tk:v\\tk2:v2``
+    → fixed columns ``apsara_time, level, thread, location`` plus a
+    ``fields`` map of the trailing k:v pairs. Duplicate trailing keys
+    keep the LAST value (map semantics; deviation from the reference's
+    duplicate-key list noted in SURVEY §2.2). All JVM expressions.
+    """
+    parts = F.split(F.col(source_key), "\t")
+    strip = lambda c: F.regexp_replace(c, r"^\[|\]$", "")  # noqa: E731
+    matched = (F.size(parts) >= 4) & F.element_at(parts, 1).startswith("[")
+    kvs = F.slice(parts, 5, F.greatest(F.size(parts) - 4, F.lit(0)))
+    # entry value = remainder after the first ':'
+    fields = F.map_from_entries(
+        F.transform(
+            F.filter(kvs, lambda s: s.contains(":")),
+            lambda s: F.struct(
+                F.substring_index(s, ":", 1).alias("key"),
+                F.substring(
+                    s, F.length(F.substring_index(s, ":", 1)) + 2, F.length(s)
+                ).alias("value"),
+            ),
+        )
+    )
+    out = (
+        df.withColumn("__m", matched)
+        .withColumn(
+            "apsara_time", F.when(F.col("__m"), strip(F.element_at(parts, 1)))
+        )
+        .withColumn("level", F.when(F.col("__m"), strip(F.element_at(parts, 2))))
+        .withColumn("thread", F.when(F.col("__m"), strip(F.element_at(parts, 3))))
+        .withColumn("location", F.when(F.col("__m"), strip(F.element_at(parts, 4))))
+        .withColumn("fields", F.when(F.col("__m"), fields))
+    )
+    return _apply_unmatch_policy(
+        out, F.col("__m"), source_key, keep_source, discard_unmatched
+    ).drop("__m")
+
+
 def parse_timestamp(
     df: DataFrame,
     source_key: str,

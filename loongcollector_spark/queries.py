@@ -506,6 +506,47 @@ def q_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap):
+    per-session event counts."""
+    from .operators.aggregate import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(ev, ["user_id"], "ts", gap_seconds=1800, tie_break_cols=["event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def q_apsara(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apsara fixed-layout parse: build apsara-formatted lines from
+    events deterministically, parse them back, return the parts."""
+    from .operators.parse import parse_apsara
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    line = F.concat_ws(
+        "\t",
+        F.concat(F.lit("["), F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit("]")),
+        F.concat(F.lit("["), F.upper("event_type"), F.lit("]")),
+        F.concat(F.lit("["), F.col("user_id").cast("string"), F.lit("]")),
+        F.lit("[app.cpp:42]"),
+        F.concat(F.lit("eid:"), F.col("event_id").cast("string")),
+        F.concat(F.lit("props:"), F.col("props")),
+    )
+    df = ev.select(F.col("event_id"), line.alias("raw"))
+    out = parse_apsara(df, "raw")
+    return out.select(
+        "event_id",
+        "apsara_time",
+        "level",
+        "thread",
+        "location",
+        F.col("fields")["eid"].alias("eid"),
+        F.col("fields")["props"].alias("props_v"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -700,6 +741,37 @@ ORACLES["ann_topk"] = """
 """
 
 ORACLES["grok"] = _grok_oracle_sql()
+ORACLES["sessionize"] = """
+    WITH brk AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR cast(epoch(ts) AS BIGINT)
+                       - cast(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS b
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id,
+             sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM brk
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(event_id) AS first_event
+    FROM sess GROUP BY user_id, session_id
+"""
+# round-trip identity: the parse must recover exactly what was packed
+ORACLES["apsara"] = """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS apsara_time,
+           upper(event_type) AS level,
+           cast(user_id AS STRING) AS thread,
+           'app.cpp:42' AS location,
+           cast(event_id AS STRING) AS eid,
+           props AS props_v
+    FROM events
+"""
 ORACLES["split_explode"] = """
     SELECT token, count(*) AS cnt
     FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -750,6 +822,8 @@ QUERIES = {
     "quality_signals": q_quality_signals,
     "ann_topk": q_ann_topk,
     "grok": q_grok,
+    "sessionize": q_sessionize,
+    "apsara": q_apsara,
     "split_explode": q_split_explode,
     "anchor_extract": q_anchor_extract,
     "log_to_metric": q_log_to_metric,

@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # duplicate map keys keep the last value (apsara trailing k:v
+        # pairs may repeat; reference keeps duplicates, we keep last)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     if extra_conf:
         for k, v in extra_conf.items():
