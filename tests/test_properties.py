@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels:
+grok compiler and JSON flattener. No Spark session needed — these run
+in milliseconds and pin the dialect semantics the Arrow UDFs rely on."""
+
+import json
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from loongcollector_spark.functions.grok import (
+    DEFAULT_PATTERNS,
+    GrokError,
+    compile_grok,
+)
+from loongcollector_spark.functions.jsonflatten import flatten_json, parse_and_flatten
+
+# ---------------------------------------------------------------- grok
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.text(alphabet=st.characters(codec="utf-8", exclude_characters='"\\'), max_size=20),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=4),
+        st.dictionaries(
+            st.text(alphabet="abcdefgh_", min_size=1, max_size=6), kids, max_size=4
+        ),
+    ),
+    max_leaves=12,
+)
+json_objects = st.dictionaries(
+    st.text(alphabet="abcdefgh_", min_size=1, max_size=6), json_values, max_size=5
+)
+
+
+def test_grok_every_default_pattern_compiles():
+    for name in DEFAULT_PATTERNS:
+        pat, types = compile_grok(f"%{{{name}:x}}")
+        assert "x" in types
+        assert isinstance(pat, re.Pattern)
+
+
+def test_grok_cycle_detection():
+    try:
+        compile_grok("%{A}", {"A": "%{B}", "B": "%{A}"})
+        raise AssertionError("expected GrokError")
+    except GrokError as e:
+        assert "cyclic" in str(e)
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.text(alphabet="abcz", max_size=8))
+@settings(max_examples=100)
+def test_grok_int_word_roundtrip(n, w):
+    pat, types = compile_grok("n=%{NONNEGINT:n:int} w=%{WORD:w}")
+    s = f"n={n} w={w}"
+    m = pat.match(s)
+    if w and w.isalnum():
+        assert m is not None
+        assert m.group("n") == str(n)
+        assert m.group("w") == w
+        assert types["n"] == "int"
+    # empty/non-word w: WORD requires \w+, match may fail — no crash
+
+
+@given(json_objects)
+@settings(max_examples=150)
+def test_flatten_covers_all_leaves(obj):
+    flat = flatten_json(obj, expand_array=True)
+    # every produced value is a string
+    assert all(isinstance(v, str) for v in flat.values())
+
+    def count_leaves(v):
+        if isinstance(v, dict):
+            return sum(count_leaves(x) for x in v.values()) if v else 1
+        if isinstance(v, list):
+            return sum(count_leaves(x) for x in v) if v else 1
+        return 1
+
+    # connector-joined keys may collide ({"a":{"b":1},"a_b":2} → both
+    # "a_b"; last wins, reference overwrite semantics) so ≤, not ==
+    leaves = count_leaves(obj) if obj else 0
+    assert 0 < len(flat) <= leaves or leaves == 0
+
+
+@given(json_objects)
+@settings(max_examples=150)
+def test_flatten_depth1_matches_top_level(obj):
+    flat = flatten_json(obj, depth=1)
+    assert set(flat.keys()) == set(str(k) for k in obj.keys())
+    for k, v in obj.items():
+        if isinstance(v, (dict, list)):
+            assert flat[str(k)] == json.dumps(v, separators=(",", ":")) or flat[
+                str(k)
+            ] in ("{}", "[]")
+
+
+@given(json_objects)
+@settings(max_examples=100)
+def test_parse_and_flatten_roundtrip_via_dumps(obj):
+    s = json.dumps(obj)
+    flat = parse_and_flatten(s, expand_array=True)
+    assert flat is not None
+    assert flatten_json(obj, expand_array=True) == flat
+
+
+def test_parse_and_flatten_rejects_non_objects():
+    assert parse_and_flatten("[1,2]") is None
+    assert parse_and_flatten("42") is None
+    assert parse_and_flatten("nope{") is None
+    assert parse_and_flatten(None) is None
