@@ -547,6 +547,29 @@ def q_apsara(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation pipeline: fingerprint-dedup →
+    quality gate → per-language corpus stats. One Catalyst plan:
+    dedup winners via min-id-per-fingerprint (broadcastable winner set
+    at corpus scale after dedup), token/quality gates as pushable
+    predicates, final per-language aggregate."""
+    from .operators.text import fingerprint, token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = fingerprint(docs)
+    winners = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.join(
+        winners, ["fingerprint", "doc_id"], "left_semi"
+    )
+    stats = token_stats(kept)
+    gated = stats.filter(F.col("n_ws_tokens") >= 5)
+    return gated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -741,6 +764,27 @@ ORACLES["ann_topk"] = """
 """
 
 ORACLES["grok"] = _grok_oracle_sql()
+ORACLES["curation_pipeline"] = """
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    winners AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+    kept AS (
+      SELECT fp.* FROM fp
+      JOIN winners w ON fp.f = w.f AND fp.doc_id = w.doc_id
+    ),
+    stats AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+      FROM kept
+    )
+    SELECT lang, count(*) AS n_docs, cast(sum(n) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_doc_id
+    FROM stats WHERE n >= 5 GROUP BY lang
+"""
 ORACLES["sessionize"] = """
     WITH brk AS (
       SELECT user_id, event_id, ts,
@@ -753,8 +797,9 @@ ORACLES["sessionize"] = """
     ),
     sess AS (
       SELECT user_id, event_id,
-             sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             cast(sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_id
       FROM brk
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -823,6 +868,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "grok": q_grok,
     "sessionize": q_sessionize,
+    "curation_pipeline": q_curation_pipeline,
     "apsara": q_apsara,
     "split_explode": q_split_explode,
     "anchor_extract": q_anchor_extract,
