@@ -670,8 +670,8 @@ ORACLES: dict[str, str] = {
     "stable_order": f"""
         WITH transcripts AS ({_TX})
         SELECT conv_id, turn_idx,
-               row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
-                 AS seq,
+               cast(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                    - 1 AS INT) AS seq,
                text
         FROM transcripts
     """,
@@ -719,25 +719,26 @@ ORACLES["fingerprint"] = """
 """
 ORACLES["token_stats"] = """
     SELECT doc_id,
-           length(text) AS n_chars_calc,
-           CASE WHEN length(trim(text)) = 0 THEN 0
+           cast(length(text) AS INT) AS n_chars_calc,
+           cast(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
-             AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
-             AS n_re_tokens
+             AS INT) AS n_ws_tokens,
+           cast(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INT) AS n_re_tokens
     FROM documents
 """
 ORACLES["quality_signals"] = """
     SELECT doc_id,
-           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-             AS n_punct,
-           length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-             AS n_digits,
-           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           cast(length(text)
+                - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS INT) AS n_punct,
+           cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             AS INT) AS n_digits,
+           cast(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                t -> list_contains(['the','and','of','to','in','is','that',
                                    'with','a','an','it','on','for','as','are'],
                                   t)))
-             AS n_stopwords
+             AS INT) AS n_stopwords
     FROM documents
 """
 ORACLES["ann_topk"] = """
