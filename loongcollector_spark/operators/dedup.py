@@ -79,34 +79,99 @@ def minhash_signatures(
     shingle_col: str = "shingles",
     num_perm: int = 64,
     dest: str = "minhash",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature per row: ``sig[p] = min over shingles of
+    """MinHash signature per document: ``sig[p] = min over shingles of
     perm_hash(shingle, p)`` with ``perm_hash = xxhash64(xxhash64(s), p)``.
 
-    Entirely JVM-side, no explode/shuffle, no Python. Plan-shape note:
-    the obvious ``transform(seeds, p -> array_min(transform(shingles,
-    ...)))`` inlines the (expensive) shingle-construction expression
-    into every one of the ``num_perm`` branches after Catalyst's
-    projection collapse — a 64× recompute measured at ~60× slowdown.
-    This fold references the shingle array ONCE: per element, one
-    string hash + ``num_perm`` cheap long re-hashes, accumulated with
-    ``zip_with(..., least)``.
+    Plan shape (the one that scales): explode shingles → hash each
+    string ONCE → ``groupBy(id).agg(min(xxhash64(h, p)) for p in
+    1..num_perm)``. All `num_perm` min-aggregates are whole-stage
+    codegen'd with map-side partial aggregation, so the shuffle
+    carries one 8·num_perm-byte row per (doc × partition).
+
+    Two rejected shapes, both measured pathological: nested
+    higher-order functions run INTERPRETED (no codegen) — a fold with
+    transform+zip_with per element took 17 s for 15M hashes — and
+    ``transform(seeds, p -> array_min(transform(shingles, ...)))``
+    additionally re-inlines the shingle construction into every
+    permutation branch after projection collapse (64× recompute).
+
+    Returns one row per *id_col* with the signature array (other
+    columns are dropped — join back on id when needed).
     """
-    max_long = (1 << 63) - 1
-    perms = F.sequence(F.lit(1), F.lit(num_perm))
-    init = F.array_repeat(F.lit(max_long).cast("long"), num_perm)
-    # hash each shingle string once; the fold's element var is a long
-    hashes = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
-    sig = F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(perms, lambda p: F.xxhash64(h, p)),
-            lambda a, b: F.least(a, b),
+    wide = _minhash_wide(df, shingle_col, num_perm, id_col)
+    return wide.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{p}") for p in range(1, num_perm + 1)]).alias(dest),
+    )
+
+
+def _shingle_rows(
+    df: DataFrame, text_col: str, k: int, id_col: str
+) -> DataFrame:
+    """(id, shingle) rows via posexplode + window ``lead`` — fully
+    whole-stage-codegen'd, unlike the array-building ``shingles``
+    expression (higher-order functions are interpreted; measured
+    ~4 ms/doc there vs microseconds here). Shuffles once on *id_col*,
+    which the downstream signature groupBy needs anyway.
+
+    Documents shorter than *k* tokens contribute one whole-text
+    shingle (parity with :func:`shingles`' fallback).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(_norm_text(F.col(text_col)), " ")).alias(
+            "__pos", "__tok"
         ),
     )
-    return df.withColumn(dest, sig)
+    w = W.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, k)]
+    n = F.count("*").over(W.partitionBy(id_col))
+    return (
+        toks.withColumn("__n", n)
+        .withColumn("__sh", F.concat_ws(" ", *parts))
+        .filter(
+            (F.col("__pos") + k <= F.col("__n"))
+            | ((F.col("__pos") == 0) & (F.col("__n") < k))
+        )
+        .select(F.col(id_col), F.col("__sh").alias("shingle"))
+    )
+
+
+def _minhash_wide(
+    df: DataFrame, shingle_col: str, num_perm: int, id_col: str
+) -> DataFrame:
+    """Signature as ``num_perm`` FLAT long columns ``__m1..__mN`` from
+    an array-of-shingles column.
+
+    Flat columns keep downstream band bucketing and agreement counting
+    codegen'd with no array re-inlining. Prefer
+    :func:`_minhash_wide_from_text` (no arrays at any point) when
+    starting from raw text.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("__s")
+    ).select(F.col(id_col), F.xxhash64(F.col("__s")).alias("__h"))
+    return _min_aggs(exploded, num_perm, id_col)
+
+
+def _min_aggs(hashed: DataFrame, num_perm: int, id_col: str) -> DataFrame:
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"__m{p}")
+        for p in range(1, num_perm + 1)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_wide_from_text(
+    df: DataFrame, text_col: str, k: int, num_perm: int, id_col: str
+) -> DataFrame:
+    """Text → shingle rows → hash → ``num_perm`` min-aggregates, every
+    stage whole-stage-codegen'd, one shuffle (on *id_col*)."""
+    rows = _shingle_rows(df, text_col, k, id_col)
+    hashed = rows.select(F.col(id_col), F.xxhash64(F.col("shingle")).alias("__h"))
+    return _min_aggs(hashed, num_perm, id_col)
 
 
 def lsh_candidate_pairs(
@@ -171,27 +236,47 @@ def minhash_dedup_pairs(
     from signature agreement). Returns (a, b, jaccard_est ≥ threshold).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(
-        shingles(df.select(id_col, text_col), text_col, k), num_perm=num_perm
-    ).select(id_col, "minhash")
-    cand = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band)
+    # flat-column signature path: cache because three consumers read
+    # it (band bucketing + both sides of the verify join)
+    sigs = _minhash_wide_from_text(
+        df.select(id_col, text_col), text_col, k, num_perm, id_col
+    ).persist()
+    mcols = [f"__m{p}" for p in range(1, num_perm + 1)]
+    # band buckets as flat xxhash64 of each band's columns; stack the
+    # (band, bucket) pairs with a small posexplode
+    band_hashes = [
+        F.xxhash64(*[F.col(c) for c in mcols[b * rows_per_band : (b + 1) * rows_per_band]])
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
     sa = sigs.select(
-        F.col(id_col).alias("a"), F.col("minhash").alias("sig_a")
+        F.col(id_col).alias("a"), *[F.col(c).alias(f"a_{c}") for c in mcols]
     )
     sb = sigs.select(
-        F.col(id_col).alias("b"), F.col("minhash").alias("sig_b")
+        F.col(id_col).alias("b"), *[F.col(c).alias(f"b_{c}") for c in mcols]
     )
     joined = cand.join(sa, "a").join(sb, "b")
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda v: v,
-        )
+    agree = sum(
+        (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in mcols
     )
     est = agree / F.lit(num_perm)
-    return joined.select(
-        "a", "b", est.alias("jaccard_est")
-    ).filter(F.col("jaccard_est") >= threshold)
+    return joined.select("a", "b", est.alias("jaccard_est")).filter(
+        F.col("jaccard_est") >= threshold
+    )
 
 
 def simhash(

@@ -136,15 +136,20 @@ def parse_regex(
 
         @F.pandas_udf(schema)
         def extract(s: pd.Series) -> pd.DataFrame:
-            rows = []
-            for v in s:
-                m = pat.match(v) if v is not None else None
-                if m:
-                    g = m.groups()
-                    rows.append(tuple(g[:nkeys]) + (True,))
-                else:
-                    rows.append((None,) * nkeys + (False,))
-            return pd.DataFrame(rows, columns=[*keys, "__m"])
+            # vectorized: the compiled pattern runs in pandas' C loop
+            # (Series.str.extract), one pass per Arrow batch — no
+            # per-row Python (input_hint mandate)
+            g = s.str.extract(pat, expand=True).iloc[:, :nkeys]
+            g.columns = list(keys)[: g.shape[1]]
+            for k in keys[g.shape[1]:]:
+                g[k] = None
+            # str.extract NaNs both no-match rows and matched-but-empty
+            # optional groups; str.match disambiguates (also C-loop)
+            g["__m"] = s.str.match(pat).fillna(False).astype(bool)
+            g = g.where(pd.notna(g), None)
+            for k in keys:
+                g.loc[~g["__m"], k] = None
+            return g[[*keys, "__m"]]
 
         out = df.withColumn("__p", extract(F.col(source_key)))
         for k in keys:
@@ -198,20 +203,27 @@ def parse_grok(
 
     @F.pandas_udf(schema)
     def grok_extract(s: pd.Series) -> pd.DataFrame:
-        rows = []
-        for v in s:
-            hit = None
-            if v is not None:
-                for p in pats:
-                    m = p.match(v)
-                    if m:
-                        hit = m.groupdict()
-                        break
-            if hit is None:
-                rows.append({**nil, "__m": False})
-            else:
-                rows.append({**nil, **hit, "__m": True})
-        return pd.DataFrame(rows, columns=[*all_keys, "__m"])
+        # vectorized first-match-wins: pattern i runs (C loop,
+        # Series.str.extract) only on rows no earlier pattern matched —
+        # exactly the reference's ordered Match[] loop
+        # (processor_grok.go:135-173), batch-at-a-time
+        out = pd.DataFrame(nil, index=s.index, columns=all_keys, dtype=object)
+        matched = pd.Series(False, index=s.index)
+        for p in pats:
+            rest = ~matched & s.notna()
+            if not rest.any():
+                break
+            sub = s[rest]
+            hit = sub.str.match(p).fillna(False).astype(bool)
+            if not hit.any():
+                continue
+            g = sub[hit].str.extract(p, expand=True)
+            g = g.where(pd.notna(g), None)
+            for col in g.columns:
+                out.loc[g.index, col] = g[col]
+            matched.loc[g.index] = True
+        out["__m"] = matched
+        return out[[*all_keys, "__m"]]
 
     out = df.withColumn("__p", grok_extract(F.col(source_key)))
     for k in all_keys:
