@@ -1,0 +1,33 @@
+"""The NumPy batch kernel and the SQL reference implementation of
+brute-force top-k must agree exactly (same neighbors, same ranks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_numpy_and_sql_impls_agree(spark, emb):
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = similarity.brute_force_topk(emb, queries, k=5, impl="numpy")
+    b = similarity.brute_force_topk(emb, queries, k=5, impl="sql")
+    ra = sorted((r.query_id, r.rank, r.neighbor_id) for r in a.collect())
+    rb = sorted((r.query_id, r.rank, r.neighbor_id) for r in b.collect())
+    assert ra == rb
+    assert len(ra) == 20
+
+
+def test_numpy_impl_many_partitions(spark, emb):
+    # per-batch top-k union must still contain the global top-k when
+    # the corpus is split across many small partitions
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    spread = emb.repartition(16)
+    a = similarity.brute_force_topk(spread, queries, k=7, impl="numpy")
+    b = similarity.brute_force_topk(emb, queries, k=7, impl="sql")
+    assert sorted(map(tuple, a.select("query_id", "rank", "neighbor_id").collect())) == \
+        sorted(map(tuple, b.select("query_id", "rank", "neighbor_id").collect()))
