@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the STREAMING pipeline.
+
+Same spec as jobs/run_pipeline.py, executed over a file-source stream
+(production: Kafka / Iceberg incremental read) with exactly-once
+restart via the checkpoint location::
+
+    spark-submit --py-files lc.zip jobs/run_stream.py \
+        --input <transcript dir> --output <sink base> \
+        --spec spec.json --checkpoint <ckpt dir> \
+        [--continuous]   # default: availableNow (drain & stop)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--spec", required=True)
+    ap.add_argument("--dims", help="JSON file {dim_name: parquet_path}")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--max-files-per-trigger", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("lc-stream").getOrCreate()
+
+    from loongcollector_spark.pipeline import Pipeline
+    from loongcollector_spark.sources.sinks import read_table
+    from loongcollector_spark.streaming.stream import (
+        read_transcript_stream,
+        stream_pipeline_to_sinks,
+    )
+
+    with open(args.spec) as fh:
+        spec = json.load(fh)
+    dims = {}
+    if args.dims:
+        with open(args.dims) as fh:
+            dims = {
+                name: read_table(spark, path)
+                for name, path in json.load(fh).items()
+            }
+    pipe = Pipeline(spec, dims)
+    stream = read_transcript_stream(
+        spark, args.input, max_files_per_trigger=args.max_files_per_trigger
+    )
+    q = stream_pipeline_to_sinks(
+        stream,
+        pipe,
+        args.output,
+        args.checkpoint,
+        available_now=not args.continuous,
+    )
+    q.awaitTermination()
+    print(json.dumps({"batches": len(q.recentProgress)}))
+
+
+if __name__ == "__main__":
+    main()
