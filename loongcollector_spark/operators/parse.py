@@ -376,27 +376,51 @@ def split_log_string(
 def merge_multiline(
     df: DataFrame,
     source_key: str,
-    start_pattern: str,
-    group_cols: Iterable[str],
-    order_col: str,
+    start_pattern: str | None = None,
+    group_cols: Iterable[str] = (),
+    order_col: str = "turn_idx",
     *,
+    continue_pattern: str | None = None,
+    end_pattern: str | None = None,
     joiner: str = "\n",
     dest_key: str | None = None,
 ) -> DataFrame:
-    """Multiline assembly: lines are grouped under the most recent line
-    matching *start_pattern* (ProcessorSplitMultilineLogStringNative.h:68-79
-    Start-pattern mode), then concatenated in order.
+    """Multiline assembly with the reference's Start/Continue/End
+    pattern modes (ProcessorSplitMultilineLogStringNative.h:68-79):
 
-    Implemented as a running-count window (each start line increments a
-    block id) + ``collect_list over window`` — distributed, no Python.
+    * ``start_pattern``    — a matching line begins a new event; the
+      lines until the next start attach to it.
+    * ``continue_pattern`` — a matching line CONTINUES the previous
+      event; a non-matching line begins a new one.
+    * ``end_pattern``      — a matching line ENDS the current event;
+      the next line begins a new one.
+
+    Exactly one of the three must be given. Implemented as a
+    running-count window (block id = cumulative boundary count) +
+    ordered ``collect_list`` — distributed, no Python.
     """
     from pyspark.sql import Window as W
 
+    modes = [p is not None for p in (start_pattern, continue_pattern, end_pattern)]
+    if sum(modes) != 1:
+        raise ValueError("exactly one of start/continue/end pattern required")
     dest = dest_key or source_key
     gcols = list(group_cols)
     w = W.partitionBy(*gcols).orderBy(order_col)
-    is_start = F.col(source_key).rlike(start_pattern).cast("long")
-    blocks = df.withColumn("__blk", F.sum(is_start).over(w))
+    if start_pattern is not None:
+        boundary = F.col(source_key).rlike(start_pattern)
+        blk = F.sum(boundary.cast("long")).over(w)
+    elif continue_pattern is not None:
+        boundary = ~F.col(source_key).rlike(continue_pattern)
+        blk = F.sum(boundary.cast("long")).over(w)
+    else:
+        # end mode: the block id increments AFTER an end line — count
+        # end-matches over strictly-preceding rows
+        prev_end = F.lag(
+            F.col(source_key).rlike(end_pattern).cast("long"), 1, 0
+        ).over(w)
+        blk = F.sum(prev_end).over(w)
+    blocks = df.withColumn("__blk", blk)
     # order within a block is restored by sorting (order_col, line)
     # structs — struct ordering is by first field, so the concat is
     # deterministic regardless of collect_list arrival order

@@ -65,6 +65,51 @@ def test_merge_multiline(spark):
     ]
 
 
+def test_merge_multiline_continue_mode(spark):
+    rows = [
+        ("c1", 0, "first"),
+        ("c1", 1, "  cont a"),
+        ("c1", 2, "  cont b"),
+        ("c1", 3, "second"),
+        ("c1", 4, "  cont c"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = merge_multiline(
+        df, "text", continue_pattern=r"^\s+", group_cols=["conv_id"],
+        order_col="turn_idx",
+    )
+    got = sorted((r.turn_idx, r.text) for r in out.collect())
+    assert got == [(0, "first\n  cont a\n  cont b"), (3, "second\n  cont c")]
+
+
+def test_merge_multiline_end_mode(spark):
+    rows = [
+        ("c1", 0, "a"),
+        ("c1", 1, "b END"),
+        ("c1", 2, "c"),
+        ("c1", 3, "d END"),
+        ("c1", 4, "e"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = merge_multiline(
+        df, "text", end_pattern=r"END$", group_cols=["conv_id"],
+        order_col="turn_idx",
+    )
+    got = sorted((r.turn_idx, r.text) for r in out.collect())
+    assert got == [(0, "a\nb END"), (2, "c\nd END"), (4, "e")]
+
+
+def test_merge_multiline_requires_one_mode(spark):
+    df = spark.createDataFrame([("c", 0, "x")], ["conv_id", "turn_idx", "text"])
+    with pytest.raises(ValueError):
+        merge_multiline(df, "text", group_cols=["conv_id"], order_col="turn_idx")
+    with pytest.raises(ValueError):
+        merge_multiline(
+            df, "text", start_pattern="a", continue_pattern="b",
+            group_cols=["conv_id"], order_col="turn_idx",
+        )
+
+
 def test_log_to_metric(spark):
     df = spark.createDataFrame(
         [(1700000000, "api", "us", 12.5, 3.0)],
