@@ -73,16 +73,39 @@ def pack_groups(
     order_col: str,
     *,
     max_log_count: int = 1024,
+    max_bytes: int | None = None,
+    bytes_col: str | None = None,
     pack_prefix: str = "pack",
     pack_col: str = "__pack_id__",
 ) -> DataFrame:
     """Assign ``__pack_id__ = <prefix>-<group>-<seq>`` batching rows
-    into groups of ``max_log_count`` per group key — the reference's
-    LogGroup rotation + pack-id provenance tag
-    (aggregator_base.go:107-147). Deterministic: seq derives from the
-    stable order, not arrival order."""
+    into groups per key — the reference's LogGroup rotation + pack-id
+    provenance tag (aggregator_base.go:107-147: rotate at MaxLogCount
+    rows OR MaxLogGroupSize bytes, whichever first; byte caps also in
+    aggregator_metadata_group GroupMaxByteLength).
+
+    Deterministic: count-seq from the stable-order row number,
+    byte-seq from the exclusive running byte total over *bytes_col*
+    (``floor(prefix_bytes / max_bytes)`` — a pack may exceed the cap
+    by at most one row, matching the reference's add-then-rotate).
+    When both caps are set the pack index is the max of the two
+    monotone sequences, honoring whichever cap fires first.
+    """
     w = W.partitionBy(*group_cols).orderBy(order_col)
     seq = F.floor((F.row_number().over(w) - 1) / max_log_count).cast("long")
+    if max_bytes is not None:
+        size = (
+            F.octet_length(F.col(bytes_col))
+            if bytes_col
+            else F.lit(0)
+        )
+        prefix_bytes = F.sum(size).over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        )
+        byte_seq = F.floor(
+            F.coalesce(prefix_bytes, F.lit(0)) / max_bytes
+        ).cast("long")
+        seq = F.greatest(seq, byte_seq)
     return df.withColumn(
         pack_col,
         F.concat_ws(

@@ -21,7 +21,6 @@ reference gets from its shared processor interface
 
 from __future__ import annotations
 
-from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

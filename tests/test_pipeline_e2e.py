@@ -2,8 +2,6 @@
 metrics, and checkpoint/resume idempotency (mirrors the reference's
 e2e oracle families count/field/order, test/engine/verify/)."""
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 

@@ -67,7 +67,6 @@ def test_parse_route_is_narrow(spark, sf_dir):
     """Scan → parse → route must be a single narrow stage: no Exchange
     (shuffle) anywhere — the property that lets 1000 executors chew
     100 TB without any cross-node traffic until the final aggregate."""
-    from loongcollector_spark.sources.transcripts import load_transcripts
 
     tx = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
         "cast(event_id as string) as conv_id",

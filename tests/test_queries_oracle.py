@@ -1,8 +1,6 @@
 """Run every QUERIES entry against its DuckDB ORACLE — mimics the
 driver's CORRECTNESS gate (row count + sorted-column value multiset)."""
 
-import math
-
 import duckdb
 import pytest
 

@@ -2,8 +2,6 @@
 streaming; streaming results must equal the batch run (the reference's
 single processor interface shared by both planes)."""
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
