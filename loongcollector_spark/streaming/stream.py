@@ -33,6 +33,7 @@ __all__ = [
     "stream_pipeline_to_sinks",
     "windowed_sink_counts",
     "stateful_conv_counter",
+    "stateful_rate_limit",
 ]
 
 
@@ -106,6 +107,68 @@ def windowed_sink_counts(
         .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("sink"))
         .agg(F.count("*").alias("cnt"))
         .select("win.start", "win.end", "sink", "cnt")
+    )
+
+
+def stateful_rate_limit(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    rate_per_sec: float,
+    burst: int,
+    *,
+    ts_col: str = "ts",
+    out_schema: str | None = None,
+) -> DataFrame:
+    """True token-bucket rate limiting per key over a stream — the
+    exact semantics of the reference's limiter
+    (plugins/processor/ratelimit/token_bucket.go:33-61: bucket refills
+    at ``rate_per_sec`` up to ``burst``; each emitted event spends one
+    token; events with an empty bucket are dropped).
+
+    State per key = (tokens, last_event_ts). Event-time ordered within
+    each micro-batch (the reference is arrival-ordered; batch ordering
+    by event time is the deterministic analog). applyInPandasWithState
+    keeps the bucket across micro-batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_cols = stream_df.columns
+    if out_schema is None:
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in stream_df.schema.fields
+        )
+    state_schema = "tokens double, last_ts double"
+
+    def update(key, pdfs, state: GroupState):
+        tokens, last = state.get if state.exists else (float(burst), None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            keep = []
+            for t in pdf[ts_col]:
+                now = t.timestamp()
+                if last is not None and now > last:
+                    tokens = min(float(burst), tokens + (now - last) * rate_per_sec)
+                last = now if last is None or now > last else last
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    keep.append(True)
+                else:
+                    keep.append(False)
+            out.append(pdf[pd.Series(keep, index=pdf.index)])
+        state.update((tokens, last if last is not None else 0.0))
+        result = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            columns=in_cols
+        )
+        yield result[in_cols]
+
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

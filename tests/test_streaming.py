@@ -87,6 +87,42 @@ def test_windowed_counts(spark, tx_path, tmp_path):
         assert r.cnt > 0
 
 
+def test_stateful_rate_limit_token_bucket(spark, tmp_path):
+    """Token bucket: burst of 3, refill 1 token/sec; events 0.1s apart
+    → first 3 pass, then ~1 per second."""
+    from datetime import datetime, timedelta
+
+    from loongcollector_spark.streaming.stream import stateful_rate_limit
+
+    base = datetime(2024, 1, 1)
+    rows = [("k", i, base + timedelta(milliseconds=100 * i)) for i in range(50)]
+    src = str(tmp_path / "rl_in")
+    spark.createDataFrame(rows, ["key", "i", "ts"]).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("key string, i long, ts timestamp")
+        .parquet(src)
+    )
+    limited = stateful_rate_limit(stream, ["key"], rate_per_sec=1.0, burst=3)
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("rl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rl_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.i for r in spark.sql("select * from rl_out").collect())
+    # 50 events over 4.9s: 3 burst + ~4-5 refills
+    assert kept[:3] == [0, 1, 2]
+    assert 6 <= len(kept) <= 9
+    # refilled tokens arrive ~1/sec -> kept indices spaced ~10 apart
+    # (first refill gap is 8: 0.2 tokens carried over from the burst)
+    gaps = [b - a for a, b in zip(kept[2:], kept[3:])]
+    assert all(g >= 8 for g in gaps)
+    assert all(g == 10 for g in gaps[1:])
+
+
 def test_stateful_conv_counter(spark, tx_path, tmp_path):
     stream = read_transcript_stream(spark, tx_path)
     counted = stateful_conv_counter(stream)
