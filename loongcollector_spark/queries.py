@@ -181,6 +181,22 @@ def q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.route(tx, cfg).select("conv_id", "turn_idx", "sink")
 
 
+def q_routed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strongest north-star check in one query: full routed content
+    — every (conv_id, turn_idx, sink) with its byte-exact per-turn
+    text under stable ordering."""
+    return _routed(spark, sf_dir).select("conv_id", "turn_idx", "sink", "text")
+
+
+def q_parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON flatten over a second table (events.props)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = parse.parse_json(ev, "props")
+    return out.select(
+        "event_id", F.col("parsed")["k"].alias("k")
+    )
+
+
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn counts (context-aggregator grouping)."""
     tx = load_transcripts(spark, sf_dir)
@@ -616,6 +632,15 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT conv_id, turn_idx, 'sink_audit' AS sink FROM transcripts
     """,
+    "routed_text": f"""
+        WITH transcripts AS ({_TX})
+        SELECT conv_id, turn_idx, {_ROUTE_CASE} AS sink, text
+        FROM transcripts
+    """,
+    "parse_props_json": """
+        SELECT event_id, json_extract_string(props, '$.k') AS k
+        FROM events
+    """,
     "conv_stats": f"""
         WITH transcripts AS ({_TX})
         SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx
@@ -852,6 +877,8 @@ QUERIES = {
     "parse_json": q_parse_json,
     "route_counts": q_route_counts,
     "routed_rows": q_routed_rows,
+    "routed_text": q_routed_text,
+    "parse_props_json": q_parse_props_json,
     "conv_stats": q_conv_stats,
     "enrich_dictmap": q_enrich_dictmap,
     "filter_regex": q_filter_regex,
