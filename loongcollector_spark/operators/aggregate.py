@@ -84,37 +84,55 @@ def pack_groups(
     rows OR MaxLogGroupSize bytes, whichever first; byte caps also in
     aggregator_metadata_group GroupMaxByteLength).
 
-    Deterministic: count-seq from the stable-order row number,
-    byte-seq from the exclusive running byte total over *bytes_col*
-    (``floor(prefix_bytes / max_bytes)`` — a pack may exceed the cap
-    by at most one row, matching the reference's add-then-rotate).
-    When both caps are set the pack index is the max of the two
-    monotone sequences, honoring whichever cap fires first.
+    Count-only caps use a closed-form window expression (codegen'd).
+    Byte caps follow the reference's sequential add-then-rotate loop
+    — BOTH counters reset at each rotation, which has no closed form
+    — via ``applyInPandas`` per group, Arrow-batched, deterministic
+    under the stable order. A pack may exceed the byte cap by at most
+    one row (add-then-rotate), exactly like the reference.
     """
-    w = W.partitionBy(*group_cols).orderBy(order_col)
-    seq = F.floor((F.row_number().over(w) - 1) / max_log_count).cast("long")
-    if max_bytes is not None:
-        size = (
-            F.octet_length(F.col(bytes_col))
-            if bytes_col
-            else F.lit(0)
+    if max_bytes is None:
+        w = W.partitionBy(*group_cols).orderBy(order_col)
+        seq = F.floor((F.row_number().over(w) - 1) / max_log_count).cast("long")
+        return df.withColumn(
+            pack_col,
+            F.concat_ws(
+                "-",
+                F.lit(pack_prefix),
+                *[F.col(c) for c in group_cols],
+                seq.cast("string"),
+            ),
         )
-        prefix_bytes = F.sum(size).over(
-            w.rowsBetween(W.unboundedPreceding, -1)
-        )
-        byte_seq = F.floor(
-            F.coalesce(prefix_bytes, F.lit(0)) / max_bytes
-        ).cast("long")
-        seq = F.greatest(seq, byte_seq)
-    return df.withColumn(
-        pack_col,
-        F.concat_ws(
-            "-",
-            F.lit(pack_prefix),
-            *[F.col(c) for c in group_cols],
-            seq.cast("string"),
-        ),
+
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
+    out_schema = f"{out_fields}, `{pack_col}` string"
+    gcols = list(group_cols)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        sizes = (
+            pdf[bytes_col].map(lambda v: len(v.encode()) if isinstance(v, str) else (len(v) if v is not None else 0))
+            if bytes_col
+            else pd.Series(0, index=pdf.index)
+        )
+        seqs = []
+        pack, n, b = 0, 0, 0
+        for sz in sizes:
+            if n >= max_log_count or (b > 0 and b + sz > max_bytes):
+                pack += 1
+                n, b = 0, 0
+            seqs.append(pack)
+            n += 1
+            b += sz
+        key = "-".join(str(pdf.iloc[0][c]) for c in gcols)
+        pdf[pack_col] = [f"{pack_prefix}-{key}-{s}" for s in seqs]
+        return pdf
+
+    return df.groupBy(*gcols).applyInPandas(assign, schema=out_schema)
 
 
 def shard_repartition(

@@ -50,11 +50,14 @@ def dedup_exact(
 ) -> DataFrame:
     """Exact dedup: keep the smallest id per identical text.
 
-    Hash-partial aggregation — the shuffle carries (hash(text) → min
-    id, count); the winning rows are then recovered with a semi-join,
-    so full text never shuffles twice.
+    The grouping key is ``md5(text)`` so the shuffle carries a 32-byte
+    digest + (min id, count) per group instead of the full document
+    text (at 100 TB the difference between shuffling ~3 TB of digests
+    and the whole corpus). md5 collisions are negligible at any
+    realistic corpus size; recover full winner rows with a semi-join
+    on the returned ids when needed.
     """
-    winners = df.groupBy(text_col).agg(
+    winners = df.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
         F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
     )
     return winners.select(id_col, "dup_count")

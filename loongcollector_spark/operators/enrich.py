@@ -143,29 +143,33 @@ def desensitize(
     replace_string: str = "********",
 ) -> DataFrame:
     """Mask secrets located by *regex* (processor_desensitize.go:29-40):
-    const replacement or md5-of-match replacement."""
+    const replacement (JVM regexp_replace, replaces EVERY match) or
+    md5-of-match replacement (Arrow-batched ``re.sub`` with an md5
+    callback — the reference loops until no match remains,
+    processor_desensitize.go:141-155; a JVM-only splice can't hash
+    each occurrence)."""
     if method == "md5":
-        col = F.regexp_replace(
-            F.col(source_key),
-            regex,
-            # regexp_replace can't call md5 on the match JVM-side with
-            # built-ins alone; md5 the whole matched span via expr.
-            "",
-        )
-        # md5 mode: extract → md5 → splice. Single-pass via expr:
-        return df.withColumn(
-            source_key,
-            F.when(
-                F.col(source_key).rlike(regex),
-                F.concat(
-                    F.regexp_extract(F.col(source_key), f"^(.*?){regex}", 1),
-                    F.md5(F.regexp_extract(F.col(source_key), f"({regex})", 1)),
-                    F.regexp_replace(
-                        F.col(source_key), f"^.*?(?:{regex})", "",
-                    ),
-                ),
-            ).otherwise(F.col(source_key)),
-        )
+        import hashlib
+        import re as _re
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        pat = _re.compile(regex)
+
+        # no type hints: pandas is imported locally, so postponed
+        # annotations wouldn't resolve inside pandas_udf's hint parser
+        @F.pandas_udf(T.StringType())
+        def mask(s):
+            return s.map(
+                lambda v: pat.sub(
+                    lambda m: hashlib.md5(m.group(0).encode()).hexdigest(), v
+                )
+                if v is not None
+                else None
+            )
+
+        return df.withColumn(source_key, mask(F.col(source_key)))
     return df.withColumn(source_key, F.regexp_replace(F.col(source_key), regex, replace_string))
 
 

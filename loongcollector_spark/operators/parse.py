@@ -55,22 +55,32 @@ def _apply_unmatch_policy(
     source_key: str,
     keep_source: bool,
     discard_unmatched: bool,
+    keep_source_if_parse_error: bool = True,
     rename_source_on_error: str | None = None,
 ) -> DataFrame:
-    """Common keep/discard-source handling after a parse stage."""
+    """Common keep/discard-source handling after a parse stage
+    (CommonParserOptions.h:27-40 flag semantics):
+
+    * ``keep_source=True``           — raw column kept on every row.
+    * ``keep_source=False`` +
+      ``keep_source_if_parse_error`` — raw survives ONLY on rows the
+      parse failed (NULL on parsed rows; optionally under a renamed
+      key), so successful rows don't carry the payload downstream.
+    * ``keep_source=False`` without the error flag, or with
+      ``discard_unmatched`` — raw column dropped entirely.
+    """
     if discard_unmatched:
         # ProcessorParseRegexNative.cpp discards the event when parse
         # fails and KeepingSourceWhenParseFail is off.
         df = df.filter(matched)
     if not keep_source:
-        if discard_unmatched:
+        if discard_unmatched or not keep_source_if_parse_error:
             df = df.drop(source_key)
-        elif rename_source_on_error:
-            # keep raw only for failed rows, under a renamed key
-            df = df.withColumn(
-                rename_source_on_error,
-                F.when(~matched, F.col(source_key)),
-            ).drop(source_key)
+        else:
+            dest = rename_source_on_error or source_key
+            df = df.withColumn(dest, F.when(~matched, F.col(source_key)))
+            if dest != source_key:
+                df = df.drop(source_key)
     return df
 
 
@@ -82,6 +92,7 @@ def parse_regex(
     *,
     full_match: bool = True,
     keep_source: bool = True,
+    keep_source_if_parse_error: bool = True,
     discard_unmatched: bool = False,
     engine: str = "native",
     types: dict[str, str] | None = None,
@@ -124,7 +135,8 @@ def parse_regex(
         for i, k in enumerate(keys):
             out = out.withColumn(k, F.col("__p").getItem(i))
         out = _apply_unmatch_policy(
-            out, F.col("__m"), source_key, keep_source, discard_unmatched
+            out, F.col("__m"), source_key, keep_source, discard_unmatched,
+            keep_source_if_parse_error,
         ).drop("__m", "__p")
     else:
         pat = re.compile(anchored)
@@ -160,6 +172,7 @@ def parse_regex(
             source_key,
             keep_source,
             discard_unmatched,
+            keep_source_if_parse_error,
         ).drop("__p", "__m")
     if types:
         for k, t in types.items():
@@ -176,6 +189,7 @@ def parse_grok(
     *,
     custom_patterns: dict[str, str] | None = None,
     keep_source: bool = True,
+    keep_source_if_parse_error: bool = True,
     discard_unmatched: bool = False,
     apply_type_hints: bool = True,
 ) -> DataFrame:
@@ -234,6 +248,7 @@ def parse_grok(
         source_key,
         keep_source,
         discard_unmatched,
+        keep_source_if_parse_error,
     ).drop("__p", "__m")
     if apply_type_hints:
         for k, t in hints.items():

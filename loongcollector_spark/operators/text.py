@@ -110,18 +110,18 @@ def language_id(
         arr = F.array(*[F.lit(s) for s in _LANG_MARKERS[lang]])
         scores.append(
             F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
-                    "score"
-                ),
+                # negate the score so an ASCENDING sort puts the best
+                # score first while ties fall back to lang ASCENDING —
+                # deterministic "lexicographically first wins"
+                (
+                    -F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+                ).alias("nscore"),
                 F.lit(lang).alias("lang"),
             )
         )
-    # array_max on struct orders by first field (score), then lang —
-    # ties resolve to the LAST lexicographic lang; invert lang order
-    # for deterministic "first wins": use negative trick via sort_array
-    best = F.sort_array(F.array(*scores), asc=False).getItem(0)
+    best = F.sort_array(F.array(*scores)).getItem(0)
     return df.withColumn(
-        dest, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+        dest, F.when(best["nscore"] < 0, best["lang"]).otherwise(F.lit("unknown"))
     )
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import aggregate as agg_ops
 from .operators import enrich, filter as flt, parse, route as rt
@@ -123,10 +124,31 @@ class Pipeline:
         spark: SparkSession | None = None,
         metrics_path: str | None = None,
     ) -> DataFrame:
-        routed = self.run(df)
+        """Run + fan-out write with metrics collected via the
+        ``Observation`` API — rows-in/rows-out are computed DURING the
+        single write job (observe() piggybacks aggregates on the
+        action), not by extra count() jobs that would re-execute the
+        whole pipeline (3× total compute at scale)."""
+        import time as _time
+
+        from pyspark.sql import Observation
+
         if metrics is not None:
-            metrics.measure("pipeline", df, routed)
+            obs_in = Observation()
+            obs_out = Observation()
+            df = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+            routed = self.run(df).observe(obs_out, F.count(F.lit(1)).alias("n"))
+            t0 = _time.monotonic()
+            rt.fanout_write(routed, base_path)
+            metrics.add(
+                "pipeline",
+                obs_in.get["n"],
+                obs_out.get["n"],
+                round(_time.monotonic() - t0, 3),
+            )
+            if metrics_path and spark is not None:
+                metrics.write(spark, metrics_path)
+            return routed
+        routed = self.run(df)
         rt.fanout_write(routed, base_path)
-        if metrics is not None and metrics_path and spark is not None:
-            metrics.write(spark, metrics_path)
         return routed
