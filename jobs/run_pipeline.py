@@ -54,7 +54,12 @@ def main(argv: list[str] | None = None) -> None:
     from loongcollector_spark.sources.sinks import read_table
 
     with open(args.spec) as fh:
-        spec = json.load(fh)
+        if args.spec.endswith((".yaml", ".yml")):
+            import yaml
+
+            spec = yaml.safe_load(fh)  # reference configs are YAML
+        else:
+            spec = json.load(fh)
     dims = {}
     if args.dims:
         with open(args.dims) as fh:

@@ -40,7 +40,12 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     with open(args.spec) as fh:
-        spec = json.load(fh)
+        if args.spec.endswith((".yaml", ".yml")):
+            import yaml
+
+            spec = yaml.safe_load(fh)  # reference configs are YAML
+        else:
+            spec = json.load(fh)
     dims = {}
     if args.dims:
         with open(args.dims) as fh:

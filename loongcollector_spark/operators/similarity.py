@@ -24,6 +24,7 @@ __all__ = [
     "cosine",
     "brute_force_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "embedding_near_dups",
 ]
 
@@ -201,6 +202,73 @@ def lsh_ann_topk(
             "neighbor_id",
             cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
         )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer (MLlib, trained once)
+    partitions the corpus into ``n_cells`` inverted lists; each query
+    searches only its ``n_probe`` nearest cells, re-ranked with the
+    NumPy exact kernel inside those cells.
+
+    The scale path when LSH recall is insufficient: the quantizer
+    trains on a sample, cell assignment is one JVM pass, and the
+    candidate set per query is ``n_probe/n_cells`` of the corpus.
+    Recall < 1 by construction; brute_force_topk is the baseline.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vec = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__arr"),
+    ).withColumn("__v", array_to_vector(F.col("__arr")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(vec.select("__v"))
+    assigned = model.transform(vec)
+
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # n_probe nearest cells per query (driver-side: centers are tiny)
+    d2 = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1)[:, :n_probe]
+    pairs = [
+        (int(qid), [int(c) for c in cells]) for qid, cells in zip(q_ids, probes)
+    ]
+    probe_df = vectors.sparkSession.createDataFrame(
+        [(q, c) for q, cells in pairs for c in cells],
+        f"{query_id_col} long, __cell int",
+    )
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_df), "__cell")
+        .join(F.broadcast(qv), query_id_col)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", cosine(F.col("__arr"), F.col("__qv")).alias("cos_sim"))
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

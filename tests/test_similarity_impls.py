@@ -22,6 +22,21 @@ def test_numpy_and_sql_impls_agree(spark, emb):
     assert len(ra) == 20
 
 
+def test_ivf_ann_recall(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    ivf = similarity.ivf_ann_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # ranks well-formed
+    by_q = {}
+    for r in ivf.collect():
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
 def test_numpy_impl_many_partitions(spark, emb):
     # per-batch top-k union must still contain the global top-k when
     # the corpus is split across many small partitions
