@@ -223,6 +223,7 @@ def ivf_ann_topk(
     n_cells: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF-style ANN: a k-means coarse quantizer (MLlib, trained once)
     partitions the corpus into ``n_cells`` inverted lists; each query
@@ -244,7 +245,9 @@ def ivf_ann_topk(
         F.col(vec_col).cast("array<double>").alias("__arr"),
     ).withColumn("__v", array_to_vector(F.col("__arr")))
     km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
-    model = km.fit(vec.select("__v"))
+    # quantizer trains on a bounded sample (centers converge long
+    # before the full corpus is seen); assignment below is full-corpus
+    model = km.fit(vec.select("__v").limit(max_train_rows))
     assigned = model.transform(vec)
 
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])

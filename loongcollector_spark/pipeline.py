@@ -116,6 +116,32 @@ class Pipeline:
         logical plan, no actions)."""
         return self.route(self.apply_processors(df))
 
+    def aggregates(self, routed: DataFrame) -> dict[str, DataFrame]:
+        """Build the spec's ``aggregates`` section over the routed
+        output: ``[{"name": ..., "type": "group_count"|"per_conversation_stats"|
+        "sessionize_counts", ...params}]`` → named aggregate DataFrames
+        (the derived verification aggregates of SURVEY.md §2.6)."""
+        out: dict[str, DataFrame] = {}
+        for spec in self.spec.get("aggregates", []):
+            spec = dict(spec)
+            typ = spec.pop("type")
+            name = spec.pop("name", typ)
+            if typ == "group_count":
+                out[name] = agg_ops.group_count(routed, **spec)
+            elif typ == "per_conversation_stats":
+                out[name] = agg_ops.per_conversation_stats(routed, **spec)
+            elif typ == "sessionize_counts":
+                from pyspark.sql import functions as _F
+
+                s = agg_ops.sessionize(routed, **spec)
+                keys = spec.get("key_cols", ["conv_id"])
+                out[name] = s.groupBy(*keys, "session_id").agg(
+                    _F.count("*").alias("n_events")
+                )
+            else:
+                raise KeyError(f"unknown aggregate type {typ!r}")
+        return out
+
     def run_and_write(
         self,
         df: DataFrame,
