@@ -129,4 +129,7 @@ def run_with_checkpoint(
         processed += 1
         if fail_after_units is not None and processed >= fail_after_units:
             raise RuntimeError(f"injected failure after {processed} units")
-    return spark.read.parquet(out_dir)
+    result = spark.read.parquet(out_dir)
+    # the unit=<id> directory layout surfaces as a partition column;
+    # drop it so checkpointed and direct runs share one output schema
+    return result.drop("unit") if "unit" in result.columns else result

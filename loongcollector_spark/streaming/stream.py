@@ -146,8 +146,16 @@ def stateful_rate_limit(
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             keep = []
+            epoch = pd.Timestamp("1970-01-01")
             for t in pdf[ts_col]:
-                now = t.timestamp()
+                # naive-timestamp-safe epoch seconds (Timestamp
+                # .timestamp() would interpret naive values in the
+                # worker's LOCAL timezone)
+                now = (
+                    (t - epoch).total_seconds()
+                    if t.tzinfo is None
+                    else t.timestamp()
+                )
                 if last is not None and now > last:
                     tokens = min(float(burst), tokens + (now - last) * rate_per_sec)
                 last = now if last is None or now > last else last
