@@ -17,16 +17,29 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from loongcollector_spark.queries import ORACLES, QUERIES  # noqa: E402
+from loongcollector_spark.session import apply_runtime_confs  # noqa: E402
+
+
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
+    """Pin the SQL confs the oracles assume (UTC session timezone,
+    LAST_WIN map dedup) on whatever session the driver provides."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    apply_runtime_confs(spark)
     return QUERIES["enrich_pipeline_fanout"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _pinned(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -46,28 +46,19 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = SparkSession.builder.appName("lc-pipeline").getOrCreate()
 
+    from loongcollector_spark.config import load_dims, load_spec
     from loongcollector_spark.operators.aggregate import shard_repartition
     from loongcollector_spark.operators.route import fanout_write
     from loongcollector_spark.pipeline import Pipeline
     from loongcollector_spark.plans.checkpoint import run_with_checkpoint
     from loongcollector_spark.plans.metrics import MetricsCollector
     from loongcollector_spark.sources.sinks import read_table
+    from loongcollector_spark.session import apply_runtime_confs
 
-    with open(args.spec) as fh:
-        if args.spec.endswith((".yaml", ".yml")):
-            import yaml
-
-            spec = yaml.safe_load(fh)  # reference configs are YAML
-        else:
-            spec = json.load(fh)
-    dims = {}
-    if args.dims:
-        with open(args.dims) as fh:
-            dims = {
-                name: read_table(spark, path)
-                for name, path in json.load(fh).items()
-            }
-    pipe = Pipeline(spec, dims)
+    # the cluster hands us its session; pin the SQL confs the
+    # operators require (UTC, LAST_WIN map dedup, AQE, Arrow)
+    apply_runtime_confs(spark)
+    pipe = Pipeline(load_spec(args.spec), load_dims(spark, args.dims))
     df = read_table(spark, args.input)
     if args.shards:
         df = shard_repartition(df, ["conv_id"], args.shards)
@@ -87,7 +78,10 @@ def main(argv: list[str] | None = None) -> None:
         n = out.count()
     else:
         routed = pipe.run(df)
-        fanout_write(routed, args.output)
+        # overwrite: a rerun of the same job replaces its output
+        # (append-without-lineage would silently duplicate data);
+        # incremental appends go through --lineage
+        fanout_write(routed, args.output, mode="overwrite")
         n = spark.read.parquet(args.output).count()
     metrics.add("pipeline", df.count(), n, round(time.monotonic() - t0, 3))
     if args.metrics:

@@ -32,28 +32,16 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = SparkSession.builder.appName("lc-stream").getOrCreate()
 
+    from loongcollector_spark.config import load_dims, load_spec
     from loongcollector_spark.pipeline import Pipeline
-    from loongcollector_spark.sources.sinks import read_table
+    from loongcollector_spark.session import apply_runtime_confs
     from loongcollector_spark.streaming.stream import (
         read_transcript_stream,
         stream_pipeline_to_sinks,
     )
 
-    with open(args.spec) as fh:
-        if args.spec.endswith((".yaml", ".yml")):
-            import yaml
-
-            spec = yaml.safe_load(fh)  # reference configs are YAML
-        else:
-            spec = json.load(fh)
-    dims = {}
-    if args.dims:
-        with open(args.dims) as fh:
-            dims = {
-                name: read_table(spark, path)
-                for name, path in json.load(fh).items()
-            }
-    pipe = Pipeline(spec, dims)
+    apply_runtime_confs(spark)
+    pipe = Pipeline(load_spec(args.spec), load_dims(spark, args.dims))
     stream = read_transcript_stream(
         spark, args.input, max_files_per_trigger=args.max_files_per_trigger
     )

@@ -14,6 +14,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+# SQL confs the operators REQUIRE and that are settable on a live
+# session (spark-submit entry points apply these to whatever session
+# the cluster handed them): UTC pins every timestamp-rendering oracle
+# invariant; LAST_WIN is needed by map-building parsers (apsara).
+RUNTIME_SQL_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the required runtime SQL confs to an existing session
+    (idempotent; used by spark-submit jobs and the driver entry)."""
+    for k, v in RUNTIME_SQL_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(
     app_name: str = "loongcollector_spark",
     cores: int | None = None,

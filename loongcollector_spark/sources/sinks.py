@@ -112,7 +112,12 @@ def write_table(
     spark = spark or df.sparkSession
     if iceberg_available(spark) and "/" not in name_or_path:
         if mode == "append":
-            df.writeTo(name_or_path).append()
+            if spark.catalog.tableExists(name_or_path):
+                df.writeTo(name_or_path).append()
+            else:
+                # first-ever append must create the table (append to a
+                # missing table raises NoSuchTableException)
+                df.writeTo(name_or_path).create()
         else:
             df.writeTo(name_or_path).createOrReplace()
     else:

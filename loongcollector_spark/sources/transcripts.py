@@ -114,11 +114,6 @@ def transcripts_sql(events_ref: str) -> str:
     ).replace("}}", "}")
 
 
-def transcripts_cte(events_ref: str) -> str:
-    """Body usable as ``WITH transcripts AS (<this>) SELECT ...`` in oracles."""
-    return transcripts_sql(events_ref)
-
-
 def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts DataFrame for a testdata scale-factor directory.
 
@@ -172,11 +167,12 @@ def generate_transcripts(
         F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias(
             "conv_id"
         ),
-        # dense per-conv index not needed for bench; a deterministic
-        # per-conv-unique index derived arithmetically avoids the
-        # window shuffle in the generator (the pipeline itself windows
-        # where ordering semantics demand it).
-        (F.col("event_id") / F.lit(1)).cast("long").alias("event_id"),
+        # dense per-conv index not needed for bench; turn_idx below is
+        # globally unique (= event id), hence per-conv unique — a
+        # deterministic stable-order key without the window shuffle a
+        # dense index would need (the pipeline itself windows where
+        # density matters).
+        F.col("event_id"),
         (F.col("ts0") + F.make_interval(secs=F.col("event_id") % 86400)).alias("ts"),
     )
     m4 = F.col("event_id") % 4
@@ -206,7 +202,10 @@ def generate_transcripts(
         F.lit("."),
         ((F.col("event_id") * 13) % 256).cast("string"),
     )
-    turn_idx = (F.col("event_id") % 100000).cast("int")
+    # globally unique (per-conv unique follows) — modulo 100000 here
+    # would collide within hot conversations beyond 700k rows and make
+    # window ordering nondeterministic across parallelism levels
+    turn_idx = F.col("event_id").cast("int")
     s = lambda c: c.cast("string")  # noqa: E731
     nginx = F.concat(
         ip,
