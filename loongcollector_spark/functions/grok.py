@@ -112,6 +112,7 @@ def compile_grok(
     if custom_patterns:
         patterns.update(custom_patterns)
     types: dict[str, str] = {}
+    alias_origin: dict[str, str] = {}
 
     def expand(s: str, stack: tuple[str, ...]) -> str:
         def sub(m: re.Match) -> str:
@@ -123,6 +124,15 @@ def compile_grok(
             body = expand(patterns[name], stack + (name,))
             if alias:
                 safe = re.sub(r"\W", "_", alias)
+                prior = alias_origin.get(safe)
+                if prior is not None and prior != alias:
+                    # two distinct aliases collapsing to one group name
+                    # would raise a cryptic re.error at compile time
+                    raise GrokError(
+                        f"aliases {prior!r} and {alias!r} both sanitize "
+                        f"to group name {safe!r}; rename one"
+                    )
+                alias_origin[safe] = alias
                 types[safe] = typ or "string"
                 return f"(?P<{safe}>{body})"
             return f"(?:{body})"

@@ -104,8 +104,15 @@ def dict_map(
     mapped = F.col("__dv")
     if handle_missing:
         mapped = F.coalesce(mapped, F.lit(missing))
-    if dest_key in df.columns and mode == "fill":
-        mapped = F.coalesce(F.col(dest_key), mapped)
+    if dest_key in df.columns:
+        if mode == "fill":
+            # existing non-null dest wins
+            mapped = F.coalesce(F.col(dest_key), mapped)
+        elif not handle_missing:
+            # overwrite-on-HIT only: a dictionary miss leaves the
+            # event unchanged (processor_dict_map.go:175-186), it does
+            # not null out the existing value
+            mapped = F.coalesce(mapped, F.col(dest_key))
     return joined.withColumn(dest_key, mapped).drop("__dk", "__dv")
 
 

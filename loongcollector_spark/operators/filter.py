@@ -139,12 +139,16 @@ def fields_with_condition(
     out = df
     for k in new_keys:
         # forward when-chain: first matching case wins; a matching case
-        # that doesn't set k yields NULL (case actions are exclusive).
+        # that doesn't set k yields NULL (case actions are exclusive);
+        # rows matching NO case keep a pre-existing column value
+        # untouched (reference leaves non-matching events unchanged)
         chain = None
         for cond, case in zip(conds, cases):
             v = case.get("add_fields", {}).get(k)
             branch = F.lit(v) if v is not None else F.lit(None).cast("string")
             chain = F.when(cond, branch) if chain is None else chain.when(cond, branch)
+        if k in df.columns:
+            chain = chain.otherwise(F.col(k))
         out = out.withColumn(k, chain)
     if drop_if_not_match and conds:
         any_match = conds[0]

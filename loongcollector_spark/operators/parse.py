@@ -115,9 +115,18 @@ def parse_regex(
     if regex in ("(.*)", "^(.*)$") and len(keys) == 1:
         return df.withColumn(keys[0], F.col(source_key))
 
-    anchored = regex
-    if full_match and not regex.startswith("^"):
-        anchored = f"^(?:{regex.rstrip('$')})$" if regex.endswith("$") else f"^{regex}$"
+    # Wrapping in a non-capturing group keeps group numbering and is
+    # safe for patterns already carrying ^/$ (including escaped \$ —
+    # never strip characters off user regexes).
+    if full_match:
+        anchored = f"^(?:{regex})$"
+        search = anchored
+    else:
+        # search-anywhere semantics (Go FindStringSubmatch): the
+        # replace pattern consumes the WHOLE line around the first
+        # match so the rewrite below yields only the groups
+        anchored = f"(?s)^.*?(?:{regex}).*$"
+        search = regex
     if engine == "native":
         # Single-pass JVM extraction: one regexp_replace rewrites the
         # matched line into a \x01-joined group list, one split breaks
@@ -127,19 +136,22 @@ def parse_regex(
         # twice per row, all inside whole-stage codegen.
         delim = "\x01"
         template = delim.join(f"${i}" for i in range(1, len(keys) + 1))
-        matched = F.col(source_key).rlike(anchored)
         parts = F.split(F.regexp_replace(F.col(source_key), anchored, template), delim)
-        out = df.withColumn("__m", matched).withColumn(
-            "__p", F.when(F.col("__m"), parts)
-        )
+        # size check guards against captured values containing the
+        # delimiter byte: misalignment becomes a parse FAILURE, never
+        # silently shifted fields
+        matched = F.col(source_key).rlike(search) & (F.size(parts) == len(keys))
+        out = df.withColumn("__p", parts).withColumn("__m", matched)
         for i, k in enumerate(keys):
-            out = out.withColumn(k, F.col("__p").getItem(i))
+            out = out.withColumn(
+                k, F.when(F.col("__m"), F.col("__p").getItem(i))
+            )
         out = _apply_unmatch_policy(
             out, F.col("__m"), source_key, keep_source, discard_unmatched,
             keep_source_if_parse_error,
         ).drop("__m", "__p")
     else:
-        pat = re.compile(anchored)
+        pat = re.compile(f"^(?:{regex})$" if full_match else regex)
         nkeys = len(keys)
         schema = T.StructType(
             [T.StructField(k, T.StringType()) for k in keys]
@@ -156,8 +168,9 @@ def parse_regex(
             for k in keys[g.shape[1]:]:
                 g[k] = None
             # str.extract NaNs both no-match rows and matched-but-empty
-            # optional groups; str.match disambiguates (also C-loop)
-            g["__m"] = s.str.match(pat).fillna(False).astype(bool)
+            # optional groups; str.contains (search semantics, matching
+            # str.extract's) disambiguates — also a C loop
+            g["__m"] = s.str.contains(pat, regex=True).fillna(False).astype(bool)
             g = g.where(pd.notna(g), None)
             for k in keys:
                 g.loc[~g["__m"], k] = None
