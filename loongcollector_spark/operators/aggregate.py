@@ -33,6 +33,8 @@ __all__ = [
     "shard_repartition",
     "salted_shard_repartition",
     "stable_order",
+    "sessionize",
+    "find_hot_keys",
 ]
 
 

@@ -240,7 +240,12 @@ def minhash_dedup_pairs(
     """
     rows_per_band = num_perm // bands
     # flat-column signature path: cache because three consumers read
-    # it (band bucketing + both sides of the verify join)
+    # it (band bucketing + both sides of the verify join). NOTE: the
+    # cache lives until the session ends or the caller releases it —
+    # long-lived sessions running many corpora should
+    # spark.catalog.clearCache() (or unpersist via the returned plan's
+    # InMemoryRelation) between runs; the signature table is
+    # 8·num_perm B/doc.
     sigs = _minhash_wide_from_text(
         df.select(id_col, text_col), text_col, k, num_perm, id_col
     ).persist()

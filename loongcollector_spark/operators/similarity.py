@@ -49,8 +49,12 @@ def cosine(a, b):
     NOTE: array lambdas run interpreted (no whole-stage codegen) —
     fine for bucketed candidate pairs and verification joins, NOT for
     scoring the full corpus; use the NumPy batch kernel
-    (:func:`brute_force_topk`) for corpus-wide scans."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    (:func:`brute_force_topk`) for corpus-wide scans.
+
+    Zero-norm vectors score 0.0 (NaN would sort ABOVE every real
+    similarity under desc ordering and hijack the top-1 slot)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -97,7 +101,8 @@ def brute_force_topk(
         q_rows = queries.select(query_id_col, vec_col).collect()
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = Q / np.where(qn == 0, 1.0, qn)
         kk = k + 1  # neighbor may equal the query id; filter later
 
         def score(batches):
@@ -105,7 +110,9 @@ def brute_force_topk(
                 if not len(pdf):
                     continue
                 V = np.array(list(pdf[vec_col]), dtype=np.float64)
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                norms = np.linalg.norm(V, axis=1, keepdims=True)
+                # zero vectors → 0 similarity, matching cosine()'s guard
+                Vn = V / np.where(norms == 0, 1.0, norms)
                 sims = Vn @ Qn.T  # (batch, n_queries)
                 ids = pdf[id_col].to_numpy()
                 take = min(kk, len(ids))
@@ -136,20 +143,39 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_signature(vec_col, n_planes: int, dim: int):
-    """Random-hyperplane LSH signature (sign of dot with seeded
-    pseudo-random planes). Planes are generated deterministically
-    JVM-side: plane[p][i] = xxhash64(p, i) scaled to [-1, 1] — seeded,
-    reproducible, no driver-side data."""
-    planes = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (F.xxhash64(p, i) % 10000).cast("double") / 10000.0,
-        ),
+def _plane_literals(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplanes generated ONCE on the driver (seeded
+    PRNG, no data dependence) and embedded as literals — regenerating
+    them per row via interpreted hash expressions cost n_planes×dim
+    evaluations per row for a constant matrix."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _embedding_dim(df: DataFrame, vec_col: str) -> int:
+    """Array length from one row (array schemas carry no length); one
+    tiny driver job at plan time."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(f"cannot infer embedding dim from empty {vec_col}")
+    return len(row[0])
+
+
+def _hyperplane_signature(vec_col, planes: list[list[float]]):
+    """Random-hyperplane LSH signature: sign of dot with each literal
+    plane. The planes array is a Catalyst literal — constant-folded,
+    not recomputed per row; the dot itself runs per plane.
+
+    Vectors shorter than the plane dim zip to nulls → null sign →
+    caller-visible failure rather than silent single-bucket collapse.
+    """
+    plane_arr = F.array(
+        *[F.array(*[F.lit(v) for v in pl]) for pl in planes]
     )
     return F.transform(
-        planes, lambda pl: (_dot(vec_col, pl) > 0).cast("int")
+        plane_arr, lambda pl: (_dot(vec_col, pl) > 0).cast("int")
     )
 
 
@@ -162,7 +188,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_planes: int = 12,
-    dim: int = 64,
+    dim: int | None = None,
     n_tables: int = 4,
 ) -> DataFrame:
     """ANN: hyperplane-LSH bucketing + exact re-rank inside buckets.
@@ -173,7 +199,9 @@ def lsh_ann_topk(
     brute_force_topk as the exactness baseline.
     """
     per_table = n_planes // n_tables
-    sig = _hyperplane_signature(F.col(vec_col), n_planes, dim)
+    if dim is None:
+        dim = _embedding_dim(vectors, vec_col)
+    sig = _hyperplane_signature(F.col(vec_col), _plane_literals(n_planes, dim))
 
     def bucketed(df, idc):
         s = df.withColumn("__sig", sig)
@@ -289,14 +317,16 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 12,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold)
     via LSH self-join: bucket on the full signature, exact cosine
     inside buckets. High thresholds → near-dups almost surely agree on
     all plane signs, so full-signature bucketing keeps recall high
     while the join stays linear-ish."""
-    sig = _hyperplane_signature(F.col(vec_col), n_planes, dim)
+    if dim is None:
+        dim = _embedding_dim(vectors, vec_col)
+    sig = _hyperplane_signature(F.col(vec_col), _plane_literals(n_planes, dim))
     s = vectors.select(
         F.col(id_col), F.col(vec_col), F.concat_ws(
             ",", F.transform(sig, lambda x: x.cast("string"))

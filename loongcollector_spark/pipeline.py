@@ -133,8 +133,8 @@ class Pipeline:
             elif typ == "sessionize_counts":
                 from pyspark.sql import functions as _F
 
-                s = agg_ops.sessionize(routed, **spec)
-                keys = spec.get("key_cols", ["conv_id"])
+                keys = spec.pop("key_cols", ["conv_id"])
+                s = agg_ops.sessionize(routed, keys, **spec)
                 out[name] = s.groupBy(*keys, "session_id").agg(
                     _F.count("*").alias("n_events")
                 )

@@ -60,10 +60,12 @@ class CheckpointedRun:
     def committed_units(self) -> set[int]:
         out = set()
         for f in os.listdir(self.dir):
-            if f.startswith(self.job_id + "_") and f.endswith(".json"):
+            if f.endswith(".json"):
                 with open(os.path.join(self.dir, f)) as fh:
                     rec = json.load(fh)
-                if rec.get("status") == "committed":
+                # match on the stored job_id field, not the filename
+                # prefix: job 'run' must not see 'run_2's units
+                if rec.get("job_id") == self.job_id and rec.get("status") == "committed":
                     out.add(rec["unit_id"])
         return out
 
@@ -84,9 +86,11 @@ class CheckpointedRun:
     def lineage(self) -> DataFrame:
         rows = []
         for f in sorted(os.listdir(self.dir)):
-            if f.startswith(self.job_id + "_") and f.endswith(".json"):
+            if f.endswith(".json"):
                 with open(os.path.join(self.dir, f)) as fh:
-                    rows.append(json.load(fh))
+                    rec = json.load(fh)
+                if rec.get("job_id") == self.job_id:
+                    rows.append(rec)
         return self.spark.createDataFrame(rows, LINEAGE_SCHEMA) if rows else (
             self.spark.createDataFrame([], LINEAGE_SCHEMA)
         )
