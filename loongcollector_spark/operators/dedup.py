@@ -37,6 +37,17 @@ __all__ = [
 _SEED_A = 0x9E3779B97F4A7C15
 
 
+def _md5_long(col):
+    """Engine-portable 60-bit positive hash: first 15 hex chars of md5
+    as a long. Reproducible in DuckDB as
+    ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`` — the shared
+    kernel that lets the fuzzy-dedup oracles hash-match across
+    engines. Production paths use xxhash64 (one JVM hash vs md5 +
+    string slice + base conversion); this kernel exists so the SAME
+    pipeline is value-verifiable, not for speed."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _norm_text(col):
     """Normalization used by all fuzzy-dedup paths: lowercase, collapse
     whitespace, strip punctuation-ish chars."""
@@ -167,12 +178,36 @@ def _min_aggs(hashed: DataFrame, num_perm: int, id_col: str) -> DataFrame:
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _min_aggs_md5(rows: DataFrame, num_perm: int, id_col: str) -> DataFrame:
+    """Oracle-mode signature aggregates: ``sig[p] = min over shingles
+    of md5_long(shingle || ':' || p)``. 64 independent md5s per
+    shingle — far costlier than the xxhash64 path, but every hash is
+    reproducible in DuckDB so the whole pipeline value-matches."""
+    aggs = [
+        F.min(_md5_long(F.concat(F.col("shingle"), F.lit(f":{p}")))).alias(f"__m{p}")
+        for p in range(1, num_perm + 1)
+    ]
+    return rows.groupBy(id_col).agg(*aggs)
+
+
 def _minhash_wide_from_text(
-    df: DataFrame, text_col: str, k: int, num_perm: int, id_col: str
+    df: DataFrame,
+    text_col: str,
+    k: int,
+    num_perm: int,
+    id_col: str,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Text → shingle rows → hash → ``num_perm`` min-aggregates, every
-    stage whole-stage-codegen'd, one shuffle (on *id_col*)."""
+    stage whole-stage-codegen'd, one shuffle (on *id_col*).
+
+    ``hash_mode``: 'xxhash64' (production; one JVM hash per shingle,
+    re-seeded per permutation) or 'md5' (oracle mode; md5-derived
+    permutation hashes reproducible in DuckDB — see :func:`_md5_long`).
+    """
     rows = _shingle_rows(df, text_col, k, id_col)
+    if hash_mode == "md5":
+        return _min_aggs_md5(rows, num_perm, id_col)
     hashed = rows.select(F.col(id_col), F.xxhash64(F.col("shingle")).alias("__h"))
     return _min_aggs(hashed, num_perm, id_col)
 
@@ -233,10 +268,17 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → LSH
     candidates → exact-Jaccard verify on candidates only (estimated
     from signature agreement). Returns (a, b, jaccard_est ≥ threshold).
+
+    ``hash_mode='md5'`` switches every hash to the DuckDB-reproducible
+    md5 kernel (:func:`_md5_long`) and the band bucket to the plain
+    concatenated signature string, so the whole pipeline — candidate
+    set AND estimates — value-matches the SQL oracle. Production use
+    keeps the default xxhash64 kernel.
     """
     rows_per_band = num_perm // bands
     # flat-column signature path: cache because three consumers read
@@ -247,15 +289,20 @@ def minhash_dedup_pairs(
     # InMemoryRelation) between runs; the signature table is
     # 8·num_perm B/doc.
     sigs = _minhash_wide_from_text(
-        df.select(id_col, text_col), text_col, k, num_perm, id_col
+        df.select(id_col, text_col), text_col, k, num_perm, id_col, hash_mode
     ).persist()
     mcols = [f"__m{p}" for p in range(1, num_perm + 1)]
-    # band buckets as flat xxhash64 of each band's columns; stack the
+    # band buckets as flat xxhash64 of each band's columns (md5/oracle
+    # mode: the concatenated values themselves — engine-portable, and
+    # bucket equality ⇔ band-signature equality either way); stack the
     # (band, bucket) pairs with a small posexplode
-    band_hashes = [
-        F.xxhash64(*[F.col(c) for c in mcols[b * rows_per_band : (b + 1) * rows_per_band]])
-        for b in range(bands)
-    ]
+    def _band_cols(b):
+        return [F.col(c) for c in mcols[b * rows_per_band : (b + 1) * rows_per_band]]
+
+    if hash_mode == "md5":
+        band_hashes = [F.concat_ws(",", *_band_cols(b)) for b in range(bands)]
+    else:
+        band_hashes = [F.xxhash64(*_band_cols(b)) for b in range(bands)]
     buckets = sigs.select(
         F.col(id_col), F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
     )
@@ -287,19 +334,76 @@ def minhash_dedup_pairs(
     )
 
 
+def _sim_fingerprint(counts, n, bits: int):
+    """Majority-vote per-bit counts into a signed-64 fingerprint.
+    Bit 63 is the sign bit: its two's-complement contribution is
+    negative, so add -(1<<63) instead of an overflowing literal."""
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        fingerprint = fingerprint + F.when(
+            counts[b] * 2 > n, F.lit(mask).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return fingerprint
+
+
 def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    dest: str = "simhash",
+    bits: int = 64,
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """SimHash fingerprint per document — the whole-stage-codegen
+    shape: explode distinct tokens → hash each once →
+    ``groupBy(id).agg(sum(getbit(h, b)) for b in 0..bits)`` → majority
+    vote per bit. Mirrors the minhash ``_min_aggs`` recipe: all
+    ``bits`` conditional-sum aggregates codegen with map-side partial
+    aggregation, one shuffle on *id_col* carrying ~8·bits B/doc.
+
+    (An earlier per-row expression built on ``aggregate``/``zip_with``
+    /``transform`` ran INTERPRETED — the measured 20-60× HOF penalty
+    documented in NOTES.md — kept as ``_simhash_hof`` for the
+    agreement test only.)
+
+    Returns one row per *id_col*: (id_col, dest). Near-dup detection =
+    hamming distance on the fingerprint (:func:`hamming64`).
+
+    ``hash_mode='md5'`` uses the DuckDB-reproducible 60-bit kernel
+    (:func:`_md5_long`; bits 60..63 vote 0) so the fingerprints
+    value-match the SQL oracle.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))).alias(
+            "__t"
+        ),
+    )
+    if hash_mode == "md5":
+        h = _md5_long(F.col("__t"))
+        bit = lambda b: F.shiftright(h, b).bitwiseAND(F.lit(1))  # noqa: E731
+    else:
+        h = F.xxhash64(F.col("__t"))
+        bit = lambda b: F.getbit(h, F.lit(b))  # noqa: E731
+    aggs = [F.sum(bit(b)).alias(f"__c{b}") for b in range(bits)] + [
+        F.count("*").alias("__n")
+    ]
+    wide = toks.groupBy(id_col).agg(*aggs)
+    counts = [F.col(f"__c{b}") for b in range(bits)]
+    return wide.select(
+        F.col(id_col), _sim_fingerprint(counts, F.col("__n"), bits).alias(dest)
+    )
+
+
+def _simhash_hof(
     df: DataFrame, text_col: str = "text", dest: str = "simhash", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash fingerprint from token xxhash64s.
-
-    JVM-only: tokens → hashes → per-bit vote via ``aggregate`` over the
-    token array (sum of ±1 per bit), sign → bit. One expression, no
-    shuffle. Near-dup detection = hamming distance on the fingerprint.
-    """
+    """Historical per-row HOF implementation (interpreted
+    ``aggregate``/``zip_with`` — slow; see :func:`simhash`). Retained
+    only as the independent semantics twin for the agreement test."""
     toks = F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # one pass over tokens: accumulate per-bit set counts (array of
-    # `bits` ints), then majority-vote each bit into the fingerprint.
     zero = F.array_repeat(F.lit(0), bits)
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
     counts = F.aggregate(
@@ -312,15 +416,8 @@ def simhash(
         ),
     )
     n = F.size(hashes)
-    fingerprint = F.lit(0).cast("long")
-    for b in range(bits):
-        # bit 63 is the sign bit: its two's-complement contribution is
-        # negative, so add -(1<<63) instead of an overflowing literal
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        fingerprint = fingerprint + F.when(
-            counts.getItem(b) * 2 > n, F.lit(mask).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(dest, fingerprint)
+    counts_idx = [counts.getItem(b) for b in range(bits)]
+    return df.withColumn(dest, _sim_fingerprint(counts_idx, n, bits))
 
 
 def hamming64(a, b):

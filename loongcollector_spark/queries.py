@@ -402,25 +402,28 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs on documents (rows-only check:
-    xxhash64 signatures are not reproducible in DuckDB)."""
+    """MinHash+LSH near-dup pairs on documents, oracle hash mode: the
+    md5-derived permutation kernel is reproduced verbatim in DuckDB,
+    so candidate pairs AND jaccard estimates value-match. The bench
+    measures the identical plan with the production xxhash64 kernel."""
     from .operators.dedup import minhash_dedup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup_pairs(docs, threshold=0.5)
+    return minhash_dedup_pairs(docs, threshold=0.5, hash_mode="md5")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: engine-specific hash)."""
+    """SimHash fingerprints, oracle hash mode (60-bit md5 kernel,
+    DuckDB-reproducible). Bench measures the xxhash64/64-bit mode."""
     from .operators.dedup import simhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(docs).select("doc_id", "simhash")
+    return simhash(docs, hash_mode="md5").select("doc_id", "simhash")
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID vs the table's lang column
-    (rows-only: heuristic has no SQL twin)."""
+    """Stopword-marker language ID vs the table's lang column; the
+    argmax-with-lexicographic-ties heuristic has an exact SQL twin."""
     from .operators.text import language_id
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -871,6 +874,141 @@ ORACLES["timestamp_roundtrip"] = f"""
     FROM transcripts
 """
 
+# DuckDB twin of operators.dedup._md5_long (60-bit positive hash)
+_MD5L = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
+# DuckDB twin of operators.dedup._norm_text
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def _minhash_oracle_sql(
+    k: int = 5, num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle reproducing minhash_dedup_pairs(hash_mode='md5')
+    end-to-end: normalize → word k-shingles (list comprehension twin
+    of the window-lead shingler) → 64 md5-permutation min-aggregates →
+    16 band buckets (concatenated signature strings) → bucket
+    self-join candidates → signature-agreement estimate ≥ threshold."""
+    rpb = num_perm // bands
+    mins = ",\n      ".join(
+        "min({h}) AS m{p}".format(h=_MD5L.format(x=f"s || ':{p}'"), p=p)
+        for p in range(1, num_perm + 1)
+    )
+    band_sel = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sigs".format(
+            b=b,
+            cols=", ".join(f"m{p}" for p in range(b * rpb + 1, (b + 1) * rpb + 1)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{p} = sb.m{p} THEN 1 ELSE 0 END)"
+        for p in range(1, num_perm + 1)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= {k}
+                  THEN [array_to_string(tk[i:i+{k - 1}], ' ')
+                        for i in generate_series(1, len(tk) - {k - 1})]
+                  ELSE [array_to_string(tk, ' ')] END AS shs
+      FROM norm
+    ),
+    srow AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sigs AS (
+      SELECT doc_id,
+      {mins}
+      FROM srow GROUP BY doc_id
+    ),
+    buckets AS (
+      {band_sel}
+    ),
+    cand AS (
+      SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+      FROM buckets ba JOIN buckets bb
+        ON ba.band = bb.band AND ba.bucket = bb.bucket
+       AND ba.doc_id < bb.doc_id
+    )
+    SELECT a, b, jaccard_est FROM (
+      SELECT cand.a, cand.b, ({agree}) / {num_perm} AS jaccard_est
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.a
+      JOIN sigs sb ON sb.doc_id = cand.b
+    ) WHERE jaccard_est >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """DuckDB oracle reproducing simhash(hash_mode='md5'): distinct
+    tokens → 60-bit md5 hash → per-bit majority vote (bits 60..63 of
+    the 64-bit fingerprint vote 0 under the 60-bit kernel)."""
+    cnts = ",\n      ".join(
+        f"sum((h >> {b}) & 1) AS c{b}" for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN c{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    h = _MD5L.format(x="t")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS t
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    cnts AS (
+      SELECT doc_id, count(*) AS n,
+      {cnts}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM cnts
+    """
+
+
+def _language_id_oracle_sql() -> str:
+    """DuckDB oracle for language_id: marker-stopword hit counts per
+    language, argmax with lexicographically-first tie-break (generated
+    from the same _LANG_MARKERS table the operator uses)."""
+    from .operators.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    scores = ",\n      ".join(
+        "len(list_filter(toks, t -> list_contains([{m}], t))) AS s_{lang}".format(
+            m=", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"s_{lg}" for lg in langs))
+    pick = " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs[:-1]
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+      {scores}
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN best <= 0 THEN 'unknown'
+                {pick}
+                ELSE '{langs[-1]}' END AS lang_pred
+    FROM (SELECT *, {best} AS best FROM s)
+    """
+
+
+ORACLES["minhash_dedup"] = _minhash_oracle_sql()
+ORACLES["simhash"] = _simhash_oracle_sql()
+ORACLES["language_id"] = _language_id_oracle_sql()
+
 QUERIES = {
     "parse_nginx": q_parse_nginx,
     "parse_kv": q_parse_kv,
@@ -902,7 +1040,8 @@ QUERIES = {
     "anchor_extract": q_anchor_extract,
     "log_to_metric": q_log_to_metric,
     "timestamp_roundtrip": q_timestamp_roundtrip,
-    # rows-only (no SQL-expressible oracle; driver records weaker check)
+    # fuzzy-dedup / text trio: oracle hash mode (md5 kernel) — full
+    # value-hash checkable; bench measures the xxhash64 production mode
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "language_id": q_language_id,

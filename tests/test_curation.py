@@ -191,3 +191,51 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(df, n_frames=3)
     fr = {r.id: r.frames for r in frames.collect()}
     assert len(fr[1]) == 3
+
+def test_simhash_codegen_agrees_with_hof(spark):
+    """The explode→conditional-sum rewrite must reproduce the original
+    per-row HOF expression bit-for-bit (same tokens, same xxhash64,
+    same majority rule, same sign-bit handling)."""
+    rows = [
+        (1, "spark makes distributed data processing simple and fast today"),
+        (2, "Mixed CASE, punctuation!! and   whitespace\tnoise 123"),
+        (3, ""),  # empty text → single '' token both paths
+        (4, "repeated repeated repeated tokens tokens collapse"),
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    new = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    old = {
+        r.doc_id: r.simhash
+        for r in dedup._simhash_hof(df).select("doc_id", "simhash").collect()
+    }
+    assert new == old
+
+
+def test_simhash_md5_mode_is_60_bit(spark):
+    df = spark.createDataFrame([(1, "one two three")], ["doc_id", "text"])
+    [r] = dedup.simhash(df, hash_mode="md5").collect()
+    assert 0 <= r.simhash < 1 << 60
+
+
+def test_minhash_md5_mode_finds_same_planted_pairs(spark):
+    """Oracle (md5) and production (xxhash64) kernels are different
+    hash families but must both surface the planted exact/near dups
+    and never the unrelated doc."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("lazy", "sleepy")),
+        (4, "completely different content about spark sql engines and columnar io"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for mode in ("md5", "xxhash64"):
+        pairs = dedup.minhash_dedup_pairs(
+            df, k=3, num_perm=64, bands=16, threshold=0.5, hash_mode=mode
+        ).collect()
+        got = {(r.a, r.b) for r in pairs}
+        assert (1, 2) in got, mode
+        assert all(4 not in p for p in got), mode
+        est = {(r.a, r.b): r.jaccard_est for r in pairs}
+        assert est[(1, 2)] == 1.0
