@@ -66,7 +66,9 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.monotonic()
     metrics = MetricsCollector(args.job_id)
     if args.lineage:
-        out = run_with_checkpoint(
+        from loongcollector_spark.plans.checkpoint import CheckpointedRun
+
+        run_with_checkpoint(
             spark,
             df,
             pipe.run,
@@ -75,17 +77,29 @@ def main(argv: list[str] | None = None) -> None:
             job_id=args.job_id,
             n_units=args.units,
         )
-        n = out.count()
+        # rows_out from the lineage commits (counted during the write
+        # job via Observation) — no output re-read; rows_in would cost
+        # a full extra input scan, so it is recorded as -1 (unknown)
+        # unless a caller needs it badly enough to count explicitly
+        n = CheckpointedRun(spark, args.lineage, args.job_id).total_rows_committed()
+        metrics.add("pipeline", -1, n, round(time.monotonic() - t0, 3))
+        if args.metrics:
+            metrics.write(spark, args.metrics)
     else:
-        routed = pipe.run(df)
         # overwrite: a rerun of the same job replaces its output
         # (append-without-lineage would silently duplicate data);
-        # incremental appends go through --lineage
-        fanout_write(routed, args.output, mode="overwrite")
-        n = spark.read.parquet(args.output).count()
-    metrics.add("pipeline", df.count(), n, round(time.monotonic() - t0, 3))
-    if args.metrics:
-        metrics.write(spark, args.metrics)
+        # incremental appends go through --lineage.
+        # run_and_write piggybacks rows_in/rows_out on the write job
+        # via Observation — no extra count() scans of input or output.
+        pipe.run_and_write(
+            df,
+            args.output,
+            metrics=metrics,
+            spark=spark,
+            metrics_path=args.metrics,
+            mode="overwrite",
+        )
+        n = metrics.records[-1].rows_out
     print(json.dumps({"job_id": args.job_id, "rows_out": n,
                       "wall_sec": round(time.monotonic() - t0, 3)}))
 

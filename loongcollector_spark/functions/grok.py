@@ -35,7 +35,7 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "NUMBER": r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?))",
     "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
     "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
-    "IP": r"%{IPV4}",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
     "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
     "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
     "USERNAME": r"[a-zA-Z0-9._-]+",
@@ -87,6 +87,69 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
     "UNIXPATH": r"(/[\w_%!$@:.,+~-]*)+",
     "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
+    # remainder of the reference's default key set
+    # (processor_grok_default_patterns.go — all standard public
+    # Logstash grok-patterns definitions, adapted where needed from
+    # Oniguruma to Python `re`: no atomic groups / possessive
+    # quantifiers)
+    "BASE10NUM": r"(?<![0-9.+-])(?:[+-]?(?:(?:[0-9]+(?:\.[0-9]+)?)|(?:\.[0-9]+)))",
+    "BASE16FLOAT": (
+        r"\b(?<![0-9A-Fa-f.])(?:[+-]?(?:0x)?(?:(?:[0-9A-Fa-f]+"
+        r"(?:\.[0-9A-Fa-f]*)?)|(?:\.[0-9A-Fa-f]+)))\b"
+    ),
+    "DAY": (
+        r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?"
+        r"|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"
+    ),
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
+    "ISO8601_SECOND": r"(?:%{SECOND}|60)",
+    "TZ": r"(?:[PMCE][SD]T|UTC)",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": (
+        r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}"
+    ),
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": (
+        r"%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}"
+    ),
+    "HOST": r"%{HOSTNAME}",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "IPV6": (
+        r"(?:(?:(?:[0-9A-Fa-f]{1,4}:){7}(?:[0-9A-Fa-f]{1,4}|:))"
+        r"|(?:(?:[0-9A-Fa-f]{1,4}:){6}(?::[0-9A-Fa-f]{1,4}|(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3})|:))"
+        r"|(?:(?:[0-9A-Fa-f]{1,4}:){5}(?:(?:(?::[0-9A-Fa-f]{1,4}){1,2})|:(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3})|:))"
+        r"|(?:(?:[0-9A-Fa-f]{1,4}:){4}(?:(?:(?::[0-9A-Fa-f]{1,4}){1,3})|(?:(?::[0-9A-Fa-f]{1,4})?:(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}))|:))"
+        r"|(?:(?:[0-9A-Fa-f]{1,4}:){3}(?:(?:(?::[0-9A-Fa-f]{1,4}){1,4})|(?:(?::[0-9A-Fa-f]{1,4}){0,2}:(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}))|:))"
+        r"|(?:(?:[0-9A-Fa-f]{1,4}:){2}(?:(?:(?::[0-9A-Fa-f]{1,4}){1,5})|(?:(?::[0-9A-Fa-f]{1,4}){0,3}:(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}))|:))"
+        r"|(?:(?:[0-9A-Fa-f]{1,4}:){1}(?:(?:(?::[0-9A-Fa-f]{1,4}){1,6})|(?:(?::[0-9A-Fa-f]{1,4}){0,4}:(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}))|:))"
+        r"|(?::(?:(?:(?::[0-9A-Fa-f]{1,4}){1,7})|(?:(?::[0-9A-Fa-f]{1,4}){0,5}:(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}))|:)))"
+        r"(?:%[0-9A-Za-z]+)?"
+    ),
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "TTY": r"(?:/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+))",
+    "URIPROTO": r"[A-Za-z]+(?:\+[A-Za-z+]+)?",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT:port})?",
+    "URI": (
+        r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?"
+        r"(?:%{URIPATHPARAM})?"
+    ),
+    "URN": (
+        r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:"
+        r"(?:%[0-9a-fA-F]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+"
+    ),
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    "HTTPD20_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] "
+        r"(?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"
+    ),
+    "HTTPD24_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{WORD:module}:%{LOGLEVEL:loglevel}\]"
+        r" \[pid %{POSINT:pid}(?::tid %{NUMBER:tid})?\]"
+        r"(?: \(%{POSINT:proxy_errorcode}\)%{DATA:proxy_message}:)?"
+        r"(?: \[client %{IPORHOST:clientip}:%{POSINT:clientport}\])?"
+        r"(?: %{DATA:errorcode}:)? %{GREEDYDATA:message}"
+    ),
+    "HTTPD_ERRORLOG": r"%{HTTPD20_ERRORLOG}|%{HTTPD24_ERRORLOG}",
 }
 
 _REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.-]+))?(?::(\w+))?\}")
@@ -113,6 +176,7 @@ def compile_grok(
         patterns.update(custom_patterns)
     types: dict[str, str] = {}
     alias_origin: dict[str, str] = {}
+    dup_count: dict[str, int] = {}
 
     def expand(s: str, stack: tuple[str, ...]) -> str:
         def sub(m: re.Match) -> str:
@@ -132,6 +196,16 @@ def compile_grok(
                         f"aliases {prior!r} and {alias!r} both sanitize "
                         f"to group name {safe!r}; rename one"
                     )
+                if prior is not None:
+                    # the SAME alias appearing again (alternation
+                    # branches, e.g. HTTPD_ERRORLOG = 2.0|2.4 both
+                    # defining 'message'): Oniguruma allows duplicate
+                    # group names, Python re does not — rename the
+                    # later group `alias__dupN`; the extractor
+                    # coalesces dup columns back into the base alias
+                    # (only one branch can have matched)
+                    dup_count[safe] = dup_count.get(safe, 1) + 1
+                    return f"(?P<{safe}__dup{dup_count[safe]}>{body})"
                 alias_origin[safe] = alias
                 types[safe] = typ or "string"
                 return f"(?P<{safe}>{body})"

@@ -37,8 +37,11 @@ __all__ = [
     "base64_decode",
     "pack_json",
     "appender",
+    "drop_last_key",
     "drop_keys",
     "pick_keys",
+    "encrypt_fields",
+    "log_to_metric",
 ]
 
 
@@ -206,15 +209,64 @@ def pack_json(
 
 
 def appender(
-    df: DataFrame, key: str, value_template: str, constants: dict[str, str] | None = None
+    df: DataFrame,
+    key: str,
+    value_template: str,
+    constants: dict[str, str] | None = None,
+    *,
+    sort_labels: bool = False,
 ) -> DataFrame:
     """Append a templated value to an existing key
     (processor_appender.go:31-42). ``{{var}}`` placeholders resolve
-    from *constants* (host/ip analogs) at plan time."""
+    from *constants* (host/ip analogs) at plan time.
+
+    ``sort_labels`` re-normalizes the result as a metric label string
+    (processor_appender.go:93-105 / MetricLabels): split on ``|``,
+    keep ``k#$#v`` pairs, sort by key, rejoin — when at least one pair
+    parses; otherwise the value is left as appended. Label strings are
+    short, so the interpreted array expressions here are off the
+    per-byte hot path."""
     v = value_template
     for name, const in (constants or {}).items():
         v = v.replace("{{" + name + "}}", const)
-    return df.withColumn(key, F.concat(F.coalesce(F.col(key), F.lit("")), F.lit(v)))
+    appended = F.concat(F.coalesce(F.col(key), F.lit("")), F.lit(v))
+    if not sort_labels:
+        return df.withColumn(key, appended)
+    parts = F.split(appended, r"\|")
+    kvs = F.filter(parts, lambda p: p.rlike("#\\$#"))
+    pairs = F.sort_array(
+        F.transform(
+            kvs,
+            lambda p: F.struct(
+                F.regexp_extract(p, r"^(.*?)#\$#", 1).alias("k"),
+                F.regexp_extract(p, r"^.*?#\$#(.*)$", 1).alias("v"),
+            ),
+        )
+    )
+    normalized = F.concat_ws(
+        "|", F.transform(pairs, lambda s: F.concat_ws("#$#", s["k"], s["v"]))
+    )
+    return df.withColumn(
+        key, F.when(F.size(kvs) > 0, normalized).otherwise(appended)
+    )
+
+
+def drop_last_key(
+    df: DataFrame, include: list[str], drop_key: str
+) -> DataFrame:
+    """Null out *drop_key* on rows where any *include* key is present
+    (processor_drop_last_key.go:62-80: the raw payload key is dropped
+    once a parse stage has produced any of the expected output keys —
+    keeping it only on rows that failed to parse)."""
+    if drop_key not in df.columns:
+        return df
+    present = [F.col(k).isNotNull() for k in include if k in df.columns]
+    if not present:
+        return df
+    cond = present[0]
+    for c in present[1:]:
+        cond = cond | c
+    return df.withColumn(drop_key, F.when(~cond, F.col(drop_key)))
 
 
 def encrypt_fields(

@@ -41,9 +41,13 @@ __all__ = [
     "parse_regex",
     "parse_grok",
     "parse_json",
+    "parse_json_typed",
     "parse_delimiter",
     "parse_keyvalue",
+    "parse_anchor",
+    "parse_apsara",
     "split_log_string",
+    "split_log_regex",
     "merge_multiline",
     "parse_timestamp",
 ]
@@ -247,7 +251,17 @@ def parse_grok(
             g = sub[hit].str.extract(p, expand=True)
             g = g.where(pd.notna(g), None)
             for col in g.columns:
-                out.loc[g.index, col] = g[col]
+                if isinstance(col, str) and "__dup" in col:
+                    # duplicate-alias group (alternation branch, see
+                    # functions/grok.py): fold into its base alias —
+                    # at most one branch matched, so base is null
+                    # wherever the dup has a value
+                    base = col.split("__dup")[0]
+                    if base in g.columns:
+                        g[base] = g[base].where(pd.notna(g[base]), g[col])
+            for col in g.columns:
+                if col in all_keys:
+                    out.loc[g.index, col] = g[col]
             matched.loc[g.index] = True
         out["__m"] = matched
         return out[[*all_keys, "__m"]]
@@ -338,9 +352,27 @@ def parse_delimiter(
     quote: str | None = None,
     keep_source: bool = True,
     discard_unmatched: bool = False,
+    preserve_others: bool = False,
+    expand_others: bool = False,
+    expand_key_prefix: str = "expand_",
+    max_expand: int = 8,
 ) -> DataFrame:
-    """Split on a separator into *keys* (split_char.go:34-44).
+    """Split on a separator into *keys* (split_char.go:34-44,
+    split_string.go:60-101).
 
+    Remainder handling mirrors the reference:
+
+    * default            — parts beyond *keys* are dropped.
+    * ``preserve_others`` — the unsplit remainder lands in a
+      ``_split_preserve_`` column (split_char.go:127-143).
+    * ``preserve_others + expand_others`` — extra parts become columns
+      ``{expand_key_prefix}1..N`` (split_string.go:92-99). The
+      reference expands unboundedly; a DataFrame schema is static, so
+      expansion is capped at *max_expand* columns with the tail of the
+      row (still unsplit) in the last expand column.
+
+    Short rows assign the available parts to the leading keys and
+    leave the rest NULL (split_string.go:80-88 assigns partial).
     Quoted mode delegates to ``from_csv`` (processor_csv semantics).
     """
     if quote:
@@ -357,11 +389,25 @@ def parse_delimiter(
         return _apply_unmatch_policy(
             out, matched, source_key, keep_source, discard_unmatched
         ).drop("__p")
-    parts = F.split(F.col(source_key), re.escape(separator))
+    n = len(keys)
+    n_extra = max_expand if (preserve_others and expand_others) else 0
+    # SplitN semantics: keep the tail unsplit past the last column we
+    # can land it in (limit = keys + expands, +1 for the remainder)
+    limit = n + n_extra + (0 if n_extra else 1)
+    parts = F.split(F.col(source_key), re.escape(separator), limit)
     out = df.withColumn("__p", parts)
-    matched = F.size(F.col("__p")) >= len(keys)
+    matched = F.size(F.col("__p")) >= n
+    # F.get (not getItem): out-of-range reads are NULL, not an ANSI
+    # ArrayIndexOutOfBounds error, giving the partial-assign semantics
     for i, k in enumerate(keys):
-        out = out.withColumn(k, F.when(matched, F.col("__p").getItem(i)))
+        out = out.withColumn(k, F.get(F.col("__p"), i))
+    if preserve_others and not expand_others:
+        out = out.withColumn("_split_preserve_", F.get(F.col("__p"), n))
+    elif preserve_others and expand_others:
+        for j in range(n_extra):
+            out = out.withColumn(
+                f"{expand_key_prefix}{j + 1}", F.get(F.col("__p"), n + j)
+            )
     return _apply_unmatch_policy(
         out, matched, source_key, keep_source, discard_unmatched
     ).drop("__p")

@@ -46,7 +46,12 @@ PROCESSORS: dict[str, ProcessorFn] = {
     "parse_delimiter": parse.parse_delimiter,
     "parse_keyvalue": parse.parse_keyvalue,
     "split_log_string": parse.split_log_string,
+    "split_log_regex": parse.split_log_regex,
+    "merge_multiline": parse.merge_multiline,
     "parse_timestamp": parse.parse_timestamp,
+    "parse_anchor": parse.parse_anchor,
+    "parse_apsara": parse.parse_apsara,
+    "parse_json_typed": parse.parse_json_typed,
     "add_fields": enrich.add_fields,
     "add_tags": enrich.add_tags,
     "rename": enrich.rename,
@@ -58,7 +63,10 @@ PROCESSORS: dict[str, ProcessorFn] = {
     "pack_json": enrich.pack_json,
     "appender": enrich.appender,
     "drop": enrich.drop_keys,
+    "drop_last_key": enrich.drop_last_key,
     "pick": enrich.pick_keys,
+    "encrypt": enrich.encrypt_fields,
+    "log_to_metric": enrich.log_to_metric,
     "filter_regex": flt.filter_regex,
     "filter_key_regex": flt.filter_key_regex,
     "filter_expression": flt.filter_expression,
@@ -149,6 +157,7 @@ class Pipeline:
         metrics=None,
         spark: SparkSession | None = None,
         metrics_path: str | None = None,
+        mode: str = "append",
     ) -> DataFrame:
         """Run + fan-out write with metrics collected via the
         ``Observation`` API — rows-in/rows-out are computed DURING the
@@ -165,7 +174,7 @@ class Pipeline:
             df = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
             routed = self.run(df).observe(obs_out, F.count(F.lit(1)).alias("n"))
             t0 = _time.monotonic()
-            rt.fanout_write(routed, base_path)
+            rt.fanout_write(routed, base_path, mode=mode)
             metrics.add(
                 "pipeline",
                 obs_in.get["n"],
@@ -176,5 +185,5 @@ class Pipeline:
                 metrics.write(spark, metrics_path)
             return routed
         routed = self.run(df)
-        rt.fanout_write(routed, base_path)
+        rt.fanout_write(routed, base_path, mode=mode)
         return routed

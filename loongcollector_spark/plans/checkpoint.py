@@ -13,10 +13,19 @@ Batch design: the input is split into deterministic **work units**
 a unit is complete or absent, never partial). A lineage table records
 ``(job_id, unit_id, status, rows_out)``; a rerun processes only units
 not yet committed and appends their outputs. Unit outputs land under
-``unit=<id>`` subdirectories, so a kill-and-rerun yields byte-identical
-final state to a clean single run (the reference's at-least-once +
-idempotent-commit contract; Iceberg snapshot commits play this role
-on a real deployment, parquet directories play it here).
+``__lc_unit=<id>`` subdirectories, so a kill-and-rerun yields
+byte-identical final state to a clean single run (the reference's
+at-least-once + idempotent-commit contract; Iceberg snapshot commits
+play this role on a real deployment, parquet directories play it here).
+
+Scale shape: ALL uncommitted units are processed by ONE job — a single
+input scan writing ``partitionBy(__lc_unit)`` with dynamic partition
+overwrite, per-unit row counts piggybacked on the write via the
+``Observation`` API, then one atomic lineage commit per produced unit
+directory. (An earlier design looped driver-side over units, filtering
+the full input once per unit plus a count() re-read per unit — ~O(units)
+read amplification at 100 TB; this shape is O(1) scans per resume
+attempt regardless of how many units remain.)
 """
 
 from __future__ import annotations
@@ -25,12 +34,17 @@ import json
 import os
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["CheckpointedRun", "unit_of", "run_with_checkpoint"]
+__all__ = ["CheckpointedRun", "unit_of", "run_with_checkpoint", "UNIT_COL"]
 
 LINEAGE_SCHEMA = "job_id string, unit_id int, status string, rows_out long"
+
+# partition/bookkeeping column; double-underscore + prefix so it cannot
+# collide with a user output column (a previous revision used 'unit'
+# and silently dropped any genuine output column of that name)
+UNIT_COL = "__lc_unit"
 
 
 def unit_of(conv_col, n_units: int):
@@ -57,10 +71,36 @@ class CheckpointedRun:
     def _path(self, unit_id: int) -> str:
         return os.path.join(self.dir, f"{self.job_id}_{unit_id}.json")
 
+    def _meta_path(self) -> str:
+        return os.path.join(self.dir, f"{self.job_id}__meta.json")
+
+    def ensure_meta(self, n_units: int, conv_col: str) -> None:
+        """Record the unit topology on first run; refuse a resume whose
+        topology differs — re-bucketing conversations across a
+        different ``n_units`` (or key column) would silently duplicate
+        or drop rows against already-committed units."""
+        p = self._meta_path()
+        if os.path.exists(p):
+            with open(p) as fh:
+                meta = json.load(fh)
+            if meta["n_units"] != n_units or meta["conv_col"] != conv_col:
+                raise ValueError(
+                    f"checkpoint topology mismatch for job {self.job_id!r}: "
+                    f"lineage was written with n_units={meta['n_units']} "
+                    f"conv_col={meta['conv_col']!r}, resume requested "
+                    f"n_units={n_units} conv_col={conv_col!r}"
+                )
+            return
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"job_id": self.job_id, "n_units": n_units,
+                       "conv_col": conv_col}, fh)
+        os.replace(tmp, p)
+
     def committed_units(self) -> set[int]:
         out = set()
         for f in os.listdir(self.dir):
-            if f.endswith(".json"):
+            if f.endswith(".json") and not f.endswith("__meta.json"):
                 with open(os.path.join(self.dir, f)) as fh:
                     rec = json.load(fh)
                 # match on the stored job_id field, not the filename
@@ -83,10 +123,22 @@ class CheckpointedRun:
             )
         os.replace(tmp, self._path(unit_id))  # atomic commit point
 
+    def total_rows_committed(self) -> int:
+        """Sum of committed per-unit output rows — lets callers report
+        rows_out without re-reading the output table."""
+        total = 0
+        for f in os.listdir(self.dir):
+            if f.endswith(".json") and not f.endswith("__meta.json"):
+                with open(os.path.join(self.dir, f)) as fh:
+                    rec = json.load(fh)
+                if rec.get("job_id") == self.job_id and rec.get("status") == "committed":
+                    total += rec.get("rows_out", 0)
+        return total
+
     def lineage(self) -> DataFrame:
         rows = []
         for f in sorted(os.listdir(self.dir)):
-            if f.endswith(".json"):
+            if f.endswith(".json") and not f.endswith("__meta.json"):
                 with open(os.path.join(self.dir, f)) as fh:
                     rec = json.load(fh)
                 if rec.get("job_id") == self.job_id:
@@ -108,32 +160,77 @@ def run_with_checkpoint(
     n_units: int = 8,
     fail_after_units: int | None = None,
 ) -> DataFrame:
-    """Process work units not yet committed; append each unit's output
-    under ``unit=<id>`` then atomically record lineage. Rerun-safe:
-    committed units are skipped (no duplicates), uncommitted partial
-    writes are overwritten by the rerun (overwrite-per-unit-dir =
-    idempotent commit).
+    """Process all work units not yet committed in ONE input scan:
+    filter to the uncommitted unit set, apply *transform*, write
+    ``partitionBy(__lc_unit)`` with dynamic partition overwrite (only
+    the attempted unit directories are replaced — committed ones are
+    untouched, partial leftovers from a crash are overwritten), then
+    atomically record lineage per produced unit with row counts taken
+    from the write job itself (``Observation`` — no output re-read).
+    Rerun-safe: committed units are skipped (no duplicates).
+
+    *transform* must be unit-local — it may aggregate within a
+    conversation but not across conversations (the same property that
+    makes per-unit checkpointing restartable at all) — and its output
+    must retain *conv_col* so rows can be attributed to their unit.
 
     ``fail_after_units`` injects a crash for tests (simulating the
-    reference's kill-and-resume e2e scenarios).
+    reference's kill-and-resume e2e scenarios): only the first k
+    uncommitted units are attempted, committed, then the crash raises.
     """
     ck = CheckpointedRun(spark, lineage_dir, job_id)
+    ck.ensure_meta(n_units, conv_col)
     done = ck.committed_units()
-    tagged = df.withColumn("__unit", unit_of(F.col(conv_col), n_units))
-    processed = 0
-    for unit in range(n_units):
-        if unit in done:
-            continue
-        part = tagged.filter(F.col("__unit") == unit).drop("__unit")
+    todo = [u for u in range(n_units) if u not in done]
+    attempt = todo if fail_after_units is None else todo[: fail_after_units]
+
+    if attempt:
+        if UNIT_COL in df.columns:
+            raise ValueError(f"input already has a {UNIT_COL!r} column")
+        # clear crash leftovers for attempted units up front: dynamic
+        # overwrite only replaces partitions the new write produces, so
+        # a unit whose rerun output is EMPTY would otherwise keep stale
+        # partial files (Iceberg's transactional replace subsumes this
+        # on a real deployment)
+        import shutil
+
+        for u in attempt:
+            leftover = os.path.join(out_dir, f"{UNIT_COL}={u}")
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        part = df.filter(
+            unit_of(F.col(conv_col), n_units).isin(attempt)
+        )
         out = transform(part)
-        path = os.path.join(out_dir, f"unit={unit}")
-        out.write.mode("overwrite").parquet(path)
-        rows = spark.read.parquet(path).count()
-        ck.commit(unit, rows)
-        processed += 1
-        if fail_after_units is not None and processed >= fail_after_units:
-            raise RuntimeError(f"injected failure after {processed} units")
+        if conv_col not in out.columns:
+            raise ValueError(
+                f"transform output lost {conv_col!r}; checkpointed "
+                "transforms must retain the unit key column"
+            )
+        tagged = out.withColumn(UNIT_COL, unit_of(F.col(conv_col), n_units))
+        obs = Observation()
+        counted = tagged.observe(
+            obs,
+            *[
+                F.coalesce(
+                    F.sum((F.col(UNIT_COL) == u).cast("long")), F.lit(0)
+                ).alias(f"u{u}")
+                for u in attempt
+            ],
+        )
+        (
+            counted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(UNIT_COL)
+            .parquet(out_dir)
+        )
+        counts = obs.get
+        for u in attempt:
+            ck.commit(u, counts[f"u{u}"])
+        if fail_after_units is not None and len(attempt) >= fail_after_units:
+            raise RuntimeError(f"injected failure after {len(attempt)} units")
+
     result = spark.read.parquet(out_dir)
-    # the unit=<id> directory layout surfaces as a partition column;
-    # drop it so checkpointed and direct runs share one output schema
-    return result.drop("unit") if "unit" in result.columns else result
+    # the __lc_unit=<id> directory layout surfaces as a partition
+    # column; drop it so checkpointed and direct runs share one schema
+    return result.drop(UNIT_COL) if UNIT_COL in result.columns else result

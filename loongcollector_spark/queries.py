@@ -566,6 +566,26 @@ def q_apsara(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delimiter_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_delimiter with PreserveOthers+ExpandOthers
+    (split_string.go:92-99): first two space-separated fields named,
+    the rest expanded into expand_1..3 with the unsplit tail in the
+    last expand column."""
+    tx = load_transcripts(spark, sf_dir).filter(F.col("text").startswith("level="))
+    out = parse.parse_delimiter(
+        tx,
+        "text",
+        " ",
+        ["f1", "f2"],
+        preserve_others=True,
+        expand_others=True,
+        max_expand=3,
+    )
+    return out.select(
+        "conv_id", "turn_idx", "f1", "f2", "expand_1", "expand_2", "expand_3"
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation pipeline: fingerprint-dedup →
     quality gate → per-language corpus stats. One Catalyst plan:
@@ -1005,6 +1025,19 @@ def _language_id_oracle_sql() -> str:
     """
 
 
+ORACLES["delimiter_expand"] = f"""
+    WITH transcripts AS ({_TX}),
+    t AS (
+      SELECT conv_id, turn_idx, string_split(text, ' ') AS tk
+      FROM transcripts WHERE text LIKE 'level=%'
+    )
+    SELECT conv_id, turn_idx,
+           tk[1] AS f1, tk[2] AS f2, tk[3] AS expand_1, tk[4] AS expand_2,
+           CASE WHEN len(tk) >= 5
+                THEN array_to_string(tk[5:], ' ') ELSE NULL END AS expand_3
+    FROM t
+"""
+
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
 ORACLES["simhash"] = _simhash_oracle_sql()
 ORACLES["language_id"] = _language_id_oracle_sql()
@@ -1039,6 +1072,7 @@ QUERIES = {
     "split_explode": q_split_explode,
     "anchor_extract": q_anchor_extract,
     "log_to_metric": q_log_to_metric,
+    "delimiter_expand": q_delimiter_expand,
     "timestamp_roundtrip": q_timestamp_roundtrip,
     # fuzzy-dedup / text trio: oracle hash mode (md5 kernel) — full
     # value-hash checkable; bench measures the xxhash64 production mode

@@ -149,3 +149,86 @@ def test_rate_limit(spark):
     counts = {r.key: r["cnt"] for r in
               out.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
     assert counts == {"k": 3, "k2": 2}
+
+
+def test_delimiter_preserve_others(spark):
+    from loongcollector_spark.operators.parse import parse_delimiter
+
+    df = spark.createDataFrame([("a|b|c|d|e",), ("a|b",), ("a",)], ["line"])
+    out = parse_delimiter(
+        df, "line", "|", ["f1", "f2"], preserve_others=True
+    )
+    rows = {r.line: (r.f1, r.f2, r["_split_preserve_"]) for r in out.collect()}
+    # remainder is kept UNSPLIT (SplitN semantics, split_char.go:127-143)
+    assert rows["a|b|c|d|e"] == ("a", "b", "c|d|e")
+    assert rows["a|b"] == ("a", "b", None)
+    # short row: partial assignment (split_string.go:80-88)
+    assert rows["a"] == ("a", None, None)
+
+
+def test_delimiter_expand_others(spark):
+    from loongcollector_spark.operators.parse import parse_delimiter
+
+    df = spark.createDataFrame([("a|b|c|d|e|f",), ("a|b|c",)], ["line"])
+    out = parse_delimiter(
+        df,
+        "line",
+        "|",
+        ["f1", "f2"],
+        preserve_others=True,
+        expand_others=True,
+        expand_key_prefix="ex_",
+        max_expand=3,
+    )
+    rows = {r.line: (r.f1, r.f2, r.ex_1, r.ex_2, r.ex_3) for r in out.collect()}
+    # extras become ex_1..N; tail past max_expand stays unsplit in ex_3
+    assert rows["a|b|c|d|e|f"] == ("a", "b", "c", "d", "e|f")
+    assert rows["a|b|c"] == ("a", "b", "c", None, None)
+
+
+def test_drop_last_key(spark):
+    from loongcollector_spark.operators.enrich import drop_last_key
+
+    df = spark.createDataFrame(
+        [("raw1", "parsed", None), ("raw2", None, None)],
+        "content string, ip string, method string",
+    )
+    out = drop_last_key(df, ["ip", "method"], "content")
+    rows = {(r.ip or "miss"): r.content for r in out.collect()}
+    assert rows["parsed"] is None  # parse produced keys -> raw dropped
+    assert rows["miss"] == "raw2"  # nothing parsed -> raw kept
+
+
+def test_appender_sort_labels(spark):
+    from loongcollector_spark.operators.enrich import appender
+
+    df = spark.createDataFrame([("z#$#9|a#$#1",)], ["labels"])
+    out = appender(
+        df, "labels", "|m#$#5", sort_labels=True
+    )
+    assert out.first().labels == "a#$#1|m#$#5|z#$#9"
+    # value without any k#$#v pair is left as appended
+    df2 = spark.createDataFrame([("plain",)], ["labels"])
+    out2 = appender(df2, "labels", "-suffix", sort_labels=True)
+    assert out2.first().labels == "plain-suffix"
+
+
+def test_registry_reaches_all_survey_operators():
+    """Every SURVEY §2 processor implemented in the package must be
+    reachable from a config-driven pipeline spec dict."""
+    from loongcollector_spark.pipeline import PROCESSORS
+
+    required = {
+        "parse_regex", "parse_grok", "parse_json", "parse_json_typed",
+        "parse_delimiter", "parse_keyvalue", "parse_anchor",
+        "parse_apsara", "split_log_string", "split_log_regex",
+        "merge_multiline", "parse_timestamp", "add_fields", "add_tags",
+        "rename", "string_replace", "desensitize", "md5",
+        "base64_encode", "base64_decode", "pack_json", "appender",
+        "drop", "drop_last_key", "pick", "encrypt", "log_to_metric",
+        "filter_regex", "filter_key_regex", "filter_expression",
+        "fields_with_condition", "rate_limit", "stable_order",
+        "pack_groups", "shard_repartition",
+    }
+    missing = required - set(PROCESSORS)
+    assert missing == set()

@@ -178,3 +178,75 @@ def test_parse_timestamp(spark):
     df2 = spark.createDataFrame([("1704067200",)], ["t"])
     row2 = parse_timestamp(df2, "t", "", dest_key="pts", epoch_unit="seconds").first()
     assert row2.pts.year == 2024
+
+
+# full default key set of the reference's grok pattern library
+# (plugins/processor/grok/processor_grok_default_patterns.go — the
+# standard public Logstash grok-patterns names)
+_REF_GROK_KEYS = [
+    "BASE10NUM", "BASE16FLOAT", "BASE16NUM", "CISCOMAC",
+    "COMBINEDAPACHELOG", "COMMONAPACHELOG", "COMMONMAC", "DATA", "DATE",
+    "DATESTAMP", "DATESTAMP_EVENTLOG", "DATESTAMP_OTHER",
+    "DATESTAMP_RFC2822", "DATESTAMP_RFC822", "DATE_EU", "DATE_US", "DAY",
+    "EMAILADDRESS", "EMAILLOCALPART", "GREEDYDATA", "HOST", "HOSTNAME",
+    "HOSTPORT", "HOUR", "HTTPD20_ERRORLOG", "HTTPD24_ERRORLOG",
+    "HTTPDATE", "HTTPDERROR_DATE", "HTTPDUSER", "HTTPD_ERRORLOG", "INT",
+    "IP", "IPORHOST", "IPV4", "IPV6", "ISO8601_SECOND",
+    "ISO8601_TIMEZONE", "LOGLEVEL", "MAC", "MINUTE", "MONTH", "MONTHDAY",
+    "MONTHNUM", "MONTHNUM2", "NONNEGINT", "NOTSPACE", "NUMBER", "PATH",
+    "POSINT", "PROG", "QS", "QUOTEDSTRING", "SECOND", "SPACE",
+    "SYSLOGBASE", "SYSLOGFACILITY", "SYSLOGHOST", "SYSLOGPROG",
+    "SYSLOGTIMESTAMP", "TIME", "TIMESTAMP_ISO8601", "TTY", "TZ",
+    "UNIXPATH", "URI", "URIHOST", "URIPARAM", "URIPATH", "URIPATHPARAM",
+    "URIPROTO", "URN", "USER", "USERNAME", "UUID", "WINDOWSMAC",
+    "WINPATH", "WORD", "YEAR",
+]
+
+
+def test_grok_default_pattern_parity():
+    """Every default pattern name the reference ships must exist and
+    compile (a user pasting any stock %{NAME} expression must not hit
+    GrokError)."""
+    from loongcollector_spark.functions.grok import DEFAULT_PATTERNS, compile_grok
+
+    missing = [k for k in _REF_GROK_KEYS if k not in DEFAULT_PATTERNS]
+    assert missing == []
+    for k in _REF_GROK_KEYS:
+        pat, _ = compile_grok("%{" + k + ":v}")
+        assert pat is not None
+
+
+def test_grok_new_patterns_match_samples():
+    from loongcollector_spark.functions.grok import compile_grok
+
+    samples = {
+        "IPV6": "2001:db8::8a2e:370:7334",
+        "HOSTPORT": "example.com:8080",
+        "URI": "https://user:pw@example.com:443/a/b?x=1",
+        "URN": "urn:ietf:rfc:2648",
+        "DATESTAMP_RFC822": "Mon Jan 15 2024 12:30:45 PST",
+        "DATESTAMP_RFC2822": "Mon, 15 Jan 2024 12:30:45 +0100",
+        "DATESTAMP_EVENTLOG": "20240115123045",
+        "TTY": "/dev/pts/3",
+        "BASE16FLOAT": "0x1f.8",
+        "DAY": "Wednesday",
+    }
+    for name, sample in samples.items():
+        pat, _ = compile_grok("^%{" + name + ":v}$")
+        assert pat.match(sample), f"{name} failed on {sample!r}"
+
+
+def test_grok_httpd_errorlog_alternation(spark):
+    """HTTPD_ERRORLOG's two branches share alias names; duplicate
+    groups are renamed at compile time and coalesced at extraction."""
+    from loongcollector_spark.operators.parse import parse_grok
+
+    rows = [
+        (1, "[Mon Jan 15 12:30:45 2024] [error] [client 1.2.3.4] oh no"),
+        (2, "[Mon Jan 15 12:30:45 2024] [core:warn] [pid 77] boom happened"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = parse_grok(df, "text", ["%{HTTPD_ERRORLOG}"])
+    got = {r.id: (r.loglevel, r.message) for r in out.collect()}
+    assert got[1] == ("error", "oh no")
+    assert got[2] == ("warn", "boom happened")
