@@ -2,12 +2,14 @@
 
 Training-data-pipeline addition: media travels as ``binary`` columns
 with a typed metadata struct; decode / feature-extract / resize /
-frame-sample run as Arrow-batched ``mapInPandas`` stages. The decode
-kernels themselves are STUBBED (the image/audio libraries are not in
-this container): ``deterministic_fake=True`` produces seeded fake
-features so the Spark-side plumbing — schema, batch shape,
-partitioning — is real and testable; ``deterministic_fake=False``
-raises NotImplementedError where a real codec call would go.
+frame-sample run as Arrow-batched ``mapInPandas`` stages.
+
+Decode is REAL for PNG and WAV — pure stdlib/NumPy codecs
+(functions/codecs.py) since the container ships no Pillow/soundfile —
+and stubbed for JPEG/MP4 (``mode='fake'`` produces sha256-seeded
+deterministic features; ``mode='strict'`` raises where a real codec
+call would go; the default ``mode='auto'`` decodes what it can and
+falls back to the deterministic fake).
 
 Batch-shape contract: every stage is ``iterator[pd.DataFrame] →
 iterator[pd.DataFrame]`` so Spark streams Arrow batches without
@@ -20,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,6 +32,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]
 
@@ -48,7 +52,9 @@ def attach_media_metadata(
     df: DataFrame, binary_col: str = "media", meta_col: str = "media_meta"
 ) -> DataFrame:
     """Derive cheap metadata without decoding: size + magic-byte format
-    sniffing — pure JVM expressions over the binary column."""
+    sniffing — pure JVM expressions over the binary column. PNG
+    width/height come straight from the IHDR chunk (big-endian u32 at
+    fixed offsets 17/21 — no inflate needed)."""
     b = F.col(binary_col)
     head = F.hex(F.substring(b, 1, 4))
     fmt = (
@@ -64,13 +70,20 @@ def attach_media_metadata(
         .when(fmt == "mp4", "video")
         .otherwise("unknown")
     )
+
+    def _be32(offset: int):
+        return F.conv(F.hex(F.substring(b, offset, 4)), 16, 10).cast("int")
+
+    is_png = head.startswith("89504E47") & (F.length(b) >= 24)
+    width = F.when(is_png, _be32(17)).otherwise(F.lit(None).cast("int"))
+    height = F.when(is_png, _be32(21)).otherwise(F.lit(None).cast("int"))
     return df.withColumn(
         meta_col,
         F.struct(
             media_type.alias("media_type"),
             fmt.alias("format"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            width.alias("width"),
+            height.alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
             F.length(b).cast("long").alias("size_bytes"),
         ),
@@ -94,32 +107,117 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return out
 
 
+def _real_feature(payload: bytes, dim: int) -> list[float] | None:
+    """Decode PNG/WAV and produce a dim-length signal vector:
+    images → block-mean grayscale thumbnail in [-1, 1);
+    audio  → per-window RMS energy in [0, 1]. None if undecodable."""
+    from ..functions import codecs
+
+    try:
+        if payload.startswith(b"\x89PNG"):
+            img = codecs.decode_png(payload)
+            gray = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 else (
+                img[:, :, 0].astype(np.float64)
+            )
+            side = max(int(np.ceil(np.sqrt(dim))), 1)
+            thumb = codecs.resize_block_mean(gray.astype(np.uint8), side, side)
+            flat = thumb[:, :, 0].astype(np.float64).reshape(-1)[:dim]
+            vec = (flat / 127.5) - 1.0
+        elif payload.startswith(b"RIFF"):
+            samples, _rate = codecs.decode_wav(payload)
+            mono = samples.astype(np.float64).mean(axis=1)
+            if len(mono) == 0:
+                return [0.0] * dim
+            windows = np.array_split(mono, dim)
+            vec = np.array(
+                [np.sqrt(np.mean(w**2)) / 32768.0 if len(w) else 0.0 for w in windows]
+            )
+        else:
+            return None
+        out = np.zeros(dim)
+        out[: len(vec)] = vec[:dim]
+        return out.tolist()
+    except Exception:  # corrupt media row → undecodable, never job-fatal
+        return None
+
+
 def extract_features(
     df: DataFrame,
     binary_col: str = "media",
     dest: str = "features",
     dim: int = 16,
-    deterministic_fake: bool = True,
+    deterministic_fake: bool | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Feature extraction over Arrow batches (mapInPandas).
 
-    Real deployment: replace ``_fake_feature`` with the model/codec
-    call — the schema, batching, and partition contract are unchanged.
+    ``mode``: 'auto' (real decode for PNG/WAV, deterministic fake for
+    formats without a codec here), 'real' (undecodable → NULL),
+    'fake' (always the sha256 fake), 'strict' (raise on undecodable —
+    the old NotImplementedError site).
+
+    ``deterministic_fake`` is the legacy flag: True → 'fake',
+    False → 'strict'.
     """
+    if deterministic_fake is not None:
+        mode = "fake" if deterministic_fake else "strict"
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(dest, T.ArrayType(T.DoubleType()))]
     )
 
+    def one(b) -> list[float] | None:
+        payload = bytes(b) if b is not None else b""
+        if mode == "fake":
+            return _fake_feature(payload, dim)
+        real = _real_feature(payload, dim)
+        if real is not None:
+            return real
+        if mode == "auto":
+            return _fake_feature(payload, dim)
+        if mode == "strict":
+            raise NotImplementedError(
+                "no codec for this media format in this environment "
+                "(PNG and WAV decode natively; JPEG/MP4 need Pillow/ffmpeg)"
+            )
+        return None  # mode == 'real'
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries not present "
-                    "in this environment; use deterministic_fake=True"
-                )
-            pdf[dest] = pdf[binary_col].map(
-                lambda b: _fake_feature(bytes(b) if b is not None else b"", dim)
-            )
+            pdf[dest] = pdf[binary_col].map(one)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str = "media",
+    dest: str = "resized",
+    height: int = 64,
+    width: int = 64,
+) -> DataFrame:
+    """Decode PNG → block-mean resize → re-encode PNG, streamed over
+    Arrow batches. Non-PNG rows yield NULL (JPEG needs a codec this
+    container lacks)."""
+    from ..functions import codecs
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(dest, T.BinaryType())]
+    )
+
+    def one(b):
+        payload = bytes(b) if b is not None else b""
+        if not payload.startswith(b"\x89PNG"):
+            return None
+        try:
+            img = codecs.decode_png(payload)
+            return codecs.encode_png(codecs.resize_block_mean(img, height, width))
+        except ValueError:
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[dest] = pdf[binary_col].map(one)
             yield pdf
 
     return df.mapInPandas(run, out_schema)
@@ -133,8 +231,9 @@ def sample_frames(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Frame sampling for video columns: emits an array of per-frame
-    binary payloads (fake: deterministic byte slices). Shows the
-    explode-ready array-of-binary contract."""
+    binary payloads (fake: deterministic byte slices — no video codec
+    ships in this container). Shows the explode-ready array-of-binary
+    contract."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(dest, T.ArrayType(T.BinaryType()))]
     )

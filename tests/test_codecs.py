@@ -1,0 +1,123 @@
+"""Real PNG/WAV codec tests: spec-level decode against reference byte
+constructions, round-trips, and the Spark multimodal stages over them."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from loongcollector_spark.functions import codecs
+
+
+def _png_manual(img, filter_type=0):
+    """Independent PNG construction (not via encode_png) with a chosen
+    filter type per scanline, to test the decoder's unfiltering."""
+    h, w, ch = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int16)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 2:  # Up
+            filt = (cur - prev) % 256
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, dtype=np.int16), cur[:-ch]])
+            filt = (cur - left) % 256
+        prev = cur
+        lines.append(bytes([filter_type]) + bytes(filt.astype(np.uint8)))
+    raw = b"".join(lines)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2])
+def test_png_decode_filters(filter_type):
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+    data = _png_manual(img, filter_type)
+    out = codecs.decode_png(data)
+    assert out.shape == (5, 4, 3)
+    assert np.array_equal(out, img)
+
+
+def test_png_roundtrip_all_channels():
+    rng = np.random.RandomState(11)
+    for ch in (1, 3, 4):
+        img = rng.randint(0, 256, (8, 6, ch), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+def test_wav_roundtrip():
+    rng = np.random.RandomState(3)
+    samples = rng.randint(-30000, 30000, (400, 2)).astype(np.int16)
+    data = codecs.encode_wav(samples, 16000)
+    out, rate = codecs.decode_wav(data)
+    assert rate == 16000
+    assert np.array_equal(out, samples)
+
+
+def test_resize_block_mean_exact():
+    img = np.zeros((4, 4, 1), dtype=np.uint8)
+    img[:2, :2] = 100
+    img[2:, 2:] = 200
+    out = codecs.resize_block_mean(img, 2, 2)
+    assert out[0, 0, 0] == 100 and out[1, 1, 0] == 200
+    assert out[0, 1, 0] == 0
+
+
+def test_spark_real_decode_pipeline(spark):
+    from loongcollector_spark.operators import multimodal
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    png = codecs.encode_png(img)
+    wav = codecs.encode_wav(
+        (10000 * np.sin(np.arange(800) / 5)).astype(np.int16), 8000
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(b"not-media"))],
+        "id long, media binary",
+    )
+    # metadata: real PNG dimensions from IHDR, JVM-side
+    meta = {r.id: r.media_meta for r in multimodal.attach_media_metadata(df).collect()}
+    assert (meta[1].width, meta[1].height) == (16, 16)
+    assert meta[2].format == "wav"
+    # real feature extraction (strict would raise on id=3, auto fakes it)
+    feats = {
+        r.id: r.features
+        for r in multimodal.extract_features(df, dim=16, mode="auto").collect()
+    }
+    expected_thumb = codecs.resize_block_mean(
+        img[:, :, :3].mean(axis=2).astype(np.uint8), 4, 4
+    )[:, :, 0].reshape(-1)
+    assert feats[1] == pytest.approx((expected_thumb / 127.5 - 1.0).tolist())
+    assert all(0.0 <= v <= 1.0 for v in feats[2])  # RMS energies
+    assert len(feats[3]) == 16  # fake fallback, deterministic
+    # real-mode returns NULL for undecodable rather than faking
+    real = {
+        r.id: r.features
+        for r in multimodal.extract_features(df, dim=16, mode="real").collect()
+    }
+    assert real[3] is None and real[1] is not None
+    # resize: decode -> block-mean -> re-encode, verify round-trip dims
+    rs = {
+        r.id: r.resized
+        for r in multimodal.resize_images(df, height=4, width=4).collect()
+    }
+    small = codecs.decode_png(bytes(rs[1]))
+    assert small.shape == (4, 4, 3)
+    assert rs[3] is None
