@@ -87,11 +87,12 @@ def pack_groups(
     aggregator_metadata_group GroupMaxByteLength).
 
     Count-only caps use a closed-form window expression (codegen'd).
-    Byte caps follow the reference's sequential add-then-rotate loop
+    Byte caps follow the reference's sequential rotate-before-add loop
     — BOTH counters reset at each rotation, which has no closed form
     — via ``applyInPandas`` per group, Arrow-batched, deterministic
-    under the stable order. A pack may exceed the byte cap by at most
-    one row (add-then-rotate), exactly like the reference.
+    under the stable order. Rotation happens BEFORE adding the row
+    that would overflow (aggregator_base.go:107), so a pack only
+    exceeds the byte cap when a single row alone does.
     """
     if max_bytes is None:
         w = W.partitionBy(*group_cols).orderBy(order_col)

@@ -22,7 +22,7 @@ are broadcast hash joins (no shuffle of the fact table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -102,7 +102,16 @@ def dict_map(
         F.col(dim_key).alias("__dk"), F.col(dim_value).alias("__dv")
     ).dropDuplicates(["__dk"])
     if max_dict_size:
-        sel = sel.limit(max_dict_size)
+        # deterministic truncation: which entries survive the cap must
+        # not depend on partitioning/plan choice (the reference
+        # truncates in stable config-file order; a DataFrame dim has
+        # no config order, so key order is the stable analog)
+        w = W.orderBy("__dk")
+        sel = (
+            sel.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_dict_size)
+            .drop("__rn")
+        )
     joined = df.join(F.broadcast(sel), df[source_key] == sel["__dk"], "left")
     mapped = F.col("__dv")
     if handle_missing:

@@ -64,16 +64,24 @@ def stream_pipeline_to_sinks(
     available_now: bool = True,
 ):
     """Run the pipeline per micro-batch and fan-out-write each batch
-    (foreachBatch = Router.Route + flusher send; the checkpoint dir
-    gives exactly-once across restarts like the reference's queue
-    checkpoints)."""
+    (foreachBatch = Router.Route + flusher send).
+
+    Exactly-once output: foreachBatch alone is at-least-once (a batch
+    retried after a mid-write failure would re-append), so each batch
+    writes under its own ``__batch_id=<id>`` partition with DYNAMIC
+    partition overwrite — a replayed batch id replaces its previous
+    partial output instead of duplicating it. Combined with the
+    checkpointed source offsets this is the reference's
+    at-least-once-retry + idempotent-commit contract
+    (core/checkpoint/RangeCheckpoint.h:27-31)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         routed = pipe.run(batch_df)
         (
             routed.withColumn("__batch_id", F.lit(batch_id))
-            .write.partitionBy("sink")
-            .mode("append")
+            .write.partitionBy("__batch_id", "sink")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
             .parquet(base_path)
         )
 

@@ -147,3 +147,55 @@ def test_stateful_conv_counter(spark, tx_path, tmp_path):
     }
     got = {r.conv_id: r.n for r in rows}
     assert got == want
+
+
+def test_flagship_spec_stream_equals_batch_rowlevel(spark, tx_path, tmp_path):
+    """The FULL flagship pipeline spec (regex parse + broadcast
+    dict_map enrich + tag + router fan-out) produces row-identical
+    sink outputs under batch and streaming execution — the reference's
+    shared processor interface property (pkg/pipeline/processor.go:
+    31-39), checked at (conv_id, turn_idx, sink, text, role_class)
+    granularity, not just counts."""
+    from loongcollector_spark.queries import NGINX_KEYS, NGINX_REGEX, ROLE_DIM
+
+    spec = {
+        "processors": [
+            {"type": "parse_regex", "source_key": "text",
+             "regex": NGINX_REGEX, "keys": NGINX_KEYS},
+            {"type": "dict_map", "dim": "role_dim", "source_key": "role",
+             "dest_key": "role_class", "handle_missing": True,
+             "missing": "Unknown"},
+            {"type": "add_tags", "tags": {"pipeline": "equiv-test"}},
+        ],
+        "router": {
+            "source_key": "role",
+            "rules": [
+                {"regex": "assistant", "sink": "sink_assistant"},
+                {"regex": "tool", "sink": "sink_tool"},
+                {"regex": "user|system", "sink": "sink_human"},
+            ],
+            "default_sink": "sink_default",
+        },
+    }
+    dims = {
+        "role_dim": spark.createDataFrame(ROLE_DIM, ["role", "role_class", "priority"])
+    }
+    pipe = Pipeline(spec, dims)
+
+    out = str(tmp_path / "stream_out")
+    q = stream_pipeline_to_sinks(
+        read_transcript_stream(spark, tx_path, max_files_per_trigger=3),
+        pipe,
+        out,
+        str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+
+    cols = ["conv_id", "turn_idx", "sink", "text", "role_class", "status"]
+    streamed = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+    batch = {
+        tuple(r)
+        for r in pipe.run(spark.read.parquet(tx_path)).select(*cols).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
