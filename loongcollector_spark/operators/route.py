@@ -63,10 +63,12 @@ def route(df: DataFrame, cfg: RouterConfig, sink_col: str = "sink") -> DataFrame
     routed output is a MULTISET over (row, sink), exactly the
     reference's group-copy behavior (Router.cpp:62-80).
 
-    Plan shape: ONE scan. Each row builds a (usually 1-element) sink
-    array — first-match chain + copy sinks — and explodes it. The
+    Plan shape: ONE scan. With copy sinks, each row builds a sink
+    array — first-match chain + copy sinks — and explodes it (the
     union-per-extra-sink alternative re-reads the 100 TB input once
-    per copy sink; this stays a single narrow pass.
+    per copy sink). Without copy sinks — the common config — the sink
+    is just the when-chain column: no array, no explode, zero extra
+    allocation per row in the generated code.
     """
     chain: Column | None = None
     src = F.col(cfg.source_key)
@@ -79,6 +81,10 @@ def route(df: DataFrame, cfg: RouterConfig, sink_col: str = "sink") -> DataFrame
         chain = F.lit(cfg.default_sink)
     elif cfg.default_sink is not None and not cfg.drop_dismatch:
         chain = chain.otherwise(F.lit(cfg.default_sink))
+    if not cfg.unconditional_sinks and not cfg.tag_copy_sinks:
+        out = df.withColumn(sink_col, chain)
+        # null chain = dismatch under drop_dismatch (no otherwise)
+        return out.filter(F.col(sink_col).isNotNull()) if cfg.drop_dismatch else out
     empty = F.array().cast("array<string>")
     arr = F.array(chain)
     for s in cfg.unconditional_sinks:

@@ -114,3 +114,22 @@ def test_pandas_parse_is_arrow_batched(spark, raw):
     )
     plan = plan_of(out)
     assert "ArrowEvalPython" in plan
+
+
+def test_route_simple_config_has_no_explode(spark, sf_dir):
+    """Without copy sinks the router is a pure when-chain projection —
+    no Generate/explode node, no per-row array allocation."""
+    from loongcollector_spark.operators import route as rt
+    from loongcollector_spark.queries import DEFAULT_SINK, ROUTER_RULES
+
+    tx = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cfg = rt.RouterConfig("event_type", list(ROUTER_RULES), DEFAULT_SINK)
+    plan = rt.route(tx, cfg)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+
+    cfg2 = rt.RouterConfig(
+        "event_type", list(ROUTER_RULES), DEFAULT_SINK,
+        unconditional_sinks=["sink_audit"],
+    )
+    plan2 = rt.route(tx, cfg2)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan2  # copy semantics still use the explode
