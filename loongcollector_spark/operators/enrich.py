@@ -41,6 +41,7 @@ __all__ = [
     "drop_keys",
     "pick_keys",
     "encrypt_fields",
+    "decrypt_fields",
     "log_to_metric",
 ]
 
@@ -283,13 +284,22 @@ def encrypt_fields(
     source_keys: list[str],
     key_hex: str,
     *,
-    mode: str = "GCM",
-    iv_hex: str | None = None,
+    mode: str = "CBC",
+    iv_hex: str | None = "0" * 32,
+    reference_layout: bool = True,
 ) -> DataFrame:
-    """AES field encryption (processor_encrypt.go:57-68 capability) via
-    JVM ``aes_encrypt`` — key distributed as a literal into codegen,
-    no Python. GCM default (CBC without padding is not exposed by
-    Spark; semantic parity is 'field value -> AES ciphertext hex')."""
+    """AES field encryption via JVM ``aes_encrypt`` — key distributed
+    as a literal into codegen, no Python.
+
+    Defaults mirror the reference (processor_encrypt.go:52-55,125-143):
+    AES-CBC with PKCS padding and an all-zero 16-byte IV (its
+    ``newEncryptionInfo`` default), deterministic output. Spark always
+    prepends the IV to CBC ciphertext; the reference emits bare
+    ciphertext when the IV is explicit, so ``reference_layout`` strips
+    the prepended IV for byte-layout parity. Pass ``iv_hex=None`` for
+    a random IV per value (kept prepended — the reference prepends in
+    that mode too, :130-133), or ``mode='GCM'`` for authenticated
+    encryption."""
     for k in source_keys:
         args = [
             F.col(k).cast("binary"),
@@ -299,7 +309,33 @@ def encrypt_fields(
         ]
         if iv_hex is not None:
             args.append(F.unhex(F.lit(iv_hex)))
-        df = df.withColumn(k, F.hex(F.aes_encrypt(*args)))
+        enc = F.aes_encrypt(*args)
+        if iv_hex is not None and mode == "CBC" and reference_layout:
+            enc = F.substring(enc, 17, 2**31 - 17)
+        df = df.withColumn(k, F.hex(enc))
+    return df
+
+
+def decrypt_fields(
+    df: DataFrame,
+    source_keys: list[str],
+    key_hex: str,
+    *,
+    mode: str = "CBC",
+    iv_hex: str | None = "0" * 32,
+) -> DataFrame:
+    """Inverse of :func:`encrypt_fields` (same defaults): re-attach the
+    IV the reference layout stripped, then JVM ``aes_decrypt``."""
+    for k in source_keys:
+        data = F.unhex(F.col(k))
+        if iv_hex is not None and mode == "CBC":
+            data = F.concat(F.unhex(F.lit(iv_hex)), data)
+        df = df.withColumn(
+            k,
+            F.aes_decrypt(
+                data, F.unhex(F.lit(key_hex)), F.lit(mode), F.lit("DEFAULT")
+            ).cast("string"),
+        )
     return df
 
 

@@ -66,6 +66,7 @@ PROCESSORS: dict[str, ProcessorFn] = {
     "drop_last_key": enrich.drop_last_key,
     "pick": enrich.pick_keys,
     "encrypt": enrich.encrypt_fields,
+    "decrypt": enrich.decrypt_fields,
     "log_to_metric": enrich.log_to_metric,
     "filter_regex": flt.filter_regex,
     "filter_key_regex": flt.filter_key_regex,

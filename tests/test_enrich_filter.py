@@ -232,3 +232,25 @@ def test_registry_reaches_all_survey_operators():
     }
     missing = required - set(PROCESSORS)
     assert missing == set()
+
+
+def test_encrypt_cbc_reference_layout_roundtrip(spark):
+    """CBC + PKCS padding + all-zero IV (the reference's defaults,
+    processor_encrypt.go:52-55): deterministic bare ciphertext (no IV
+    prefix), 16-byte-block length, decryptable back."""
+    from loongcollector_spark.operators.enrich import decrypt_fields, encrypt_fields
+
+    key = "00112233445566778899aabbccddeeff"
+    df = spark.createDataFrame([("secret-value",), ("secret-value",)], ["v"])
+    enc = encrypt_fields(df, ["v"], key)
+    rows = [r.v for r in enc.collect()]
+    assert rows[0] == rows[1]  # deterministic under fixed IV
+    assert len(rows[0]) == 32  # 16-byte ciphertext block, no IV prefix
+    dec = decrypt_fields(enc, ["v"], key)
+    assert [r.v for r in dec.collect()] == ["secret-value"] * 2
+    # random-IV mode: IV stays prepended, output varies per row
+    enc2 = encrypt_fields(df, ["v"], key, iv_hex=None)
+    rows2 = [r.v for r in enc2.collect()]
+    assert len(rows2[0]) == 64  # 16B IV + 16B block
+    dec2 = decrypt_fields(enc2, ["v"], key, iv_hex=None)
+    assert [r.v for r in dec2.collect()] == ["secret-value"] * 2
