@@ -50,6 +50,7 @@ __all__ = [
     "split_log_regex",
     "merge_multiline",
     "parse_timestamp",
+    "parse_gotime",
 ]
 
 
@@ -634,12 +635,81 @@ def parse_timestamp(
     Spark datetime *fmt* into *dest_key*; epoch modes seconds /
     milliseconds / microseconds; optional source-timezone shift."""
     if epoch_unit:
-        divisor = {"seconds": 1, "milliseconds": 1000, "microseconds": 1000000}[
-            epoch_unit
-        ]
+        divisor = {
+            "seconds": 1,
+            "milliseconds": 1000,
+            "microseconds": 1000000,
+            "nanoseconds": 1000000000,
+        }[epoch_unit]
         col = F.timestamp_seconds(F.col(source_key).cast("double") / divisor)
     else:
         col = F.to_timestamp(F.col(source_key), fmt)
     if source_timezone:
         col = F.to_utc_timestamp(col, source_timezone)
     return df.withColumn(dest_key, col)
+
+
+def _go_location_tz(location: int | str | None) -> str | None:
+    """gotime SourceLocation/DestLocation → JDK zone id: the reference
+    takes a UTC offset in hours (8 = Beijing,
+    processor_gotime.go:73-80); strings pass through as zone names."""
+    if location is None:
+        return None
+    if isinstance(location, str):
+        return location
+    sign = "+" if location >= 0 else "-"
+    return f"GMT{sign}{abs(location):02d}:00"
+
+
+def parse_gotime(
+    df: DataFrame,
+    source_key: str,
+    source_format: str,
+    dest_key: str,
+    dest_format: str,
+    *,
+    source_location: int | str | None = None,
+    dest_location: int | str | None = None,
+    keep_source: bool = True,
+) -> DataFrame:
+    """processor_gotime (processor_gotime.go:34-100): parse
+    *source_key* with a GO time layout (``2006-01-02 15:04:05`` magic
+    reference instant) at *source_location*, re-format with the Go
+    layout *dest_format* at *dest_location* into *dest_key*. Layouts
+    translate once on the driver (functions/gotime.py); the fixed
+    pseudo-formats ``seconds``/``milliseconds``/``microseconds``/
+    ``nanoseconds`` take the epoch path. Locations are UTC offsets in
+    hours (reference ints) or zone names."""
+    from ..functions.gotime import GO_FIXED_PATTERNS, go_layout_to_spark
+
+    src_tz = _go_location_tz(source_location)
+    dst_tz = _go_location_tz(dest_location)
+    if source_format in GO_FIXED_PATTERNS:
+        parsed = parse_timestamp(
+            df, source_key, "", dest_key="__gt", epoch_unit=source_format
+        )
+    else:
+        parsed = parse_timestamp(
+            df,
+            source_key,
+            go_layout_to_spark(source_format),
+            dest_key="__gt",
+            source_timezone=src_tz,
+        )
+    ts = F.col("__gt")
+    if dst_tz:
+        ts = F.from_utc_timestamp(ts, dst_tz)
+    if dest_format in GO_FIXED_PATTERNS:
+        factor = {
+            "seconds": 1,
+            "milliseconds": 1000,
+            "microseconds": 1000000,
+            "nanoseconds": 1000000000,
+        }[dest_format]
+        out_col = (F.unix_timestamp(ts).cast("long") * factor).cast("string")
+    else:
+        out_col = F.date_format(ts, go_layout_to_spark(dest_format))
+    out = parsed.withColumn(dest_key, out_col).drop("__gt")
+    if not keep_source and source_key != dest_key:
+        out = out.drop(source_key)
+    return out

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import aggregate as agg_ops
-from .operators import enrich, filter as flt, parse, route as rt
+from .operators import enrich, filter as flt, geo, parse, route as rt
 
 ProcessorFn = Callable[..., DataFrame]
 
@@ -49,6 +49,7 @@ PROCESSORS: dict[str, ProcessorFn] = {
     "split_log_regex": parse.split_log_regex,
     "merge_multiline": parse.merge_multiline,
     "parse_timestamp": parse.parse_timestamp,
+    "parse_gotime": parse.parse_gotime,
     "parse_anchor": parse.parse_anchor,
     "parse_apsara": parse.parse_apsara,
     "parse_json_typed": parse.parse_json_typed,
@@ -68,6 +69,7 @@ PROCESSORS: dict[str, ProcessorFn] = {
     "encrypt": enrich.encrypt_fields,
     "decrypt": enrich.decrypt_fields,
     "log_to_metric": enrich.log_to_metric,
+    "cloud_meta": geo.cloud_meta_tags,
     "filter_regex": flt.filter_regex,
     "filter_key_regex": flt.filter_key_regex,
     "filter_expression": flt.filter_expression,

@@ -225,7 +225,8 @@ def test_registry_reaches_all_survey_operators():
         "merge_multiline", "parse_timestamp", "add_fields", "add_tags",
         "rename", "string_replace", "desensitize", "md5",
         "base64_encode", "base64_decode", "pack_json", "appender",
-        "drop", "drop_last_key", "pick", "encrypt", "log_to_metric",
+        "drop", "drop_last_key", "pick", "encrypt", "decrypt",
+        "log_to_metric", "cloud_meta", "parse_gotime",
         "filter_regex", "filter_key_regex", "filter_expression",
         "fields_with_condition", "rate_limit", "stable_order",
         "pack_groups", "shard_repartition",
@@ -254,3 +255,42 @@ def test_encrypt_cbc_reference_layout_roundtrip(spark):
     assert len(rows2[0]) == 64  # 16B IV + 16B block
     dec2 = decrypt_fields(enc2, ["v"], key, iv_hex=None)
     assert [r.v for r in dec2.collect()] == ["secret-value"] * 2
+
+
+def test_geoip_broadcast_range_join(spark):
+    from loongcollector_spark.operators.geo import geoip_enrich, ip_to_long
+
+    geo = spark.createDataFrame(
+        [
+            (3232235520, 3232301055, "beijing", "beijing", "china", "CN"),
+            (167772160, 184549375, "sydney", "nsw", "australia", "AU"),
+        ],
+        ["ip_start", "ip_end", "city", "province", "country", "country_code"],
+    )
+    df = spark.createDataFrame(
+        [("192.168.1.7",), ("10.0.0.1",), ("8.8.8.8",), ("not-an-ip",), ("300.1.2.3",)],
+        ["ip"],
+    )
+    out = geoip_enrich(df, "ip", geo)
+    m = {r.ip: (r["ip_city_"], r["ip_country_code_"]) for r in out.collect()}
+    assert m["192.168.1.7"] == ("beijing", "CN")
+    assert m["10.0.0.1"] == ("sydney", "AU")
+    assert m["8.8.8.8"] == (None, None)      # no matching range
+    assert m["not-an-ip"] == (None, None)    # malformed -> skipped
+    assert m["300.1.2.3"] == (None, None)    # octet out of range
+    # broadcast, not a shuffle of the fact side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cloud_meta_tags(spark):
+    from loongcollector_spark.operators.geo import cloud_meta_tags
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    out = cloud_meta_tags(
+        df,
+        {"__cloud_instance_id__": "id_xxx", "__cloud_instance_name__": "name_xxx"},
+        rename={"__cloud_instance_name__": "instance"},
+    ).first()
+    assert out["__cloud_instance_id__"] == "id_xxx"
+    assert out["instance"] == "name_xxx"

@@ -250,3 +250,37 @@ def test_grok_httpd_errorlog_alternation(spark):
     got = {r.id: (r.loglevel, r.message) for r in out.collect()}
     assert got[1] == ("error", "oh no")
     assert got[2] == ("warn", "boom happened")
+
+
+def test_go_layout_translation():
+    from loongcollector_spark.functions.gotime import go_layout_to_spark
+
+    cases = {
+        "2006-01-02 15:04:05": "yyyy-MM-dd HH:mm:ss",
+        "02/Jan/2006:15:04:05 -0700": "dd/MMM/yyyy:HH:mm:ss xx",
+        "2006-01-02T15:04:05Z07:00": "yyyy-MM-dd'T'HH:mm:ssXXX",
+        "Mon Jan 2 15:04:05 2006": "EEE MMM d HH:mm:ss yyyy",
+        "06/01/02 03:04:05 PM": "yy/MM/dd hh:mm:ss a",
+        "15:04:05.000": "HH:mm:ss.SSS",
+        "seconds": "seconds",
+    }
+    for go, spark_fmt in cases.items():
+        assert go_layout_to_spark(go) == spark_fmt, go
+
+
+def test_parse_gotime_roundtrip(spark):
+    from loongcollector_spark.operators.parse import parse_gotime
+
+    df = spark.createDataFrame([("2024-03-05 10:30:00",)], ["t"])
+    # Beijing (UTC+8) source -> UTC dest, reformat (gotime.go location ints)
+    out = parse_gotime(
+        df, "t", "2006-01-02 15:04:05", "out", "02/Jan/2006 15:04",
+        source_location=8, dest_location=0,
+    ).first()
+    assert out.out == "05/Mar/2024 02:30"
+    # epoch passthrough both directions
+    df2 = spark.createDataFrame([("1704067200",)], ["t"])
+    out2 = parse_gotime(df2, "t", "seconds", "o", "2006-01-02").first()
+    assert out2.o == "2024-01-01"
+    out3 = parse_gotime(df2, "t", "seconds", "o", "milliseconds").first()
+    assert out3.o == "1704067200000"

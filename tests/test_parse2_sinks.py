@@ -124,9 +124,11 @@ def test_log_to_metric(spark):
 
 
 def test_encrypt_fields_roundtrip(spark):
+    # GCM mode (authenticated option; CBC reference default is covered
+    # in test_enrich_filter)
     key = "00112233445566778899aabbccddeeff"
     df = spark.createDataFrame([("secret-value",)], ["payload"])
-    enc = encrypt_fields(df, ["payload"], key)
+    enc = encrypt_fields(df, ["payload"], key, mode="GCM", iv_hex=None)
     ct = enc.first().payload
     assert ct != "secret-value" and len(ct) > 32
     dec = enc.withColumn(
