@@ -167,7 +167,12 @@ def desensitize(
     md5-of-match replacement (Arrow-batched ``re.sub`` with an md5
     callback — the reference loops until no match remains,
     processor_desensitize.go:141-155; a JVM-only splice can't hash
-    each occurrence)."""
+    each occurrence).
+
+    PERF: ``method='md5'`` is the package's ONE non-vectorized path —
+    the regex callback runs per row inside the Arrow batch. Keep it
+    off per-byte hot pipelines; ``method='const'`` is pure JVM
+    codegen."""
     if method == "md5":
         import hashlib
         import re as _re

@@ -401,6 +401,62 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_planes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic integer hyperplanes shared verbatim by the Spark
+    query and the DuckDB oracle (integer arithmetic → exact sign
+    agreement across engines; floats could flip a near-zero sign)."""
+    import random
+
+    rng = random.Random(20240817)
+    return [[rng.randint(-2, 2) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate search, oracle-checkable integer
+    kernel (same precedent as ann_topk): quantize to round(v*1000)
+    longs, bucket by integer hyperplane signs (the LSH self-join shape
+    of similarity.embedding_near_dups), exact cosine inside buckets,
+    global top-50 pairs by similarity. All-pairs never materializes —
+    only same-bucket pairs are scored."""
+    planes = _neardup_planes()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    iv = F.transform(F.col("embedding"), lambda v: F.round(v * 1000).cast("long"))
+    vecs = emb.select(F.col("vec_id"), iv.alias("iv"))
+
+    def dot_with(plane):
+        arr = F.array(*[F.lit(w).cast("long") for w in plane])
+        return F.aggregate(
+            F.zip_with(F.col("iv"), arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [F.when(dot_with(p) >= 0, "1").otherwise("0") for p in planes]
+    s = vecs.withColumn("bucket", F.concat(*bits))
+    a = s.select(F.col("vec_id").alias("a"), F.col("iv").alias("va"), "bucket")
+    b = s.select(F.col("vec_id").alias("b"), F.col("iv").alias("vb"), "bucket")
+    pair = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+
+    def ldot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cos = ldot(F.col("va"), F.col("vb")) / (
+        F.sqrt(ldot(F.col("va"), F.col("va")))
+        * F.sqrt(ldot(F.col("vb"), F.col("vb")))
+    )
+    scored = pair.select("a", "b", cos.alias("cos_sim"))
+    w = W.orderBy(F.desc("cos_sim"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("a", "b", "rank", "cos_sim")
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs on documents, oracle hash mode: the
     md5-derived permutation kernel is reproduced verbatim in DuckDB,
@@ -1038,6 +1094,46 @@ ORACLES["delimiter_expand"] = f"""
     FROM t
 """
 
+def _embedding_neardup_oracle_sql() -> str:
+    """DuckDB twin of q_embedding_neardup: identical integer planes,
+    identical quantization, identical cosine expression shape."""
+    planes = _neardup_planes()
+    bit_exprs = []
+    for p in planes:
+        lst = "[" + ", ".join(str(w) for w in p) + "]"
+        bit_exprs.append(
+            "CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" i -> iv[i] * ({lst})[i])) >= 0 THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(bit_exprs)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(round(v * 1000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, iv, {bucket} AS bucket FROM q),
+    pair AS (
+      SELECT sa.vec_id AS a, sb.vec_id AS b, sa.iv AS va, sb.iv AS vb
+      FROM s sa JOIN s sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+    ),
+    scored AS (
+      SELECT a, b,
+        list_sum(list_transform(range(1, 65), i -> va[i] * vb[i])) /
+        (sqrt(list_sum(list_transform(range(1, 65), i -> va[i] * va[i]))) *
+         sqrt(list_sum(list_transform(range(1, 65), i -> vb[i] * vb[i]))))
+        AS cos_sim
+      FROM pair
+    )
+    SELECT a, b, rank, cos_sim FROM (
+      SELECT a, b, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, a, b) AS rank
+      FROM scored
+    ) WHERE rank <= 50
+    """
+
+
+ORACLES["embedding_neardup"] = _embedding_neardup_oracle_sql()
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
 ORACLES["simhash"] = _simhash_oracle_sql()
 ORACLES["language_id"] = _language_id_oracle_sql()
@@ -1079,4 +1175,5 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "language_id": q_language_id,
+    "embedding_neardup": q_embedding_neardup,
 }
