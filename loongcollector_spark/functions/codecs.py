@@ -167,16 +167,31 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Box-filter resize via block means (uint8 in/out). Bins pixels
-    by target cell — exact for integer ratios, area-weighted-ish
-    otherwise; deterministic and dependency-free."""
-    h, w = img.shape[:2]
+    """Axis-wise resize (uint8 in/out): block means when shrinking an
+    axis (box filter, exact for integer ratios), nearest-source
+    replication when growing it. Handles up/down/mixed — a pure
+    target-cell binning would leave zero-filled (black) cells on any
+    upscale, since most output cells receive no source pixel."""
+
+    def one_axis(arr: np.ndarray, out_n: int, axis: int) -> np.ndarray:
+        in_n = arr.shape[axis]
+        if out_n >= in_n:
+            idx = (np.arange(out_n) * in_n) // out_n
+            return np.take(arr, idx, axis=axis)
+        bins = (np.arange(in_n) * out_n) // in_n
+        shape = list(arr.shape)
+        shape[axis] = out_n
+        acc = np.zeros(shape, dtype=np.float64)
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = bins
+        np.add.at(acc, tuple(sl), arr.astype(np.float64))
+        cnt_shape = [1] * arr.ndim
+        cnt_shape[axis] = out_n
+        counts = np.bincount(bins, minlength=out_n).astype(np.float64)
+        return acc / np.maximum(counts.reshape(cnt_shape), 1)
+
     if img.ndim == 2:
         img = img[:, :, None]
-    ys = (np.arange(h) * out_h) // h
-    xs = (np.arange(w) * out_w) // w
-    out = np.zeros((out_h, out_w, img.shape[2]), dtype=np.float64)
-    cnt = np.zeros((out_h, out_w, 1), dtype=np.float64)
-    np.add.at(out, (ys[:, None], xs[None, :]), img.astype(np.float64))
-    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
-    return np.clip(out / np.maximum(cnt, 1), 0, 255).astype(np.uint8)
+    out = one_axis(img, out_h, 0)
+    out = one_axis(out, out_w, 1)
+    return np.clip(out, 0, 255).astype(np.uint8)

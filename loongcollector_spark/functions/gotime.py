@@ -31,9 +31,11 @@ _TOKENS: list[tuple[str, str]] = [
     (".000000000", ".SSSSSSSSS"),
     (".000000", ".SSSSSS"),
     (".000", ".SSS"),
-    (".999999999", ".SSSSSSSSS"),
-    (".999999", ".SSSSSS"),
-    (".999", ".SSS"),
+    # Go '.999…' = OPTIONAL fraction (omitted when zero) — JDK/Spark
+    # optional section brackets preserve that parse behavior
+    (".999999999", "[.SSSSSSSSS]"),
+    (".999999", "[.SSSSSS]"),
+    (".999", "[.SSS]"),
     ("15", "HH"),
     ("03", "hh"),
     ("04", "mm"),

@@ -374,17 +374,24 @@ def simhash(
     (:func:`_md5_long`; bits 60..63 vote 0) so the fingerprints
     value-match the SQL oracle.
     """
+    # explode_outer: a NULL text column must still yield a row per doc
+    # (all-NULL bit sums majority-vote to 0 → fingerprint 0, matching
+    # the per-row HOF expression's NULL behavior) — plain explode would
+    # silently drop those docs from the output
     toks = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))).alias(
-            "__t"
-        ),
+        F.explode_outer(
+            F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
+        ).alias("__t"),
     )
     if hash_mode == "md5":
         h = _md5_long(F.col("__t"))
         bit = lambda b: F.shiftright(h, b).bitwiseAND(F.lit(1))  # noqa: E731
     else:
-        h = F.xxhash64(F.col("__t"))
+        # xxhash64(NULL) yields the SEED (42), not NULL — guard so the
+        # explode_outer NULL-token row contributes NULL bit sums and
+        # NULL-text docs fingerprint to 0, not to hash(seed)'s bits
+        h = F.when(F.col("__t").isNotNull(), F.xxhash64(F.col("__t")))
         bit = lambda b: F.getbit(h, F.lit(b))  # noqa: E731
     aggs = [F.sum(bit(b)).alias(f"__c{b}") for b in range(bits)] + [
         F.count("*").alias("__n")

@@ -284,13 +284,26 @@ def drop_last_key(
     return df.withColumn(drop_key, F.when(~cond, F.col(drop_key)))
 
 
+_IV_AUTO = "auto"
+
+
+def _resolve_iv(iv_hex: str | None, mode: str) -> str | None:
+    """Mode-dependent IV default: CBC gets the reference's all-zero
+    16-byte IV (deterministic); GCM requires a 12-byte nonce, where a
+    FIXED value would be cryptographically unsound AND Spark rejects
+    16 bytes — so GCM defaults to a random per-value IV (None)."""
+    if iv_hex != _IV_AUTO:
+        return iv_hex
+    return "0" * 32 if mode == "CBC" else None
+
+
 def encrypt_fields(
     df: DataFrame,
     source_keys: list[str],
     key_hex: str,
     *,
     mode: str = "CBC",
-    iv_hex: str | None = "0" * 32,
+    iv_hex: str | None = _IV_AUTO,
     reference_layout: bool = True,
 ) -> DataFrame:
     """AES field encryption via JVM ``aes_encrypt`` — key distributed
@@ -304,7 +317,8 @@ def encrypt_fields(
     the prepended IV for byte-layout parity. Pass ``iv_hex=None`` for
     a random IV per value (kept prepended — the reference prepends in
     that mode too, :130-133), or ``mode='GCM'`` for authenticated
-    encryption."""
+    encryption (random 12-byte nonce; see :func:`_resolve_iv`)."""
+    iv_hex = _resolve_iv(iv_hex, mode)
     for k in source_keys:
         args = [
             F.col(k).cast("binary"),
@@ -327,10 +341,11 @@ def decrypt_fields(
     key_hex: str,
     *,
     mode: str = "CBC",
-    iv_hex: str | None = "0" * 32,
+    iv_hex: str | None = _IV_AUTO,
 ) -> DataFrame:
     """Inverse of :func:`encrypt_fields` (same defaults): re-attach the
     IV the reference layout stripped, then JVM ``aes_decrypt``."""
+    iv_hex = _resolve_iv(iv_hex, mode)
     for k in source_keys:
         data = F.unhex(F.col(k))
         if iv_hex is not None and mode == "CBC":

@@ -212,8 +212,8 @@ def resize_images(
         try:
             img = codecs.decode_png(payload)
             return codecs.encode_png(codecs.resize_block_mean(img, height, width))
-        except ValueError:
-            return None
+        except Exception:  # corrupt media row (zlib/struct/index errors
+            return None  # included) → NULL, never job-fatal
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -697,9 +697,9 @@ def parse_gotime(
             source_timezone=src_tz,
         )
     ts = F.col("__gt")
-    if dst_tz:
-        ts = F.from_utc_timestamp(ts, dst_tz)
     if dest_format in GO_FIXED_PATTERNS:
+        # epoch output is location-independent (Go t.In(loc).Unix()
+        # ignores loc) — do NOT apply the dest wall-clock shift here
         factor = {
             "seconds": 1,
             "milliseconds": 1000,
@@ -708,6 +708,8 @@ def parse_gotime(
         }[dest_format]
         out_col = (F.unix_timestamp(ts).cast("long") * factor).cast("string")
     else:
+        if dst_tz:
+            ts = F.from_utc_timestamp(ts, dst_tz)
         out_col = F.date_format(ts, go_layout_to_spark(dest_format))
     out = parsed.withColumn(dest_key, out_col).drop("__gt")
     if not keep_source and source_key != dest_key:

@@ -230,7 +230,17 @@ def run_with_checkpoint(
         if fail_after_units is not None and len(attempt) >= fail_after_units:
             raise RuntimeError(f"injected failure after {len(attempt)} units")
 
-    result = spark.read.parquet(out_dir)
+    try:
+        result = spark.read.parquet(out_dir)
+    except Exception:
+        # an all-empty write leaves no schema-bearing parquet files
+        # (dynamic partition overwrite writes nothing for empty
+        # partitions); the committed lineage is still correct — return
+        # an empty frame with the transform's schema
+        if attempt:
+            empty = spark.createDataFrame([], out.schema)
+            return empty
+        raise
     # the __lc_unit=<id> directory layout surfaces as a partition
     # column; drop it so checkpointed and direct runs share one schema
     return result.drop(UNIT_COL) if UNIT_COL in result.columns else result

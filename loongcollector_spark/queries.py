@@ -417,7 +417,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs, bucket by integer hyperplane signs (the LSH self-join shape
     of similarity.embedding_near_dups), exact cosine inside buckets,
     global top-50 pairs by similarity. All-pairs never materializes —
-    only same-bucket pairs are scored."""
+    only same-bucket pairs are scored.
+
+    NOTE: this correctness-harness query deliberately uses interpreted
+    ``aggregate``/``zip_with`` lambdas — the only formulation whose
+    arithmetic is reproducible expression-for-expression in DuckDB —
+    over the 500-row sf0.01 table. The production path is
+    similarity.embedding_near_dups / brute_force_topk (flat-column /
+    NumPy-batch kernels, NOTES.md HOF lesson)."""
     planes = _neardup_planes()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     iv = F.transform(F.col("embedding"), lambda v: F.round(v * 1000).cast("long"))

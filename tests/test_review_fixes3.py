@@ -68,3 +68,86 @@ def test_sessionize_counts_default_keys(spark, sf_dir):
     })
     aggs = pipe.aggregates(tx)
     assert aggs["sessionize_counts"].count() > 0
+
+
+def test_resize_upscale_no_black_cells():
+    import numpy as np
+
+    from loongcollector_spark.functions import codecs
+
+    img = np.full((2, 2, 1), 200, dtype=np.uint8)
+    up = codecs.resize_block_mean(img, 4, 4)
+    assert (up == 200).all()  # binning-only impl left zero-filled cells
+    # mixed: shrink rows, grow cols
+    img2 = np.full((4, 2, 1), 100, dtype=np.uint8)
+    mixed = codecs.resize_block_mean(img2, 2, 4)
+    assert mixed.shape == (2, 4, 1) and (mixed == 100).all()
+
+
+def test_resize_images_corrupt_png_yields_null(spark):
+    from loongcollector_spark.operators import multimodal
+
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 40  # magic but garbage chunks
+    df = spark.createDataFrame([(1, bytearray(corrupt))], "id long, media binary")
+    out = multimodal.resize_images(df).first()
+    assert out.resized is None  # zlib/struct errors must not kill the job
+
+
+def test_encrypt_gcm_default_iv_works(spark):
+    from loongcollector_spark.operators.enrich import decrypt_fields, encrypt_fields
+
+    key = "00112233445566778899aabbccddeeff"
+    df = spark.createDataFrame([("v1",)], ["v"])
+    enc = encrypt_fields(df, ["v"], key, mode="GCM")  # default IV path
+    dec = decrypt_fields(enc, ["v"], key, mode="GCM")
+    assert dec.first().v == "v1"
+
+
+def test_gotime_epoch_dest_is_location_independent(spark):
+    from loongcollector_spark.operators.parse import parse_gotime
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], ["t"])
+    outs = [
+        parse_gotime(
+            df, "t", "2006-01-02 15:04:05", "o", "seconds",
+            source_location=0, dest_location=loc,
+        ).first().o
+        for loc in (0, 8, -5)
+    ]
+    assert outs == ["1704067200"] * 3  # Go t.In(loc).Unix() ignores loc
+
+
+def test_gotime_optional_fraction_parses_both(spark):
+    from loongcollector_spark.operators.parse import parse_gotime
+
+    df = spark.createDataFrame(
+        [("2024-03-05 10:30:00",), ("2024-03-05 10:30:00.250",)], ["t"]
+    )
+    out = parse_gotime(
+        df, "t", "2006-01-02 15:04:05.999", "o", "seconds", source_location=0
+    )
+    assert [r.o for r in out.collect()] == ["1709634600", "1709634600"]
+
+
+def test_simhash_null_text_keeps_doc(spark):
+    from loongcollector_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[2] == 0  # matches the per-row HOF expression's NULL result
+
+
+def test_checkpoint_empty_input(spark, tmp_path):
+    from loongcollector_spark.plans.checkpoint import run_with_checkpoint
+
+    df = spark.createDataFrame([], "conv_id string, turn_idx long")
+    out = run_with_checkpoint(
+        spark, df, lambda d: d,
+        out_dir=str(tmp_path / "o"), lineage_dir=str(tmp_path / "lin"),
+        job_id="empty", n_units=2,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"conv_id", "turn_idx"}
