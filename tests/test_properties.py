@@ -113,3 +113,60 @@ def test_parse_and_flatten_rejects_non_objects():
     assert parse_and_flatten("42") is None
     assert parse_and_flatten("nope{") is None
     assert parse_and_flatten(None) is None
+
+
+# ---- codec properties (pure-Python kernels, no Spark session) ----
+
+import numpy as np
+from hypothesis import strategies as hst
+from hypothesis.extra.numpy import arrays as np_arrays
+
+from loongcollector_spark.functions import codecs
+from loongcollector_spark.functions.gotime import go_layout_to_spark
+
+
+@given(
+    np_arrays(
+        dtype=np.uint8,
+        shape=hst.tuples(
+            hst.integers(1, 12), hst.integers(1, 12), hst.sampled_from([1, 3, 4])
+        ),
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(img):
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+@given(
+    np_arrays(
+        dtype=np.int16, shape=hst.tuples(hst.integers(1, 200), hst.integers(1, 2))
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(samples):
+    out, rate = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+
+
+@given(
+    np_arrays(
+        dtype=np.uint8,
+        shape=hst.tuples(hst.integers(1, 10), hst.integers(1, 10), hst.just(1)),
+    ),
+    hst.integers(1, 10),
+    hst.integers(1, 10),
+)
+@settings(max_examples=60, deadline=None)
+def test_resize_bounds_property(img, oh, ow):
+    out = codecs.resize_block_mean(img, oh, ow)
+    assert out.shape == (oh, ow, 1)
+    # means/nearest picks never leave the input value range
+    assert out.min() >= img.min() and out.max() <= img.max()
+
+
+def test_go_layout_literal_quoting():
+    # stray letters must be quoted, not interpreted as JDK pattern chars
+    assert go_layout_to_spark("2006-01-02T15:04:05") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert go_layout_to_spark("at 15:04") == "'at 'HH:mm"
