@@ -25,6 +25,12 @@ write. Per-stage row counts land in the metrics table either way.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# direct `python jobs/...py` runs (no --py-files zip): make the repo
+# root importable
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 

@@ -1,20 +1,32 @@
 #!/usr/bin/env python
-"""spark-submit entry point for the STREAMING pipeline.
+"""spark-submit entry point for the STREAMING transcript pipeline.
 
-Same spec as jobs/run_pipeline.py, executed over a file-source stream
-(production: Kafka / Iceberg incremental read) with exactly-once
-restart via the checkpoint location::
+Cluster usage (same spec dict as the batch job — the shared processor
+interface of pkg/pipeline/processor.go:31-39)::
 
+    zip -r lc.zip loongcollector_spark
     spark-submit --py-files lc.zip jobs/run_stream.py \
-        --input <transcript dir> --output <sink base> \
-        --spec spec.json --checkpoint <ckpt dir> \
-        [--continuous]   # default: availableNow (drain & stop)
+        --input  <transcript parquet/stream dir> \
+        --output <sink base path> \
+        --spec   pipeline_spec.json \
+        --checkpoint <checkpoint dir> \
+        [--dims <dims.json>] [--max-files-per-trigger 4] [--available-now]
+
+``--available-now`` drains the current backlog then stops (batch-like
+backfill with streaming exactly-once bookkeeping); without it the
+query runs until interrupted, picking up files as they appear (the
+input_file tailing analog).
 """
 
 from __future__ import annotations
 
 import argparse
-import json
+import os
+import sys
+
+# direct `python jobs/...py` runs (no --py-files zip): make the repo
+# root importable
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -22,10 +34,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--spec", required=True)
-    ap.add_argument("--dims", help="JSON file {dim_name: parquet_path}")
+    ap.add_argument("--dims")
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--continuous", action="store_true")
-    ap.add_argument("--max-files-per-trigger", type=int, default=16)
+    ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    ap.add_argument("--available-now", action="store_true")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -50,10 +62,9 @@ def main(argv: list[str] | None = None) -> None:
         pipe,
         args.output,
         args.checkpoint,
-        available_now=not args.continuous,
+        available_now=args.available_now,
     )
     q.awaitTermination()
-    print(json.dumps({"batches": len(q.recentProgress)}))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ __all__ = [
     "read_transcript_stream",
     "stream_pipeline_to_sinks",
     "windowed_sink_counts",
+    "session_window_counts",
     "stateful_conv_counter",
     "stateful_rate_limit",
 ]
@@ -115,6 +116,41 @@ def windowed_sink_counts(
         .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("sink"))
         .agg(F.count("*").alias("cnt"))
         .select("win.start", "win.end", "sink", "cnt")
+    )
+
+
+def session_window_counts(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-sessionization via Spark's native
+    ``session_window`` — the streaming twin of the batch
+    ``aggregate.sessionize`` (same gap semantics): events of a key
+    whose timestamps are within *gap* of each other merge into one
+    session window; the watermark closes sessions once no in-gap event
+    can still arrive (the reference's idle-timeout flush,
+    FlushStrategy.h:54-56). Emits one row per (key, session) with its
+    bounds and event count. Works on batch DataFrames too (same API).
+    """
+    df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if stream_df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            *[F.col(k) for k in key_cols],
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
     )
 
 

@@ -199,3 +199,51 @@ def test_flagship_spec_stream_equals_batch_rowlevel(spark, tx_path, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_session_window_counts_stream_and_batch_agree(spark, tmp_path):
+    """Native session_window streaming sessionize matches the batch
+    sessionize session count per key (same 30-min gap semantics)."""
+    from datetime import datetime, timedelta
+
+    from loongcollector_spark.operators.aggregate import sessionize
+    from loongcollector_spark.streaming.stream import session_window_counts
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for conv, bursts in (("c1", [0, 1, 2, 120, 121]), ("c2", [0, 200])):
+        for m in bursts:
+            rows.append((conv, base + timedelta(minutes=m)))
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    p = str(tmp_path / "in")
+    df.repartition(2).write.parquet(p)
+
+    schema = spark.read.parquet(p).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    )
+    agg = session_window_counts(stream, ["conv_id"], gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    # batch twin: number of distinct sessions per conv
+    b = sessionize(df, ["conv_id"], gap_seconds=1800)
+    batch_sessions = {
+        (r.conv_id, r.n)
+        for r in b.groupBy("conv_id", "session_id")
+        .count()
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert batch_sessions == {("c1", 2), ("c2", 2)}
+    assert got == {("c1", 3), ("c1", 2), ("c2", 1), ("c2", 1)}
