@@ -25,14 +25,14 @@ write. Per-stage row counts land in the metrics table either way.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
+import time
 
 # direct `python jobs/...py` runs (no --py-files zip): make the repo
 # root importable
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import json
-import time
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -16,7 +16,7 @@ through for the epoch path.
 
 from __future__ import annotations
 
-__all__ = ["go_layout_to_spark", "GO_FIXED_PATTERNS"]
+__all__ = ["go_layout_to_spark", "location_to_tz", "GO_FIXED_PATTERNS"]
 
 GO_FIXED_PATTERNS = {"seconds", "milliseconds", "microseconds", "nanoseconds"}
 
@@ -98,3 +98,15 @@ def go_layout_to_spark(layout: str) -> str:
             i += 1
     flush_literal()
     return "".join(out)
+
+
+def location_to_tz(location: int | str | None) -> str | None:
+    """gotime SourceLocation/DestLocation → JDK zone id: the reference
+    takes a UTC offset in hours (8 = Beijing,
+    processor_gotime.go:73-80); strings pass through as zone names."""
+    if location is None:
+        return None
+    if isinstance(location, str):
+        return location
+    sign = "+" if location >= 0 else "-"
+    return f"GMT{sign}{abs(location):02d}:00"

@@ -248,7 +248,7 @@ def appender(
     if not sort_labels:
         return df.withColumn(key, appended)
     parts = F.split(appended, r"\|")
-    kvs = F.filter(parts, lambda p: p.rlike("#\\$#"))
+    kvs = F.filter(parts, lambda p: p.contains("#$#"))
     pairs = F.sort_array(
         F.transform(
             kvs,

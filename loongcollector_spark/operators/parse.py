@@ -621,6 +621,16 @@ def parse_apsara(
     ).drop("__m")
 
 
+# epoch pseudo-format → seconds divisor (shared by parse_timestamp's
+# epoch_unit path and parse_gotime's fixed pseudo-formats)
+_EPOCH_FACTORS = {
+    "seconds": 1,
+    "milliseconds": 1000,
+    "microseconds": 1000000,
+    "nanoseconds": 1000000000,
+}
+
+
 def parse_timestamp(
     df: DataFrame,
     source_key: str,
@@ -635,30 +645,14 @@ def parse_timestamp(
     Spark datetime *fmt* into *dest_key*; epoch modes seconds /
     milliseconds / microseconds; optional source-timezone shift."""
     if epoch_unit:
-        divisor = {
-            "seconds": 1,
-            "milliseconds": 1000,
-            "microseconds": 1000000,
-            "nanoseconds": 1000000000,
-        }[epoch_unit]
-        col = F.timestamp_seconds(F.col(source_key).cast("double") / divisor)
+        col = F.timestamp_seconds(
+            F.col(source_key).cast("double") / _EPOCH_FACTORS[epoch_unit]
+        )
     else:
         col = F.to_timestamp(F.col(source_key), fmt)
     if source_timezone:
         col = F.to_utc_timestamp(col, source_timezone)
     return df.withColumn(dest_key, col)
-
-
-def _go_location_tz(location: int | str | None) -> str | None:
-    """gotime SourceLocation/DestLocation → JDK zone id: the reference
-    takes a UTC offset in hours (8 = Beijing,
-    processor_gotime.go:73-80); strings pass through as zone names."""
-    if location is None:
-        return None
-    if isinstance(location, str):
-        return location
-    sign = "+" if location >= 0 else "-"
-    return f"GMT{sign}{abs(location):02d}:00"
 
 
 def parse_gotime(
@@ -680,10 +674,14 @@ def parse_gotime(
     pseudo-formats ``seconds``/``milliseconds``/``microseconds``/
     ``nanoseconds`` take the epoch path. Locations are UTC offsets in
     hours (reference ints) or zone names."""
-    from ..functions.gotime import GO_FIXED_PATTERNS, go_layout_to_spark
+    from ..functions.gotime import (
+        GO_FIXED_PATTERNS,
+        go_layout_to_spark,
+        location_to_tz,
+    )
 
-    src_tz = _go_location_tz(source_location)
-    dst_tz = _go_location_tz(dest_location)
+    src_tz = location_to_tz(source_location)
+    dst_tz = location_to_tz(dest_location)
     if source_format in GO_FIXED_PATTERNS:
         parsed = parse_timestamp(
             df, source_key, "", dest_key="__gt", epoch_unit=source_format
@@ -700,13 +698,9 @@ def parse_gotime(
     if dest_format in GO_FIXED_PATTERNS:
         # epoch output is location-independent (Go t.In(loc).Unix()
         # ignores loc) — do NOT apply the dest wall-clock shift here
-        factor = {
-            "seconds": 1,
-            "milliseconds": 1000,
-            "microseconds": 1000000,
-            "nanoseconds": 1000000000,
-        }[dest_format]
-        out_col = (F.unix_timestamp(ts).cast("long") * factor).cast("string")
+        out_col = (
+            F.unix_timestamp(ts).cast("long") * _EPOCH_FACTORS[dest_format]
+        ).cast("string")
     else:
         if dst_tz:
             ts = F.from_utc_timestamp(ts, dst_tz)

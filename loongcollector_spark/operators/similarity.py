@@ -104,14 +104,15 @@ def brute_force_topk(
         # into a clear error instead of a driver OOM; larger query
         # sets should go through the LSH/IVF paths or a chunked loop.
         max_queries = 100_000
-        n_q = queries.limit(max_queries + 1).count()
-        if n_q > max_queries:
+        q_rows = (
+            queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+        )
+        if len(q_rows) > max_queries:
             raise ValueError(
                 f"brute_force_topk query side exceeds {max_queries} rows; "
                 "collecting it driver-side would not scale — chunk the "
                 "queries or use ann_lsh/ann_ivf"
             )
-        q_rows = queries.select(query_id_col, vec_col).collect()
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         Q = np.array([r[1] for r in q_rows], dtype=np.float64)
         qn = np.linalg.norm(Q, axis=1, keepdims=True)

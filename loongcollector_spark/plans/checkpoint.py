@@ -97,17 +97,21 @@ class CheckpointedRun:
                        "conv_col": conv_col}, fh)
         os.replace(tmp, p)
 
-    def committed_units(self) -> set[int]:
-        out = set()
-        for f in os.listdir(self.dir):
+    def _records(self):
+        """All of THIS job's lineage records (matched on the stored
+        job_id field, not the filename prefix: job 'run' must not see
+        'run_2's units), in stable filename order."""
+        for f in sorted(os.listdir(self.dir)):
             if f.endswith(".json") and not f.endswith("__meta.json"):
                 with open(os.path.join(self.dir, f)) as fh:
                     rec = json.load(fh)
-                # match on the stored job_id field, not the filename
-                # prefix: job 'run' must not see 'run_2's units
-                if rec.get("job_id") == self.job_id and rec.get("status") == "committed":
-                    out.add(rec["unit_id"])
-        return out
+                if rec.get("job_id") == self.job_id:
+                    yield rec
+
+    def committed_units(self) -> set[int]:
+        return {
+            r["unit_id"] for r in self._records() if r.get("status") == "committed"
+        }
 
     def commit(self, unit_id: int, rows_out: int) -> None:
         tmp = self._path(unit_id) + ".tmp"
@@ -126,23 +130,14 @@ class CheckpointedRun:
     def total_rows_committed(self) -> int:
         """Sum of committed per-unit output rows — lets callers report
         rows_out without re-reading the output table."""
-        total = 0
-        for f in os.listdir(self.dir):
-            if f.endswith(".json") and not f.endswith("__meta.json"):
-                with open(os.path.join(self.dir, f)) as fh:
-                    rec = json.load(fh)
-                if rec.get("job_id") == self.job_id and rec.get("status") == "committed":
-                    total += rec.get("rows_out", 0)
-        return total
+        return sum(
+            r.get("rows_out", 0)
+            for r in self._records()
+            if r.get("status") == "committed"
+        )
 
     def lineage(self) -> DataFrame:
-        rows = []
-        for f in sorted(os.listdir(self.dir)):
-            if f.endswith(".json") and not f.endswith("__meta.json"):
-                with open(os.path.join(self.dir, f)) as fh:
-                    rec = json.load(fh)
-                if rec.get("job_id") == self.job_id:
-                    rows.append(rec)
+        rows = list(self._records())
         return self.spark.createDataFrame(rows, LINEAGE_SCHEMA) if rows else (
             self.spark.createDataFrame([], LINEAGE_SCHEMA)
         )

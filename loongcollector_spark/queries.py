@@ -464,6 +464,23 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification kernel
+    (dedup.ngram_jaccard_pairs) over a deterministic candidate set:
+    consecutive doc-id pairs from the first 100 documents — the shape
+    the LSH stages hand to the verifier, value-checkable end-to-end."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .filter(F.col("b") < 100)
+    )
+    out = ngram_jaccard_pairs(docs, cand, n=3)
+    return out.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs on documents, oracle hash mode: the
     md5-derived permutation kernel is reproduced verbatim in DuckDB,
@@ -1140,6 +1157,26 @@ def _embedding_neardup_oracle_sql() -> str:
     """
 
 
+ORACLES["ngram_jaccard"] = f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+      WHERE doc_id < 100
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i:i+2], ' ')
+                          for i in generate_series(1, len(tk) - 2)]
+                    ELSE [array_to_string(tk, ' ')] END) AS gr
+      FROM norm
+    )
+    SELECT ga.doc_id AS a, gb.doc_id AS b,
+           round(CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE) /
+                 len(list_distinct(list_concat(ga.gr, gb.gr))), 9) AS jaccard
+    FROM g ga JOIN g gb ON gb.doc_id = ga.doc_id + 1
+"""
+
 ORACLES["embedding_neardup"] = _embedding_neardup_oracle_sql()
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
 ORACLES["simhash"] = _simhash_oracle_sql()
@@ -1183,4 +1220,5 @@ QUERIES = {
     "simhash": q_simhash,
     "language_id": q_language_id,
     "embedding_neardup": q_embedding_neardup,
+    "ngram_jaccard": q_ngram_jaccard,
 }
