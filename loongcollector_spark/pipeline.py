@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import aggregate as agg_ops
-from .operators import enrich, filter as flt, geo, parse, route as rt
+from .operators import enrich, filter as flt, geo, otel, parse, route as rt
 
 ProcessorFn = Callable[..., DataFrame]
 
@@ -50,6 +50,7 @@ PROCESSORS: dict[str, ProcessorFn] = {
     "merge_multiline": parse.merge_multiline,
     "parse_timestamp": parse.parse_timestamp,
     "parse_gotime": parse.parse_gotime,
+    "parse_otel_trace": otel.parse_otel_trace,
     "parse_anchor": parse.parse_anchor,
     "parse_apsara": parse.parse_apsara,
     "parse_json_typed": parse.parse_json_typed,
