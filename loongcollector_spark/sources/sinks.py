@@ -34,6 +34,7 @@ __all__ = [
     "iceberg_available",
     "write_table",
     "read_table",
+    "read_text_logs",
 ]
 
 
@@ -128,3 +129,43 @@ def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
     if iceberg_available(spark) and "/" not in name_or_path:
         return spark.read.table(name_or_path)
     return spark.read.parquet(name_or_path)
+
+
+def read_text_logs(
+    spark: SparkSession,
+    path: str,
+    *,
+    text_col: str = "content",
+    path_tag: str = "__tag__:__path__",
+    line_number_col: str | None = None,
+    wholetext: bool = False,
+    recursive: bool = True,
+) -> DataFrame:
+    """The ``input_file`` scan analog for raw text logs — the
+    reference's primary input (core/file_server tailing; batch Spark
+    scans the same files instead of tailing them).
+
+    Each line becomes a row with the raw line under *text_col* (the
+    reference's default ``content`` key) and the originating file path
+    under *path_tag* (``__tag__:__path__``,
+    pkg/protocol/converter tag layout — the key that downstream
+    flatteners render as ``log.file.path``). ``wholetext=True`` reads
+    one row per file (the multiline-merge-from-file shape);
+    *line_number_col* adds a per-file line index for stable ordering
+    (the offset analog of the reference's file checkpoints) via a
+    window over the path — use only when ordering matters, it costs a
+    shuffle on the path."""
+    # NB: wholetext must go through the .text() kwarg — the string
+    # option form is silently ignored by the text source
+    df = (
+        spark.read.option("recursiveFileLookup", str(recursive).lower())
+        .text(path, wholetext=wholetext)
+        .withColumnRenamed("value", text_col)
+        .withColumn(path_tag, F.input_file_name())
+    )
+    if line_number_col:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(path_tag).orderBy(F.monotonically_increasing_id())
+        df = df.withColumn(line_number_col, F.row_number().over(w))
+    return df

@@ -170,3 +170,26 @@ def test_iceberg_gate(spark):
     # no Iceberg runtime in this sandbox: gate must report False and
     # write_table must fall back to parquet paths without raising
     assert sinks.iceberg_available(spark) is False
+
+
+def test_read_text_logs_source(spark, tmp_path):
+    from loongcollector_spark.sources.sinks import read_text_logs
+
+    d = tmp_path / "logs" / "app"
+    d.mkdir(parents=True)
+    (d / "a.log").write_text("line1\nline2\n")
+    (d / "b.log").write_text("only\n")
+    df = read_text_logs(spark, str(tmp_path / "logs"), line_number_col="line_no")
+    rows = [
+        (r.content, r["__tag__:__path__"].rsplit("/", 1)[-1], r.line_no)
+        for r in df.collect()
+    ]
+    assert sorted(rows) == [
+        ("line1", "a.log", 1),
+        ("line2", "a.log", 2),
+        ("only", "b.log", 1),
+    ]
+    # wholetext: one row per file, ready for merge_multiline/split
+    whole = read_text_logs(spark, str(tmp_path / "logs"), wholetext=True)
+    assert whole.count() == 2
+    assert {r.content.count("\n") for r in whole.collect()} == {1, 2}
