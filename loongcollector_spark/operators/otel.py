@@ -13,10 +13,13 @@ duration, attribute, statusCode, statusMessage``
 
 with the reference's renderings — kind/statusCode short strings
 (otlp_trace_parser.go:218-244), microsecond start/end/duration
-(:185-196), attributes as a JSON object. Deviation (documented):
-attribute values render as JSON strings regardless of OTLP value type
-(a Spark map is homogeneous; the reference's json.Marshal keeps
-native types). The reference's ``protobuf``/``protojson`` formats
+(:185-196, end==0 → now), links/events in the reference's own
+[{attribute, spanID, traceID}] / [{attribute, name, time}] shapes,
+attribute JSON with sorted keys and the promoted host/service keys
+removed from the resource object. Deviation (documented): attribute
+values render as JSON strings regardless of OTLP value type (a Spark
+map is homogeneous; the reference's json.Marshal keeps native
+types). The reference's ``protobuf``/``protojson`` formats
 need the OTLP protobuf bindings, which this container doesn't ship —
 format='protobuf' raises with that explanation.
 """
@@ -85,10 +88,21 @@ def _enum_chain(col: Column, table: dict[str, str], default: str) -> Column:
     return out.otherwise(F.lit(default))
 
 
-def _attrs_json(attrs: Column) -> Column:
-    """OTLP attribute list → JSON object (values as strings)."""
+def _attr_entries(attrs: Column, exclude: tuple[str, ...] = ()) -> Column:
+    """OTLP attribute list → sorted (key, value-as-string) entries.
+    Entries with a missing key are dropped (a malformed attribute must
+    not NULL_MAP_KEY-crash the job — the reference drops only the bad
+    log); keys sort ascending to match Go json.Marshal's sorted map
+    rendering."""
+    def keep(a):
+        cond = a["key"].isNotNull()
+        for k in exclude:
+            cond = cond & (a["key"] != k)
+        return cond
+
+    ok = F.filter(attrs, keep)
     entries = F.transform(
-        attrs,
+        ok,
         lambda a: F.struct(
             a["key"].alias("key"),
             F.coalesce(
@@ -99,9 +113,19 @@ def _attrs_json(attrs: Column) -> Column:
             ).alias("value"),
         ),
     )
-    return F.when(attrs.isNotNull(), F.to_json(F.map_from_entries(entries))).otherwise(
-        F.lit("{}")
-    )
+    return F.array_sort(entries)  # struct sort: by first field (key)
+
+
+def _attrs_map(attrs: Column, exclude: tuple[str, ...] = ()) -> Column:
+    return F.map_from_entries(_attr_entries(attrs, exclude))
+
+
+def _attrs_json(attrs: Column, exclude: tuple[str, ...] = ()) -> Column:
+    """OTLP attribute list → JSON object (values as strings, keys
+    sorted like Go json.Marshal)."""
+    return F.when(
+        attrs.isNotNull(), F.to_json(_attrs_map(attrs, exclude))
+    ).otherwise(F.lit("{}"))
 
 
 def _attr_value(attrs: Column, key: str) -> Column:
@@ -137,11 +161,47 @@ def parse_otel_trace(
     res_attrs = F.col("__rs")["resource"]["attributes"]
     sp = F.col("__sp")
     start_us = (sp["startTimeUnixNano"].cast("decimal(38,0)") / 1000).cast("long")
-    end_us = (sp["endTimeUnixNano"].cast("decimal(38,0)") / 1000).cast("long")
+    # end==0/missing → now (spanToLogServiceData substitutes
+    # time.Now() for a zero end timestamp; current_timestamp is
+    # query-constant, so all spans of one run agree)
+    end_raw = (sp["endTimeUnixNano"].cast("decimal(38,0)") / 1000).cast("long")
+    end_us = F.when(
+        end_raw.isNull() | (end_raw == 0),
+        F.unix_micros(F.current_timestamp()),
+    ).otherwise(end_raw)
+    # links/logs render in the reference's own shape
+    # (spanLinksToString/eventsToString, otlp_trace_parser.go:257-284):
+    # links → [{attribute:{..}, spanID, traceID}], events →
+    # [{attribute:{..}, name, time}] — struct field order matches Go's
+    # sorted-key marshal
+    links_json = F.to_json(
+        F.transform(
+            sp["links"],
+            lambda ln: F.struct(
+                _attrs_map(ln["attributes"]).alias("attribute"),
+                F.coalesce(ln["spanId"], F.lit("")).alias("spanID"),
+                F.coalesce(ln["traceId"], F.lit("")).alias("traceID"),
+            ),
+        )
+    )
+    logs_json = F.to_json(
+        F.transform(
+            sp["events"],
+            lambda ev: F.struct(
+                _attrs_map(ev["attributes"]).alias("attribute"),
+                F.coalesce(ev["name"], F.lit("")).alias("name"),
+                F.coalesce(
+                    ev["timeUnixNano"].cast("decimal(38,0)").cast("long"), F.lit(0)
+                ).alias("time"),
+            ),
+        )
+    )
     cols = {
         "host": _attr_value(res_attrs, "host.name"),
         "service": _attr_value(res_attrs, "service.name"),
-        "resource": _attrs_json(res_attrs),
+        # reference removes the promoted host/service keys from the
+        # resource JSON (resourceToLogContents attrs.Remove)
+        "resource": _attrs_json(res_attrs, exclude=("host.name", "service.name")),
         "otlp.name": F.coalesce(F.col("__ss")["scope"]["name"], F.lit("")),
         "otlp.version": F.coalesce(F.col("__ss")["scope"]["version"], F.lit("")),
         "traceID": F.coalesce(sp["traceId"], F.lit("")),
@@ -149,8 +209,8 @@ def parse_otel_trace(
         "parentSpanID": F.coalesce(sp["parentSpanId"], F.lit("")),
         "kind": _enum_chain(sp["kind"], _KINDS, ""),
         "name": F.coalesce(sp["name"], F.lit("")),
-        "links": F.coalesce(F.to_json(sp["links"]), F.lit("[]")),
-        "logs": F.coalesce(F.to_json(sp["events"]), F.lit("[]")),
+        "links": F.coalesce(links_json, F.lit("[]")),
+        "logs": F.coalesce(logs_json, F.lit("[]")),
         "traceState": F.coalesce(sp["traceState"], F.lit("")),
         "start": start_us.cast("string"),
         "end": end_us.cast("string"),
@@ -159,9 +219,7 @@ def parse_otel_trace(
         "statusCode": _enum_chain(sp["status"]["code"], _STATUS, "UNSET"),
         "statusMessage": F.coalesce(sp["status"]["message"], F.lit("")),
     }
-    for name, c in cols.items():
-        out = out.withColumn(name, c)
-    out = out.drop("__rs", "__ss", "__sp")
+    out = out.withColumns(cols).drop("__rs", "__ss", "__sp")
     if drop_source:
         out = out.drop(source_key)
     return out

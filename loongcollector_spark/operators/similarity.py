@@ -107,6 +107,13 @@ def brute_force_topk(
         q_rows = (
             queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
         )
+        if not q_rows:
+            # np.linalg.norm on a (0,) array would raise; the empty
+            # query set has a well-defined empty answer
+            return vectors.sparkSession.createDataFrame(
+                [],
+                f"{query_id_col} long, neighbor_id long, rank int, cos_sim double",
+            )
         if len(q_rows) > max_queries:
             raise ValueError(
                 f"brute_force_topk query side exceeds {max_queries} rows; "

@@ -83,3 +83,40 @@ def test_otel_protobuf_raises(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "payload"])
     with pytest.raises(NotImplementedError):
         parse_otel_trace(df, "payload", format="protobuf")
+
+
+def test_otel_links_events_reference_shape(spark):
+    payload = {
+        "resourceSpans": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "s"}},
+                {"key": "env", "value": {"stringValue": "prod"}},
+            ]},
+            "scopeSpans": [{"scope": {"name": "l", "version": "1"}, "spans": [{
+                "traceId": "t1", "spanId": "s1", "name": "op", "kind": 1,
+                "startTimeUnixNano": "1000000",
+                "links": [{"traceId": "aa", "spanId": "cc",
+                           "attributes": [{"key": "k", "value": {"stringValue": "v"}}]}],
+                "events": [{"timeUnixNano": "2000000", "name": "ev",
+                            "attributes": [{"key": "zeta", "value": {"stringValue": "z"}},
+                                            {"key": "alpha", "value": {"stringValue": "a"}},
+                                            {"value": {"stringValue": "orphan"}}]}],
+                "status": {},
+            }]}],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(payload),)], ["payload"])
+    r = parse_otel_trace(df, "payload").first()
+    # links/events use the reference's field names and shapes
+    assert json.loads(r["links"]) == [
+        {"attribute": {"k": "v"}, "spanID": "cc", "traceID": "aa"}
+    ]
+    ev = json.loads(r["logs"])[0]
+    assert ev["name"] == "ev" and ev["time"] == 2000000
+    # sorted keys; attribute entries without a key are dropped, not fatal
+    assert list(ev["attribute"]) == ["alpha", "zeta"]
+    # promoted service key removed from resource JSON
+    assert json.loads(r["resource"]) == {"env": "prod"}
+    assert r["service"] == "s"
+    # end==0 substituted with 'now': duration is a positive number
+    assert int(r["duration"]) > 0 and r["end"] is not None

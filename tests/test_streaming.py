@@ -231,10 +231,10 @@ def test_session_window_counts_stream_and_batch_agree(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = {
+    got = sorted(
         (r.conv_id, r.n_events)
         for r in spark.sql("SELECT * FROM sess").collect()
-    }
+    )
     # batch twin: number of distinct sessions per conv
     b = sessionize(df, ["conv_id"], gap_seconds=1800)
     batch_sessions = {
@@ -246,4 +246,4 @@ def test_session_window_counts_stream_and_batch_agree(spark, tmp_path):
         .collect()
     }
     assert batch_sessions == {("c1", 2), ("c2", 2)}
-    assert got == {("c1", 3), ("c1", 2), ("c2", 1), ("c2", 1)}
+    assert got == [("c1", 2), ("c1", 3), ("c2", 1), ("c2", 1)]
