@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_otel_trace", "OTEL_SPAN_COLUMNS"]
+__all__ = ["parse_otel_trace", "parse_otel_metric", "OTEL_SPAN_COLUMNS"]
 
 _ATTRS = (
     "array<struct<key:string,value:struct<stringValue:string,"
@@ -100,7 +100,9 @@ def _attr_entries(attrs: Column, exclude: tuple[str, ...] = ()) -> Column:
             cond = cond & (a["key"] != k)
         return cond
 
-    ok = F.filter(attrs, keep)
+    # absent attribute lists parse as NULL arrays; NULL would poison
+    # every downstream concat/sort into NULL (→ empty labels)
+    ok = F.filter(F.coalesce(attrs, F.array().cast(_ATTRS)), keep)
     entries = F.transform(
         ok,
         lambda a: F.struct(
@@ -220,6 +222,255 @@ def parse_otel_trace(
         "statusMessage": F.coalesce(sp["status"]["message"], F.lit("")),
     }
     out = out.withColumns(cols).drop("__rs", "__ss", "__sp")
+    if drop_source:
+        out = out.drop(source_key)
+    return out
+
+
+# ---------------------------------------------------------------- metrics
+
+_NUMDP = (
+    "array<struct<attributes:" + _ATTRS + ",timeUnixNano:string,"
+    "asDouble:double,asInt:string>>"
+)
+
+# OTLP/JSON metrics schema (gauge/sum/summary/histogram; exponential
+# histogram and exemplars are out of scope — documented below)
+OTLP_METRIC_SCHEMA = f"""
+resourceMetrics array<struct<
+  resource: struct<attributes: {_ATTRS}>,
+  scopeMetrics: array<struct<
+    scope: struct<name:string, version:string>,
+    metrics: array<struct<
+      name: string,
+      gauge: struct<dataPoints: {_NUMDP}>,
+      sum: struct<dataPoints: {_NUMDP},
+                  aggregationTemporality: string, isMonotonic: boolean>,
+      summary: struct<dataPoints: array<struct<
+          attributes: {_ATTRS}, timeUnixNano: string,
+          sum: double, count: string,
+          quantileValues: array<struct<quantile:double, value:double>>>>>,
+      histogram: struct<dataPoints: array<struct<
+          attributes: {_ATTRS}, timeUnixNano: string,
+          sum: double, min: double, max: double, count: string,
+          explicitBounds: array<double>, bucketCounts: array<string>>>,
+          aggregationTemporality: string>
+    >>
+  >>
+>>
+"""
+
+_TEMPORALITY = {
+    "1": "Delta", "AGGREGATION_TEMPORALITY_DELTA": "Delta",
+    "2": "Cumulative", "AGGREGATION_TEMPORALITY_CUMULATIVE": "Cumulative",
+}
+
+
+def _label_entries(*entry_arrays: Column) -> Column:
+    """Concat (key, value) entry arrays → sorted ``k#$#v|...`` label
+    string (helper.MetricLabels rendering — same format as
+    enrich.log_to_metric)."""
+    merged = F.concat(*entry_arrays) if len(entry_arrays) > 1 else entry_arrays[0]
+    return F.concat_ws(
+        "|",
+        F.transform(
+            F.array_sort(merged),
+            lambda e: F.concat_ws("#$#", e["key"], e["value"]),
+        ),
+    )
+
+
+def _kv(key: str, value: Column) -> Column:
+    return F.array(F.struct(F.lit(key).alias("key"), value.alias("value")))
+
+
+def _num_value(dp) -> Column:
+    """NumberDataPoint value (GaugeToLogs: DoubleValue unless IntValue
+    is non-zero)."""
+    as_int = dp["asInt"].cast("double")
+    return F.when(
+        as_int.isNotNull() & (as_int != 0), as_int
+    ).otherwise(F.coalesce(dp["asDouble"], F.lit(0.0)))
+
+
+def _metric_row(name: Column, labels: Column, t: Column, value: Column) -> Column:
+    return F.struct(
+        name.alias("__name__"),
+        labels.alias("__labels__"),
+        F.coalesce(t.cast("decimal(38,0)").cast("long"), F.lit(0)).alias(
+            "__time_nano__"
+        ),
+        value.alias("__value__"),
+    )
+
+
+def parse_otel_metric(
+    df: DataFrame,
+    source_key: str,
+    *,
+    format: str = "json",
+    drop_source: bool = True,
+) -> DataFrame:
+    """processor_otel_metric (JSON format): OTLP metric payloads → SLS
+    metric rows ``(__name__, __labels__, __time_nano__, __value__)``
+    (otlpDataToSLSProto.go:120-244 semantics):
+
+    * gauge/sum → one row per data point (sum adds the
+      ``otlp.metric.ismonotonic`` / ``.aggregation.temporality``
+      labels);
+    * summary → ``_sum``/``_count`` rows + one row per quantile with a
+      ``quantile`` label;
+    * histogram → ``_sum``/``_min``/``_max`` (when present) +
+      ``_count`` + CUMULATIVE ``_bucket`` rows with ``le`` labels
+      (bounds + ``+Inf``);
+    * metric names sanitized to ``[a-zA-Z0-9_:]`` (formatMetricName);
+      labels sorted ``k#$#v|...`` from resource + data-point
+      attributes.
+
+    Exponential histograms and exemplars are not converted (documented
+    gap; the reference's exemplar rows need pdata internals). protobuf
+    formats raise as in :func:`parse_otel_trace`."""
+    if format.lower() != "json":
+        raise NotImplementedError(
+            "processor_otel_metric formats 'protobuf'/'protojson' need the "
+            "OTLP protobuf bindings; 'json' is supported"
+        )
+    parsed = F.from_json(F.col(source_key), OTLP_METRIC_SCHEMA)
+    out = (
+        df.withColumn("__rm", F.explode(parsed["resourceMetrics"]))
+        .withColumn("__sm", F.explode(F.col("__rm")["scopeMetrics"]))
+        .withColumn("__mt", F.explode(F.col("__sm")["metrics"]))
+    )
+    res_entries = _attr_entries(F.col("__rm")["resource"]["attributes"])
+    m = F.col("__mt")
+    name = F.regexp_replace(F.coalesce(m["name"], F.lit("")), "[^a-zA-Z0-9_:]", "_")
+
+    def dp_labels(dp, *extra: Column) -> Column:
+        return _label_entries(
+            res_entries, _attr_entries(dp["attributes"]), *extra
+        )
+
+    empty = F.array().cast(
+        "array<struct<__name__:string,__labels__:string,"
+        "__time_nano__:bigint,__value__:double>>"
+    )
+
+    gauge_rows = F.transform(
+        m["gauge"]["dataPoints"],
+        lambda dp: _metric_row(
+            name, dp_labels(dp), dp["timeUnixNano"], _num_value(dp)
+        ),
+    )
+    sum_extra_entries = F.concat(
+        _kv("otlp.metric.ismonotonic",
+            F.coalesce(m["sum"]["isMonotonic"].cast("string"), F.lit("false"))),
+        _kv("otlp.metric.aggregation.temporality",
+            _enum_chain(m["sum"]["aggregationTemporality"], _TEMPORALITY,
+                        "Unspecified")),
+    )
+    sum_rows = F.transform(
+        m["sum"]["dataPoints"],
+        lambda dp: _metric_row(
+            name, dp_labels(dp, sum_extra_entries), dp["timeUnixNano"],
+            _num_value(dp),
+        ),
+    )
+    summary_rows = F.flatten(
+        F.transform(
+            m["summary"]["dataPoints"],
+            lambda dp: F.concat(
+                F.array(
+                    _metric_row(
+                        F.concat(name, F.lit("_sum")), dp_labels(dp),
+                        dp["timeUnixNano"], F.coalesce(dp["sum"], F.lit(0.0)),
+                    ),
+                    _metric_row(
+                        F.concat(name, F.lit("_count")), dp_labels(dp),
+                        dp["timeUnixNano"],
+                        F.coalesce(dp["count"].cast("double"), F.lit(0.0)),
+                    ),
+                ),
+                F.coalesce(
+                    F.transform(
+                        dp["quantileValues"],
+                        lambda q: _metric_row(
+                            name,
+                            dp_labels(dp, _kv("quantile", q["quantile"].cast("string"))),
+                            dp["timeUnixNano"],
+                            F.coalesce(q["value"], F.lit(0.0)),
+                        ),
+                    ),
+                    empty,
+                ),
+            ),
+        )
+    )
+    hist_extra = F.concat(
+        _kv("otlp.metric.aggregation.temporality",
+            _enum_chain(m["histogram"]["aggregationTemporality"], _TEMPORALITY,
+                        "Unspecified")),
+        _kv("otlp.metric.histogram.type", F.lit("Histogram")),
+    )
+
+    def hist_point_rows(dp) -> Column:
+        base = dp_labels(dp, hist_extra)
+        t = dp["timeUnixNano"]
+        fixed = F.filter(
+            F.array(
+                F.when(dp["sum"].isNotNull(), _metric_row(
+                    F.concat(name, F.lit("_sum")), base, t, dp["sum"])),
+                F.when(dp["min"].isNotNull(), _metric_row(
+                    F.concat(name, F.lit("_min")), base, t, dp["min"])),
+                F.when(dp["max"].isNotNull(), _metric_row(
+                    F.concat(name, F.lit("_max")), base, t, dp["max"])),
+                _metric_row(F.concat(name, F.lit("_count")), base, t,
+                            F.coalesce(dp["count"].cast("double"), F.lit(0.0))),
+            ),
+            lambda r: r.isNotNull(),
+        )
+        # bounds + '+Inf'; bucket j value = CUMULATIVE count ≤ bound j
+        bounds = F.concat(
+            F.transform(
+                F.coalesce(dp["explicitBounds"], F.array().cast("array<double>")),
+                lambda b: b.cast("string"),
+            ),
+            F.array(F.lit("+Inf")),
+        )
+        counts = F.coalesce(dp["bucketCounts"], F.array().cast("array<string>"))
+        n_buck = F.least(F.size(bounds), F.size(counts))
+        idx = F.sequence(F.lit(1), n_buck)
+        buckets = F.when(n_buck >= 1, F.transform(
+            idx,
+            lambda j: _metric_row(
+                F.concat(name, F.lit("_bucket")),
+                dp_labels(dp, hist_extra, _kv("le", F.get(bounds, j - 1))),
+                t,
+                F.aggregate(
+                    F.slice(counts, F.lit(1), j),
+                    F.lit(0.0),
+                    lambda acc, c: acc + F.coalesce(c.cast("double"), F.lit(0.0)),
+                ),
+            ),
+        )).otherwise(empty)
+        return F.concat(fixed, buckets)
+
+    hist_rows = F.flatten(
+        F.transform(m["histogram"]["dataPoints"], hist_point_rows)
+    )
+    all_rows = F.concat(
+        F.coalesce(gauge_rows, empty),
+        F.coalesce(sum_rows, empty),
+        F.coalesce(summary_rows, empty),
+        F.coalesce(hist_rows, empty),
+    )
+    out = (
+        out.withColumn("__row", F.explode(all_rows))
+        .withColumn("__name__", F.col("__row")["__name__"])
+        .withColumn("__labels__", F.col("__row")["__labels__"])
+        .withColumn("__time_nano__", F.col("__row")["__time_nano__"])
+        .withColumn("__value__", F.col("__row")["__value__"])
+        .drop("__rm", "__sm", "__mt", "__row")
+    )
     if drop_source:
         out = out.drop(source_key)
     return out

@@ -51,6 +51,7 @@ PROCESSORS: dict[str, ProcessorFn] = {
     "parse_timestamp": parse.parse_timestamp,
     "parse_gotime": parse.parse_gotime,
     "parse_otel_trace": otel.parse_otel_trace,
+    "parse_otel_metric": otel.parse_otel_metric,
     "parse_anchor": parse.parse_anchor,
     "parse_apsara": parse.parse_apsara,
     "parse_json_typed": parse.parse_json_typed,

@@ -120,3 +120,94 @@ def test_otel_links_events_reference_shape(spark):
     assert r["service"] == "s"
     # end==0 substituted with 'now': duration is a positive number
     assert int(r["duration"]) > 0 and r["end"] is not None
+
+
+def test_otel_metric_gauge_sum(spark):
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    payload = {
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "svc"}}]},
+            "scopeMetrics": [{"scope": {"name": "m", "version": "1"}, "metrics": [
+                {"name": "cpu.load", "gauge": {"dataPoints": [
+                    {"attributes": [{"key": "core", "value": {"stringValue": "0"}}],
+                     "timeUnixNano": "1704067200000000000", "asDouble": 0.75}]}},
+                {"name": "req.count", "sum": {
+                    "aggregationTemporality": 2, "isMonotonic": True,
+                    "dataPoints": [{"timeUnixNano": "1704067200000000000",
+                                    "asInt": "42"}]}},
+            ]}],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(payload),)], ["payload"])
+    rows = {r["__name__"]: r for r in parse_otel_metric(df, "payload").collect()}
+    g = rows["cpu_load"]  # '.' sanitized to '_' (formatMetricName)
+    assert g["__value__"] == 0.75
+    assert g["__labels__"] == "core#$#0|service.name#$#svc"
+    assert g["__time_nano__"] == 1704067200000000000
+    s = rows["req_count"]
+    assert s["__value__"] == 42.0
+    assert "otlp.metric.ismonotonic#$#true" in s["__labels__"]
+    assert "otlp.metric.aggregation.temporality#$#Cumulative" in s["__labels__"]
+
+
+def test_otel_metric_histogram_buckets(spark):
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    payload = {
+        "resourceMetrics": [{
+            "resource": {"attributes": []},
+            "scopeMetrics": [{"scope": {"name": "m", "version": "1"}, "metrics": [
+                {"name": "lat", "histogram": {
+                    "aggregationTemporality": 1,
+                    "dataPoints": [{
+                        "timeUnixNano": "5",
+                        "sum": 10.0, "min": 0.5, "max": 4.0, "count": "7",
+                        "explicitBounds": [1.0, 2.0],
+                        "bucketCounts": ["3", "2", "2"],
+                    }]}},
+            ]}],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(payload),)], ["payload"])
+    out = parse_otel_metric(df, "payload").collect()
+    by_name = {}
+    for r in out:
+        by_name.setdefault(r["__name__"], []).append(r)
+    assert {r["__value__"] for r in by_name["lat_sum"]} == {10.0}
+    assert {r["__value__"] for r in by_name["lat_count"]} == {7.0}
+    # CUMULATIVE buckets with le labels incl +Inf
+    buckets = {
+        next(kv.split("#$#")[1] for kv in r["__labels__"].split("|")
+             if kv.startswith("le#$#")): r["__value__"]
+        for r in by_name["lat_bucket"]
+    }
+    assert buckets == {"1.0": 3.0, "2.0": 5.0, "+Inf": 7.0}
+    assert all("otlp.metric.histogram.type#$#Histogram" in r["__labels__"]
+               for r in by_name["lat_bucket"])
+
+
+def test_otel_metric_summary_quantiles(spark):
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    payload = {
+        "resourceMetrics": [{
+            "resource": {"attributes": []},
+            "scopeMetrics": [{"scope": {"name": "m", "version": "1"}, "metrics": [
+                {"name": "rt", "summary": {"dataPoints": [{
+                    "timeUnixNano": "9", "sum": 20.0, "count": "4",
+                    "quantileValues": [{"quantile": 0.5, "value": 4.0},
+                                        {"quantile": 0.99, "value": 9.0}],
+                }]}},
+            ]}],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(payload),)], ["payload"])
+    out = parse_otel_metric(df, "payload").collect()
+    names = sorted(r["__name__"] for r in out)
+    assert names == ["rt", "rt", "rt_count", "rt_sum"]
+    q = {next(kv.split("#$#")[1] for kv in r["__labels__"].split("|")
+              if kv.startswith("quantile#$#")): r["__value__"]
+         for r in out if r["__name__"] == "rt"}
+    assert q == {"0.5": 4.0, "0.99": 9.0}
