@@ -481,6 +481,41 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
 
 
+_OTEL_GOLDEN_PAYLOAD = (
+    '{"resourceSpans":[{"resource":{"attributes":['
+    '{"key":"service.name","value":{"stringValue":"svc"}},'
+    '{"key":"env","value":{"stringValue":"prod"}}]},'
+    '"scopeSpans":[{"scope":{"name":"lib","version":"2"},"spans":['
+    '{"traceId":"0af7651916cd43dd8448eb211c80319c","spanId":"b7ad6b7169203331",'
+    '"parentSpanId":"","name":"GET /api","kind":2,'
+    '"startTimeUnixNano":"1704067200000000000",'
+    '"endTimeUnixNano":"1704067200250000000",'
+    '"attributes":[{"key":"http.status","value":{"intValue":"200"}}],'
+    '"status":{"code":1,"message":""}},'
+    '{"traceId":"0af7651916cd43dd8448eb211c80319c","spanId":"00f067aa0ba902b7",'
+    '"parentSpanId":"b7ad6b7169203331","name":"db","kind":3,'
+    '"startTimeUnixNano":"1704067200050000000",'
+    '"endTimeUnixNano":"1704067200100000000",'
+    '"status":{"code":2,"message":"timeout"}}]}]}]}'
+)
+
+
+def q_otel_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_trace golden oracle (the reference's unittest
+    style: fixed payload → hand-derived expected rows from
+    otlp_trace_parser.go semantics). The payload is a literal, so both
+    engines agree on the input byte-for-byte."""
+    from .operators.otel import parse_otel_trace
+
+    df = spark.createDataFrame([(1, _OTEL_GOLDEN_PAYLOAD)], ["rid", "payload"])
+    out = parse_otel_trace(df, "payload")
+    return out.select(
+        "rid", "service", "resource", "traceID", "spanID", "parentSpanID",
+        "kind", "name", "start", "duration", "attribute", "statusCode",
+        "statusMessage",
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs on documents, oracle hash mode: the
     md5-derived permutation kernel is reproduced verbatim in DuckDB,
@@ -1151,11 +1186,26 @@ def _embedding_neardup_oracle_sql() -> str:
     )
     SELECT a, b, rank, cos_sim FROM (
       SELECT a, b, cos_sim,
-             row_number() OVER (ORDER BY cos_sim DESC, a, b) AS rank
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, a, b) AS INT) AS rank
       FROM scored
     ) WHERE rank <= 50
     """
 
+
+ORACLES["otel_spans"] = """
+    SELECT * FROM (VALUES
+      (1::BIGINT, 'svc', '{"env":"prod"}',
+       '0af7651916cd43dd8448eb211c80319c', 'b7ad6b7169203331', '',
+       'server', 'GET /api', '1704067200000000', '250000',
+       '{"http.status":"200"}', 'OK', ''),
+      (1::BIGINT, 'svc', '{"env":"prod"}',
+       '0af7651916cd43dd8448eb211c80319c', '00f067aa0ba902b7',
+       'b7ad6b7169203331', 'client', 'db', '1704067200050000', '50000',
+       '{}', 'ERROR', 'timeout')
+    ) AS t(rid, service, resource, "traceID", "spanID", "parentSpanID",
+           kind, name, start, duration, attribute, "statusCode",
+           "statusMessage")
+"""
 
 ORACLES["ngram_jaccard"] = f"""
     WITH norm AS (
@@ -1221,4 +1271,5 @@ QUERIES = {
     "language_id": q_language_id,
     "embedding_neardup": q_embedding_neardup,
     "ngram_jaccard": q_ngram_jaccard,
+    "otel_spans": q_otel_spans,
 }
