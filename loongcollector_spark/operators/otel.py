@@ -112,6 +112,11 @@ def _attr_entries(attrs: Column, exclude: tuple[str, ...] = ()) -> Column:
                 a["value"]["intValue"],
                 a["value"]["doubleValue"].cast("string"),
                 a["value"]["boolValue"].cast("string"),
+                # non-scalar values (arrayValue/kvlistValue — outside
+                # the scalar schema) must not go NULL: concat_ws would
+                # silently drop the NULL and emit a bare key that
+                # breaks the k#$#v label contract
+                F.lit(""),
             ).alias("value"),
         ),
     )
@@ -328,7 +333,10 @@ def parse_otel_metric(
       attributes.
 
     Exponential histograms and exemplars are not converted (documented
-    gap; the reference's exemplar rows need pdata internals). protobuf
+    gap; the reference's exemplar rows need pdata internals), and
+    ``asInt`` values above 2^53 lose precision through the double
+    ``__value__`` column (the reference carries float64 there too once
+    rendered, but preserves int64 exactly up to formatting). protobuf
     formats raise as in :func:`parse_otel_trace`."""
     if format.lower() != "json":
         raise NotImplementedError(
@@ -428,15 +436,39 @@ def parse_otel_metric(
             ),
             lambda r: r.isNotNull(),
         )
-        # bounds + '+Inf'; bucket j value = CUMULATIVE count ≤ bound j
+        # bounds + '+Inf'; bucket j value = CUMULATIVE count ≤ bound j.
+        # Bound rendering follows Go strconv 'g' for the common cases:
+        # whole-number bounds print without a decimal point ("1", not
+        # "1.0"); residual deviation: very small/large fractional
+        # bounds render in Spark's scientific form ("1.0E-4" vs Go's
+        # "0.0001")
+        def bound_str(b):
+            as_long = b.cast("long")
+            return F.when(
+                (as_long.cast("double") == b), as_long.cast("string")
+            ).otherwise(b.cast("string"))
+
         bounds = F.concat(
             F.transform(
                 F.coalesce(dp["explicitBounds"], F.array().cast("array<double>")),
-                lambda b: b.cast("string"),
+                bound_str,
             ),
             F.array(F.lit("+Inf")),
         )
         counts = F.coalesce(dp["bucketCounts"], F.array().cast("array<string>"))
+        # single-pass running sum (the per-bucket slice+fold would be
+        # O(B^2) additions)
+        cum = F.aggregate(
+            counts,
+            F.array().cast("array<double>"),
+            lambda acc, c: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(F.get(acc, F.size(acc) - 1), F.lit(0.0))
+                    + F.coalesce(c.cast("double"), F.lit(0.0))
+                ),
+            ),
+        )
         n_buck = F.least(F.size(bounds), F.size(counts))
         idx = F.sequence(F.lit(1), n_buck)
         buckets = F.when(n_buck >= 1, F.transform(
@@ -445,11 +477,7 @@ def parse_otel_metric(
                 F.concat(name, F.lit("_bucket")),
                 dp_labels(dp, hist_extra, _kv("le", F.get(bounds, j - 1))),
                 t,
-                F.aggregate(
-                    F.slice(counts, F.lit(1), j),
-                    F.lit(0.0),
-                    lambda acc, c: acc + F.coalesce(c.cast("double"), F.lit(0.0)),
-                ),
+                F.get(cum, j - 1),
             ),
         )).otherwise(empty)
         return F.concat(fixed, buckets)

@@ -40,6 +40,10 @@ ProcessorFn = Callable[..., DataFrame]
 
 # name → callable(df, **params). Mirrors pipeline.Processors registry.
 PROCESSORS: dict[str, ProcessorFn] = {
+    # processor_default: the identity pass-through; ignores any config
+    # params like the reference
+    # (plugins/processor/defaultone/processor_default.go:15-20)
+    "default": lambda df, **_: df,
     "parse_regex": parse.parse_regex,
     "parse_grok": parse.parse_grok,
     "parse_json": parse.parse_json,

@@ -164,7 +164,7 @@ def test_otel_metric_histogram_buckets(spark):
                     "dataPoints": [{
                         "timeUnixNano": "5",
                         "sum": 10.0, "min": 0.5, "max": 4.0, "count": "7",
-                        "explicitBounds": [1.0, 2.0],
+                        "explicitBounds": [1.0, 2.0],  # whole-number bounds
                         "bucketCounts": ["3", "2", "2"],
                     }]}},
             ]}],
@@ -183,7 +183,8 @@ def test_otel_metric_histogram_buckets(spark):
              if kv.startswith("le#$#")): r["__value__"]
         for r in by_name["lat_bucket"]
     }
-    assert buckets == {"1.0": 3.0, "2.0": 5.0, "+Inf": 7.0}
+    # whole-number bounds render without a decimal point (Go strconv)
+    assert buckets == {"1": 3.0, "2": 5.0, "+Inf": 7.0}
     assert all("otlp.metric.histogram.type#$#Histogram" in r["__labels__"]
                for r in by_name["lat_bucket"])
 
@@ -211,3 +212,39 @@ def test_otel_metric_summary_quantiles(spark):
               if kv.startswith("quantile#$#")): r["__value__"]
          for r in out if r["__name__"] == "rt"}
     assert q == {"0.5": 4.0, "0.99": 9.0}
+
+
+def test_otel_metric_nonscalar_attr_and_fractional_bound(spark):
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    payload = {
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "args", "value": {"arrayValue": {"values": []}}},
+                {"key": "svc", "value": {"stringValue": "s"}}]},
+            "scopeMetrics": [{"scope": {"name": "m", "version": "1"}, "metrics": [
+                {"name": "h", "histogram": {"aggregationTemporality": 2,
+                    "dataPoints": [{"timeUnixNano": "1",
+                        "count": "3", "explicitBounds": [0.25],
+                        "bucketCounts": ["1", "2"]}]}},
+            ]}],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(payload),)], ["payload"])
+    rows = parse_otel_metric(df, "payload").collect()
+    # non-scalar attr renders as an empty value, never a bare key
+    for r in rows:
+        for kv in r["__labels__"].split("|"):
+            assert "#$#" in kv, r["__labels__"]
+    les = {next(kv.split("#$#")[1] for kv in r["__labels__"].split("|")
+               if kv.startswith("le#$#")): r["__value__"]
+           for r in rows if r["__name__"] == "h_bucket"}
+    assert les == {"0.25": 1.0, "+Inf": 3.0}  # fractional bound verbatim
+
+
+def test_default_processor_ignores_params(spark):
+    from loongcollector_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    out = Pipeline({"processors": [{"type": "default", "source_key": "x"}]}).run(df)
+    assert out.collect() == df.collect()
