@@ -259,6 +259,13 @@ resourceMetrics array<struct<
           attributes: {_ATTRS}, timeUnixNano: string,
           sum: double, min: double, max: double, count: string,
           explicitBounds: array<double>, bucketCounts: array<string>>>,
+          aggregationTemporality: string>,
+      exponentialHistogram: struct<dataPoints: array<struct<
+          attributes: {_ATTRS}, timeUnixNano: string,
+          sum: double, min: double, max: double, count: string,
+          scale: int, zeroCount: string,
+          positive: struct<offset:int, bucketCounts: array<string>>,
+          negative: struct<offset:int, bucketCounts: array<string>>>>,
           aggregationTemporality: string>
     >>
   >>
@@ -332,9 +339,14 @@ def parse_otel_metric(
       labels sorted ``k#$#v|...`` from resource + data-point
       attributes.
 
-    Exponential histograms and exemplars are not converted (documented
-    gap; the reference's exemplar rows need pdata internals), and
-    ``asInt`` values above 2^53 lose precision through the double
+    * exponential histogram → same _sum/_min/_max/_count rows plus
+      RAW-count ``_bucket`` rows at the base^(offset+i) boundaries
+      (le="(lower,upper]" / "[-upper,-lower)") and the
+      positive.offset / negative.offset / zero.count bookkeeping rows
+      (genExponentialHistogramValues parity).
+
+    Exemplars are not converted (the reference's exemplar rows need
+    pdata internals), and ``asInt`` values above 2^53 lose precision through the double
     ``__value__`` column (the reference carries float64 there too once
     rendered, but preserves int64 exactly up to formatting). protobuf
     formats raise as in :func:`parse_otel_trace`."""
@@ -485,11 +497,98 @@ def parse_otel_metric(
     hist_rows = F.flatten(
         F.transform(m["histogram"]["dataPoints"], hist_point_rows)
     )
+
+    # exponential histogram (otlpDataToSLSProto.go:232-273 +
+    # genExponentialHistogramValues): base = 2^(2^-scale); positive
+    # bucket i covers (base^(offset+i), base^(offset+i+1)] and its
+    # RAW count becomes a _bucket row labeled le="(lower,upper]"
+    # (negative: "[-upper,-lower)"); plus le=positive.offset /
+    # negative.offset / zero.count bookkeeping rows
+    exp_extra = F.concat(
+        _kv("otlp.metric.aggregation.temporality",
+            _enum_chain(m["exponentialHistogram"]["aggregationTemporality"],
+                        _TEMPORALITY, "Unspecified")),
+        _kv("otlp.metric.histogram.type", F.lit("ExponentialHistogram")),
+    )
+
+    def _fmt_bound(v):
+        as_long = v.cast("long")
+        return F.when(
+            as_long.cast("double") == v, as_long.cast("string")
+        ).otherwise(v.cast("string"))
+
+    def exp_point_rows(dp) -> Column:
+        base_lbls = dp_labels(dp, exp_extra)
+        t = dp["timeUnixNano"]
+        fixed = F.filter(
+            F.array(
+                F.when(dp["sum"].isNotNull(), _metric_row(
+                    F.concat(name, F.lit("_sum")), base_lbls, t, dp["sum"])),
+                F.when(dp["min"].isNotNull(), _metric_row(
+                    F.concat(name, F.lit("_min")), base_lbls, t, dp["min"])),
+                F.when(dp["max"].isNotNull(), _metric_row(
+                    F.concat(name, F.lit("_max")), base_lbls, t, dp["max"])),
+                _metric_row(F.concat(name, F.lit("_count")), base_lbls, t,
+                            F.coalesce(dp["count"].cast("double"), F.lit(0.0))),
+            ),
+            lambda r: r.isNotNull(),
+        )
+        base = F.pow(F.lit(2.0), F.pow(
+            F.lit(2.0), -F.coalesce(dp["scale"], F.lit(0)).cast("double")))
+
+        def side_rows(side, positive: bool) -> Column:
+            counts = F.coalesce(side["bucketCounts"],
+                                F.array().cast("array<string>"))
+            off = F.coalesce(side["offset"], F.lit(0)).cast("double")
+            idx = F.when(F.size(counts) >= 1,
+                         F.sequence(F.lit(0), F.size(counts) - 1)).otherwise(
+                F.array().cast("array<int>"))
+
+            def one(i):
+                lower = F.pow(base, off + i.cast("double"))
+                upper = lower * base
+                if positive:
+                    le = F.concat(F.lit("("), _fmt_bound(lower), F.lit(","),
+                                  _fmt_bound(upper), F.lit("]"))
+                else:
+                    le = F.concat(F.lit("["), _fmt_bound(-upper), F.lit(","),
+                                  _fmt_bound(-lower), F.lit(")"))
+                return _metric_row(
+                    F.concat(name, F.lit("_bucket")),
+                    dp_labels(dp, exp_extra, _kv("le", le)),
+                    t,
+                    F.coalesce(F.get(counts, i).cast("double"), F.lit(0.0)),
+                )
+
+            offset_key = "positive.offset" if positive else "negative.offset"
+            return F.concat(
+                F.transform(idx, one),
+                F.array(_metric_row(
+                    F.concat(name, F.lit("_bucket")),
+                    dp_labels(dp, exp_extra, _kv("le", F.lit(offset_key))),
+                    t, off)),
+            )
+
+        zero_row = F.array(_metric_row(
+            F.concat(name, F.lit("_bucket")),
+            dp_labels(dp, exp_extra, _kv("le", F.lit("zero.count"))),
+            t, F.coalesce(dp["zeroCount"].cast("double"), F.lit(0.0))))
+        return F.concat(
+            fixed,
+            side_rows(dp["positive"], True),
+            zero_row,
+            side_rows(dp["negative"], False),
+        )
+
+    exp_rows = F.flatten(
+        F.transform(m["exponentialHistogram"]["dataPoints"], exp_point_rows)
+    )
     all_rows = F.concat(
         F.coalesce(gauge_rows, empty),
         F.coalesce(sum_rows, empty),
         F.coalesce(summary_rows, empty),
         F.coalesce(hist_rows, empty),
+        F.coalesce(exp_rows, empty),
     )
     out = (
         out.withColumn("__row", F.explode(all_rows))

@@ -248,3 +248,37 @@ def test_default_processor_ignores_params(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     out = Pipeline({"processors": [{"type": "default", "source_key": "x"}]}).run(df)
     assert out.collect() == df.collect()
+
+
+def test_otel_metric_exponential_histogram(spark):
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    payload = {
+        "resourceMetrics": [{
+            "resource": {"attributes": []},
+            "scopeMetrics": [{"scope": {"name": "m", "version": "1"}, "metrics": [
+                {"name": "eh", "exponentialHistogram": {
+                    "aggregationTemporality": 2,
+                    "dataPoints": [{
+                        "timeUnixNano": "3", "sum": 9.0, "count": "5",
+                        "scale": 0, "zeroCount": "1",
+                        "positive": {"offset": 1, "bucketCounts": ["2", "1"]},
+                        "negative": {"offset": 0, "bucketCounts": ["1"]},
+                    }]}},
+            ]}],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(payload),)], ["payload"])
+    rows = parse_otel_metric(df, "payload").collect()
+    les = {next(kv.split("#$#")[1] for kv in r["__labels__"].split("|")
+               if kv.startswith("le#$#")): r["__value__"]
+           for r in rows if r["__name__"] == "eh_bucket"}
+    # scale=0 -> base=2; positive offset 1: (2,4]=2, (4,8]=1;
+    # negative offset 0: [-2,-1)=1; bookkeeping rows carry offsets/zero
+    assert les == {
+        "(2,4]": 2.0, "(4,8]": 1.0, "[-2,-1)": 1.0,
+        "positive.offset": 1.0, "negative.offset": 0.0, "zero.count": 1.0,
+    }
+    assert {r["__value__"] for r in rows if r["__name__"] == "eh_count"} == {5.0}
+    assert all("otlp.metric.histogram.type#$#ExponentialHistogram" in r["__labels__"]
+               for r in rows if r["__name__"] == "eh_bucket")
