@@ -234,9 +234,14 @@ def parse_otel_trace(
 
 # ---------------------------------------------------------------- metrics
 
+_EXEMPLARS = (
+    "array<struct<timeUnixNano:string,asDouble:double,asInt:string,"
+    "spanId:string,traceId:string,filteredAttributes:" + _ATTRS + ">>"
+)
+
 _NUMDP = (
     "array<struct<attributes:" + _ATTRS + ",timeUnixNano:string,"
-    "asDouble:double,asInt:string>>"
+    "asDouble:double,asInt:string,exemplars:" + _EXEMPLARS + ">>"
 )
 
 # OTLP/JSON metrics schema (gauge/sum/summary/histogram; exponential
@@ -258,14 +263,16 @@ resourceMetrics array<struct<
       histogram: struct<dataPoints: array<struct<
           attributes: {_ATTRS}, timeUnixNano: string,
           sum: double, min: double, max: double, count: string,
-          explicitBounds: array<double>, bucketCounts: array<string>>>,
+          explicitBounds: array<double>, bucketCounts: array<string>,
+          exemplars: {_EXEMPLARS}>>,
           aggregationTemporality: string>,
       exponentialHistogram: struct<dataPoints: array<struct<
           attributes: {_ATTRS}, timeUnixNano: string,
           sum: double, min: double, max: double, count: string,
           scale: int, zeroCount: string,
           positive: struct<offset:int, bucketCounts: array<string>>,
-          negative: struct<offset:int, bucketCounts: array<string>>>>,
+          negative: struct<offset:int, bucketCounts: array<string>>,
+          exemplars: {_EXEMPLARS}>>,
           aggregationTemporality: string>
     >>
   >>
@@ -345,8 +352,13 @@ def parse_otel_metric(
       positive.offset / negative.offset / zero.count bookkeeping rows
       (genExponentialHistogramValues parity).
 
-    Exemplars are not converted (the reference's exemplar rows need
-    pdata internals), and ``asInt`` values above 2^53 lose precision through the double
+    * exemplars (all metric types) → ``<name>_exemplars`` rows with
+      traceId/spanId/filtered-attribute labels
+      (newExemplarMetricLogFromRaw parity, including its quirks:
+      DoubleValue() so int exemplars render 0, and SECONDS in the
+      exemplar row's ``__time_nano__``).
+
+    ``asInt`` values above 2^53 lose precision through the double
     ``__value__`` column (the reference carries float64 there too once
     rendered, but preserves int64 exactly up to formatting). protobuf
     formats raise as in :func:`parse_otel_trace`."""
@@ -374,13 +386,50 @@ def parse_otel_metric(
         "array<struct<__name__:string,__labels__:string,"
         "__time_nano__:bigint,__value__:double>>"
     )
+    empty_entries = F.array().cast("array<struct<key:string,value:string>>")
 
-    gauge_rows = F.transform(
+    def exemplar_rows(dp, *extra: Column) -> Column:
+        """``<name>_exemplars`` rows (newExemplarMetricLogFromRaw):
+        labels gain traceId/spanId (when present) + filtered
+        attributes; value is the exemplar's DOUBLE value (an int-typed
+        exemplar renders 0 — the reference calls DoubleValue()
+        unconditionally); the reference's quirk of writing SECONDS
+        into __time_nano__ for exemplar rows is reproduced."""
+        def one(ex):
+            ex_entries = F.concat(
+                F.when(
+                    F.length(F.coalesce(ex["traceId"], F.lit(""))) > 0,
+                    _kv("traceId", ex["traceId"]),
+                ).otherwise(empty_entries),
+                F.when(
+                    F.length(F.coalesce(ex["spanId"], F.lit(""))) > 0,
+                    _kv("spanId", ex["spanId"]),
+                ).otherwise(empty_entries),
+                _attr_entries(ex["filteredAttributes"]),
+            )
+            secs = (ex["timeUnixNano"].cast("decimal(38,0)") / 1000000000).cast(
+                "long"
+            )
+            return _metric_row(
+                F.concat(name, F.lit("_exemplars")),
+                dp_labels(dp, *extra, ex_entries),
+                secs.cast("string"),
+                F.coalesce(ex["asDouble"], F.lit(0.0)),
+            )
+
+        return F.transform(
+            F.coalesce(dp["exemplars"], F.array().cast(_EXEMPLARS)), one
+        )
+
+    gauge_rows = F.flatten(F.transform(
         m["gauge"]["dataPoints"],
-        lambda dp: _metric_row(
-            name, dp_labels(dp), dp["timeUnixNano"], _num_value(dp)
+        lambda dp: F.concat(
+            F.array(_metric_row(
+                name, dp_labels(dp), dp["timeUnixNano"], _num_value(dp)
+            )),
+            exemplar_rows(dp),
         ),
-    )
+    ))
     sum_extra_entries = F.concat(
         _kv("otlp.metric.ismonotonic",
             F.coalesce(m["sum"]["isMonotonic"].cast("string"), F.lit("false"))),
@@ -388,13 +437,16 @@ def parse_otel_metric(
             _enum_chain(m["sum"]["aggregationTemporality"], _TEMPORALITY,
                         "Unspecified")),
     )
-    sum_rows = F.transform(
+    sum_rows = F.flatten(F.transform(
         m["sum"]["dataPoints"],
-        lambda dp: _metric_row(
-            name, dp_labels(dp, sum_extra_entries), dp["timeUnixNano"],
-            _num_value(dp),
+        lambda dp: F.concat(
+            F.array(_metric_row(
+                name, dp_labels(dp, sum_extra_entries), dp["timeUnixNano"],
+                _num_value(dp),
+            )),
+            exemplar_rows(dp, sum_extra_entries),
         ),
-    )
+    ))
     summary_rows = F.flatten(
         F.transform(
             m["summary"]["dataPoints"],
@@ -492,7 +544,7 @@ def parse_otel_metric(
                 F.get(cum, j - 1),
             ),
         )).otherwise(empty)
-        return F.concat(fixed, buckets)
+        return F.concat(fixed, exemplar_rows(dp, hist_extra), buckets)
 
     hist_rows = F.flatten(
         F.transform(m["histogram"]["dataPoints"], hist_point_rows)
@@ -575,6 +627,7 @@ def parse_otel_metric(
             t, F.coalesce(dp["zeroCount"].cast("double"), F.lit(0.0))))
         return F.concat(
             fixed,
+            exemplar_rows(dp, exp_extra),
             side_rows(dp["positive"], True),
             zero_row,
             side_rows(dp["negative"], False),

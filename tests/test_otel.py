@@ -282,3 +282,34 @@ def test_otel_metric_exponential_histogram(spark):
     assert {r["__value__"] for r in rows if r["__name__"] == "eh_count"} == {5.0}
     assert all("otlp.metric.histogram.type#$#ExponentialHistogram" in r["__labels__"]
                for r in rows if r["__name__"] == "eh_bucket")
+
+
+def test_otel_metric_exemplars(spark):
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    payload = {
+        "resourceMetrics": [{
+            "resource": {"attributes": []},
+            "scopeMetrics": [{"scope": {"name": "m", "version": "1"}, "metrics": [
+                {"name": "lat", "sum": {"aggregationTemporality": 2,
+                    "isMonotonic": True, "dataPoints": [{
+                        "timeUnixNano": "2000000000", "asDouble": 5.0,
+                        "exemplars": [{
+                            "timeUnixNano": "1500000000", "asDouble": 4.5,
+                            "traceId": "abc", "spanId": "def",
+                            "filteredAttributes": [
+                                {"key": "pod", "value": {"stringValue": "p1"}}],
+                        }],
+                    }]}},
+            ]}],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(payload),)], ["payload"])
+    rows = {r["__name__"]: r for r in parse_otel_metric(df, "payload").collect()}
+    ex = rows["lat_exemplars"]
+    assert ex["__value__"] == 4.5
+    # reference quirk: exemplar rows carry SECONDS in __time_nano__
+    assert ex["__time_nano__"] == 1
+    for want in ("traceId#$#abc", "spanId#$#def", "pod#$#p1"):
+        assert want in ex["__labels__"]
+    assert rows["lat"]["__value__"] == 5.0  # data point row unaffected
