@@ -10,12 +10,14 @@ interface of pkg/pipeline/processor.go:31-39)::
         --output <sink base path> \
         --spec   pipeline_spec.json \
         --checkpoint <checkpoint dir> \
-        [--dims <dims.json>] [--max-files-per-trigger 4] [--available-now]
+        [--dims <dims.json>] [--max-files-per-trigger 4] [--continuous]
 
-``--available-now`` drains the current backlog then stops (batch-like
-backfill with streaming exactly-once bookkeeping); without it the
-query runs until interrupted, picking up files as they appear (the
-input_file tailing analog).
+The DEFAULT drains the current backlog then stops (availableNow —
+batch-like backfill with streaming exactly-once bookkeeping).
+``--continuous`` keeps the query running until interrupted, picking up
+files as they appear (the input_file tailing analog).
+``--available-now`` is accepted as an explicit alias of the default,
+so both historical invocation styles keep their meaning.
 """
 
 from __future__ import annotations
@@ -38,7 +40,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--available-now", action="store_true")
+    ap.add_argument("--continuous", action="store_true")
     args = ap.parse_args(argv)
+    if args.available_now and args.continuous:
+        ap.error("--available-now and --continuous are mutually exclusive")
+    # drain-and-stop is the default; --continuous opts into run-forever
+    available_now = not args.continuous
 
     from pyspark.sql import SparkSession
 
@@ -62,7 +69,7 @@ def main(argv: list[str] | None = None) -> None:
         pipe,
         args.output,
         args.checkpoint,
-        available_now=args.available_now,
+        available_now=available_now,
     )
     q.awaitTermination()
 

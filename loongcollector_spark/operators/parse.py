@@ -30,7 +30,7 @@ import re
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -549,12 +549,59 @@ def split_log_regex(
 ) -> DataFrame:
     """Split one text blob into multiple events at lines matching
     *start_pattern* (split_log_regex.go:27-36 multiline semantics):
-    every line starting a match begins a new event; continuation lines
-    attach to the current event.
+    every line matching the pattern begins a new event; continuation
+    lines attach to the current event (lines before the first match
+    form the first event).
 
-    JVM-only plan: split to lines → fold lines into blocks with
-    ``aggregate`` (append to last block when not a start line) →
-    explode blocks."""
+    Codegen plan (the merge_multiline recipe): posexplode lines →
+    running-sum boundary window per source row → groupBy(row, block) →
+    ordered concat. One regex evaluation and O(1) state per line — the
+    interpreted ``F.aggregate`` fold this replaces rebuilt its
+    accumulator array per line (O(lines²) per blob, no codegen;
+    NOTES.md HOF lesson)."""
+    dest = dest_key or source_key
+    carry = [c for c in df.columns if c != source_key]
+    base = df.withColumn("__rid", F.monotonically_increasing_id())
+    lines = base.select(
+        "__rid",
+        *carry,
+        F.posexplode(F.split(F.col(source_key), "\n")).alias("__pos", "__line"),
+    )
+    w = W.partitionBy("__rid").orderBy("__pos")
+    blk = F.sum(F.col("__line").rlike(start_pattern).cast("long")).over(w)
+    blocks = lines.withColumn("__blk", blk)
+    # carry columns are constant per __rid, so grouping on them is free
+    # (no extra shuffle width beyond the key bytes); line order within
+    # a block is restored via (pos, line) struct sort — deterministic
+    # regardless of collect_list arrival order
+    merged = (
+        blocks.groupBy("__rid", "__blk", *carry)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+            ).alias(dest),
+        )
+        .drop("__blk")
+    )
+    # no orderBy: a DataFrame is an unordered multiset and a global
+    # sort here would cost a full exchange at scale; impose order
+    # downstream (stable_order) where a consumer needs it
+    return merged.drop("__rid")
+
+
+def _split_log_regex_hof(
+    df: DataFrame,
+    source_key: str,
+    start_pattern: str,
+    dest_key: str | None = None,
+) -> DataFrame:
+    """Interpreted ``F.aggregate``-fold twin of :func:`split_log_regex`
+    — kept ONLY as the semantic reference for the agreement test
+    (tests/test_parse2_sinks.py); do not use in data paths."""
     dest = dest_key or source_key
     lines = F.split(F.col(source_key), "\n")
     blocks = F.aggregate(

@@ -29,6 +29,32 @@ __all__ = [
 ]
 
 
+_MAX_DRIVER_QUERIES = 100_000
+
+
+def _collect_queries(
+    queries: DataFrame, query_id_col: str, vec_col: str, caller: str
+) -> list:
+    """Collect the query side driver-side under a hard cap.
+
+    The query side is closed over by every task — sized for "a batch
+    of queries", not a second corpus. A mis-aimed call degrades into a
+    clear error instead of a driver OOM; larger query sets should go
+    through the LSH path or a chunked loop."""
+    rows = (
+        queries.select(query_id_col, vec_col)
+        .limit(_MAX_DRIVER_QUERIES + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"{caller} query side exceeds {_MAX_DRIVER_QUERIES} rows; "
+            "collecting it driver-side would not scale — chunk the "
+            "queries or use ann_lsh"
+        )
+    return rows
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -98,27 +124,13 @@ def brute_force_topk(
         import numpy as np
         import pandas as pd
 
-        # the query side is collected driver-side and closed over by
-        # every task — sized for "a batch of queries", not a second
-        # corpus. Guard with a hard cap so a mis-aimed call degrades
-        # into a clear error instead of a driver OOM; larger query
-        # sets should go through the LSH/IVF paths or a chunked loop.
-        max_queries = 100_000
-        q_rows = (
-            queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
-        )
+        q_rows = _collect_queries(queries, query_id_col, vec_col, "brute_force_topk")
         if not q_rows:
             # np.linalg.norm on a (0,) array would raise; the empty
             # query set has a well-defined empty answer
             return vectors.sparkSession.createDataFrame(
                 [],
                 f"{query_id_col} long, neighbor_id long, rank int, cos_sim double",
-            )
-        if len(q_rows) > max_queries:
-            raise ValueError(
-                f"brute_force_topk query side exceeds {max_queries} rows; "
-                "collecting it driver-side would not scale — chunk the "
-                "queries or use ann_lsh/ann_ivf"
             )
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         Q = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -300,7 +312,12 @@ def ivf_ann_topk(
     assigned = model.transform(vec)
 
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_queries(queries, query_id_col, vec_col, "ivf_ann_topk")
+    if not q_rows:
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, neighbor_id long, rank int, cos_sim double",
+        )
     q_ids = [r[0] for r in q_rows]
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     # n_probe nearest cells per query (driver-side: centers are tiny)

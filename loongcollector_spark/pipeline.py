@@ -110,6 +110,11 @@ class Pipeline:
             if typ == "dict_map":
                 dim = self.dims[p.pop("dim")]
                 df = enrich.dict_map(df, dim, **p)
+            elif typ == "geoip":
+                # dim-requiring like dict_map: the geo range table is a
+                # named dim (processor_geoip's mmdb analog, geo.py)
+                dim = self.dims[p.pop("dim")]
+                df = geo.geoip_enrich(df, p.pop("source_key"), dim, **p)
             else:
                 df = PROCESSORS[typ](df, **p)
         return df

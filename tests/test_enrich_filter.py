@@ -284,6 +284,43 @@ def test_geoip_broadcast_range_join(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_geoip_from_pipeline_spec(spark):
+    """geoip is reachable from a config-driven spec (dim-requiring
+    special case like dict_map) — the examples/geoip_enrich_pipeline
+    spec shape end-to-end."""
+    import json
+    import os
+
+    from loongcollector_spark.pipeline import Pipeline
+
+    spec_path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "geoip_enrich_pipeline.json"
+    )
+    with open(spec_path) as fh:
+        spec = json.load(fh)
+    geo = spark.createDataFrame(
+        [(3232235520, 3232301055, "beijing", "beijing", "china", "CN")],
+        ["ip_start", "ip_end", "city", "province", "country", "country_code"],
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                '192.168.1.7 - - [01/Jan/2024:00:00:00 +0000] "GET /x HTTP/1.1" '
+                '200 10 "-" "ua" logNo=1',
+            ),
+            ("unparseable",),
+        ],
+        ["text"],
+    )
+    routed = Pipeline(spec, dims={"geo_dim": geo}).run(df)
+    rows = routed.collect()
+    assert len(rows) == 1  # discard_unmatched drops the second row
+    r = rows[0]
+    assert r["ip_city_"] == "beijing"
+    assert r["__cloud_instance_id__"] == "i-demo"
+    assert r["sink"] == "sink_cn"
+
+
 def test_cloud_meta_tags(spark):
     from loongcollector_spark.operators.geo import cloud_meta_tags
 

@@ -37,15 +37,46 @@ def test_split_log_regex(spark):
     blob = "ERR first\n  detail a\n  detail b\nERR second\n  detail c"
     df = spark.createDataFrame([(blob, "c1")], ["text", "conv_id"])
     out = split_log_regex(df, "text", r"^ERR ")
-    rows = [r.text for r in out.collect()]
+    rows = sorted(r.text for r in out.collect())
     assert rows == ["ERR first\n  detail a\n  detail b", "ERR second\n  detail c"]
     assert all(r.conv_id == "c1" for r in out.collect())
 
 
 def test_split_log_regex_leading_continuation(spark):
     df = spark.createDataFrame([("orphan\nERR x\n  y",)], ["text"])
-    rows = [r.text for r in split_log_regex(df, "text", r"^ERR ").collect()]
-    assert rows == ["orphan", "ERR x\n  y"]
+    rows = sorted(
+        r.text for r in split_log_regex(df, "text", r"^ERR ").collect()
+    )
+    assert rows == ["ERR x\n  y", "orphan"]
+
+
+def test_split_log_regex_agrees_with_hof_twin(spark):
+    from loongcollector_spark.operators.parse import _split_log_regex_hof
+
+    blobs = [
+        ("b0", "ERR a\n x\nERR b"),
+        ("b1", "lead\nmore lead\nERR only\ntail"),
+        ("b2", "no match at all\nstill none"),
+        ("b3", "ERR solo"),
+        ("b4", ""),
+    ]
+    df = spark.createDataFrame(blobs, ["bid", "text"])
+    fast = sorted(
+        (r.bid, r.text)
+        for r in split_log_regex(df, "text", r"^ERR ").collect()
+    )
+    slow = sorted(
+        (r.bid, r.text)
+        for r in _split_log_regex_hof(df, "text", r"^ERR ").collect()
+    )
+    assert fast == slow
+
+
+def test_split_log_regex_plan_has_no_interpreted_fold(spark):
+    df = spark.createDataFrame([("ERR a\n x",)], ["text"])
+    plan = split_log_regex(df, "text", r"^ERR ")._jdf.queryExecution().optimizedPlan().toString()
+    assert "aggregate(" not in plan  # the HOF fold is gone (codegen shape)
+    assert "posexplode" in plan or "Generate" in plan
 
 
 def test_merge_multiline(spark):

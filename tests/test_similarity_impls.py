@@ -46,3 +46,25 @@ def test_numpy_impl_many_partitions(spark, emb):
     b = similarity.brute_force_topk(emb, queries, k=7, impl="sql")
     assert sorted(map(tuple, a.select("query_id", "rank", "neighbor_id").collect())) == \
         sorted(map(tuple, b.select("query_id", "rank", "neighbor_id").collect()))
+
+
+def test_query_collect_guard_raises_on_oversized_query_side(
+    spark, emb, monkeypatch
+):
+    """Both driver-side query collects (brute-force AND IVF) share the
+    same hard cap — an oversized query side raises instead of OOMing
+    the driver (VERDICT r2 item 3)."""
+    monkeypatch.setattr(similarity, "_MAX_DRIVER_QUERIES", 3)
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="brute_force_topk query side exceeds"):
+        similarity.brute_force_topk(emb, queries, k=2).collect()
+    with pytest.raises(ValueError, match="ivf_ann_topk query side exceeds"):
+        similarity.ivf_ann_topk(emb, queries, k=2, n_cells=4, n_probe=2).collect()
+
+
+def test_empty_query_side_returns_empty(spark, emb):
+    empty = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert similarity.brute_force_topk(emb, empty, k=3).count() == 0
+    assert similarity.ivf_ann_topk(emb, empty, k=3, n_cells=4).count() == 0
