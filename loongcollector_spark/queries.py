@@ -724,6 +724,207 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enrich_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-enrich operator chain in one oracle-checked query —
+    every step is an exact DuckDB twin: parse_keyvalue →
+    desensitize(const) → drop_last_key → add_fields → add_tags(rename)
+    → rename → string_replace(regex + const) → md5 → base64
+    encode/decode roundtrip → pack_json → appender(sort_labels) →
+    pick_keys projection. All steps are JVM expressions fused into one
+    Catalyst plan (no shuffle until the driver collects)."""
+    tx = load_transcripts(spark, sf_dir)
+    out = parse.parse_keyvalue(tx, "text", keys=["level"])
+    out = enrich.desensitize(out, "text", r"\d+", replace_string="<NUM>")
+    out = enrich.drop_last_key(out, include=["level"], drop_key="text")
+    # NULLs sort-crash the driver's tuple compare against non-NULL
+    # strings; surface the dropped/missing state as '' on both sides
+    out = out.withColumn("level", F.coalesce(F.col("level"), F.lit("")))
+    out = out.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    out = enrich.add_fields(out, {"env": "prod", "labels": "b#$#2|a#$#1"})
+    out = enrich.add_tags(
+        out, {"__hostname__": "host-1"}, rename_map={"__hostname__": "host"}
+    )
+    out = enrich.rename(out, {"tool": "tool_name"})
+    out = enrich.string_replace(
+        out, "role", method="regex", match="[aeiou]", replace_string="*",
+        dest_key="role_x",
+    )
+    out = enrich.string_replace(
+        out, "conv_id", method="const", match="conv-", replace_string="c#",
+        dest_key="conv_tag",
+    )
+    out = enrich.md5_field(out, "role", "role_md5")
+    out = enrich.base64_encode(out, "role", "role_b64")
+    out = enrich.base64_decode(out, "role_b64", "role_rt")
+    out = enrich.pack_json(out, ["env", "host"], "packed")
+    out = enrich.appender(
+        out, "labels", "|h#$#{{host}}", constants={"host": "h9"},
+        sort_labels=True,
+    )
+    return enrich.pick_keys(
+        out,
+        include=[
+            "conv_id", "turn_idx", "level", "text", "env", "host",
+            "tool_name", "role", "role_x", "conv_tag", "role_md5",
+            "role_b64", "role_rt", "packed", "labels",
+        ],
+    )
+
+
+def q_filter_key_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-NAME regex projection (processor_filter_key_regex): include
+    then exclude, resolved into a static column prune at plan time."""
+    tx = load_transcripts(spark, sf_dir)
+    return flt.filter_key_regex(
+        tx, include="^(conv_id|turn_idx|role|tool)$", exclude="^tool$"
+    )
+
+
+def q_split_log_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_log_regex end-to-end: conversations merged into one blob
+    (stable turn order), then re-split into events at lines matching
+    ``^level=`` — continuation lines (nginx/JSON dialect turns) attach
+    to the current event; leading non-matching lines form the first
+    event. Codegen shape: posexplode → running-sum boundary window."""
+    blobs = q_merge_transcript(spark, sf_dir)
+    out = parse.split_log_regex(blobs, "doc", r"^level=", dest_key="event_text")
+    return out.select("conv_id", "event_text")
+
+
+def q_parse_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON fast path (parse_json_typed → from_json):
+    typed extraction with no Python and subfield pruning."""
+    tx = load_transcripts(spark, sf_dir).filter(F.col("text").startswith("{"))
+    out = parse.parse_json_typed(
+        tx,
+        "text",
+        "struct<level:string,msg:string,logNo:bigint,"
+        "ctx:struct<k:bigint,arr:array<bigint>>>",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("parsed")["level"].alias("level"),
+        F.col("parsed")["msg"].alias("msg"),
+        F.col("parsed")["ctx"]["k"].alias("ctx_k"),
+        F.element_at(F.col("parsed")["ctx"]["arr"], 1).alias("arr0"),
+        F.col("parsed")["logNo"].alias("log_no"),
+    )
+
+
+GEO_DIM = [
+    # (start, end, city, province, country, country_code) over the
+    # generator's 10.0.0.0/8 address space, split on the second octet
+    (10 * 16777216, 10 * 16777216 + 80 * 65536 + 65535,
+     "hangzhou", "zhejiang", "china", "CN"),
+    (10 * 16777216 + 81 * 65536, 10 * 16777216 + 160 * 65536 + 65535,
+     "seattle", "washington", "usa", "US"),
+    (10 * 16777216 + 161 * 65536, 10 * 16777216 + 223 * 65536 + 65535,
+     "dublin", "leinster", "ireland", "IE"),
+]
+
+
+def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_geoip as a broadcast range join: client IPs from the
+    nginx-dialect turns against a literal geo range table (the pruned
+    GeoLite shape); DuckDB twin is the same BETWEEN join."""
+    from .operators.geo import geoip_enrich
+
+    tx = load_transcripts(spark, sf_dir).filter(F.col("text").startswith("10."))
+    with_ip = tx.withColumn("ip", F.substring_index(F.col("text"), " ", 1))
+    dim = spark.createDataFrame(
+        GEO_DIM,
+        ["ip_start", "ip_end", "city", "province", "country", "country_code"],
+    )
+    out = geoip_enrich(with_ip, "ip", dim)
+    return out.select(
+        "conv_id", "turn_idx", "ip",
+        F.col("ip_city_").alias("ip_city"),
+        F.col("ip_country_code_").alias("ip_cc"),
+    )
+
+
+CLOUD_META = {
+    "__cloud_instance_id__": "i-0abc",
+    "__cloud_instance_name__": "bench-node",
+    "__cloud_instance_region__": "local-1",
+    "__cloud_instance_type__": "g6.xlarge",
+}
+
+
+def q_cloud_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_cloud_meta: platformmeta constant columns with key
+    renaming (cloud_meta.go:60-96 mock-platform semantics)."""
+    from .operators.geo import cloud_meta_tags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cloud_meta_tags(
+        ev.select("event_id"),
+        CLOUD_META,
+        rename={"__cloud_instance_name__": "instance_name"},
+    )
+    return out.select(
+        "event_id",
+        "__cloud_instance_id__",
+        "instance_name",
+        "__cloud_instance_region__",
+        "__cloud_instance_type__",
+    )
+
+
+def q_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_gotime: Go-layout parse at UTC, re-format at UTC+8
+    (the reference's integer hour locations) plus the fixed
+    ``milliseconds`` epoch pseudo-format — layouts translated once on
+    the driver (functions/gotime.py)."""
+    tx = load_transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+    out = parse.parse_gotime(
+        tx, "ts_str", "2006-01-02 15:04:05", "bj_str", "2006/01/02T15:04:05",
+        source_location=0, dest_location=8,
+    )
+    out = parse.parse_gotime(
+        out, "ts_str", "2006-01-02 15:04:05", "epoch_ms", "milliseconds",
+        source_location=0,
+    )
+    return out.select("conv_id", "turn_idx", "ts_str", "bj_str", "epoch_ms")
+
+
+# AES-128-CBC, PKCS padding, the reference's all-zero default IV
+# (processor_encrypt.go:52-55) — golden ciphertexts computed with an
+# INDEPENDENT implementation (pyca/cryptography; regenerated and
+# asserted by tests/test_enrich_filter.py::test_encrypt_golden_matches
+# _independent_aes), pinned here as literals the DuckDB oracle checks.
+ENCRYPT_KEY_HEX = "00112233445566778899aabbccddeeff"
+ENCRYPT_GOLDEN = [
+    (1, "alpha", "5F2084223F219A91F07BBB216BAA76AE"),
+    (2, "conv-secret-0001",
+     "BD1617794AEB1DCD1391E116F51544B80A9F4B25FFC89F4E7F85279F5E717D45"),
+    # exact 16-byte plaintext → PKCS adds a full pad block
+    (3, "0123456789abcdef",
+     "AEBDD39B144089D5E31CACD35B7A113A3461D3366532DEC39DBA73E01B32B804"),
+]
+
+
+def q_encrypt_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_encrypt golden (the reference's unittest style):
+    deterministic CBC/zero-IV ciphertext for fixed plaintexts, plus
+    the decrypt roundtrip recovering the plaintext."""
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in ENCRYPT_GOLDEN], ["id", "plain"]
+    )
+    enc = enrich.encrypt_fields(
+        df.withColumn("ct", F.col("plain")), ["ct"], ENCRYPT_KEY_HEX
+    )
+    dec = enrich.decrypt_fields(
+        enc.withColumn("rt", F.col("ct")), ["rt"], ENCRYPT_KEY_HEX
+    )
+    return dec.select("id", "plain", "ct", "rt")
+
+
 # ---------------------------------------------------------------- oracles
 
 ORACLES: dict[str, str] = {
@@ -926,6 +1127,116 @@ ORACLES["ann_topk"] = """
     )
     SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 3
 """
+
+ORACLES["enrich_chain"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT conv_id, turn_idx,
+           CASE WHEN text LIKE 'level=%'
+                THEN regexp_extract(text, '^level=([^ ]*)', 1)
+                ELSE '' END AS level,
+           CASE WHEN text LIKE 'level=%' THEN ''
+                ELSE regexp_replace(text, '\\d+', '<NUM>', 'g') END AS text,
+           'prod' AS env,
+           'host-1' AS host,
+           tool AS tool_name,
+           role,
+           regexp_replace(role, '[aeiou]', '*', 'g') AS role_x,
+           replace(conv_id, 'conv-', 'c#') AS conv_tag,
+           md5(role) AS role_md5,
+           to_base64(encode(role)) AS role_b64,
+           decode(from_base64(to_base64(encode(role)))) AS role_rt,
+           '{{"env":"prod","host":"host-1"}}' AS packed,
+           'a#$#1|b#$#2|h#$#h9' AS labels
+    FROM transcripts
+"""
+ORACLES["filter_key_regex"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT conv_id, turn_idx, role FROM transcripts
+"""
+ORACLES["split_log_regex"] = f"""
+    WITH transcripts AS ({_TX}),
+    doc AS (
+      SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+      FROM transcripts GROUP BY conv_id
+    ),
+    lines AS (
+      SELECT conv_id,
+             unnest(string_split(doc, chr(10))) AS line,
+             unnest(generate_series(1, len(string_split(doc, chr(10))))) AS pos
+      FROM doc
+    ),
+    blk AS (
+      SELECT conv_id, pos, line,
+             sum(CASE WHEN regexp_matches(line, '^level=') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM lines
+    )
+    SELECT conv_id, string_agg(line, chr(10) ORDER BY pos) AS event_text
+    FROM blk GROUP BY conv_id, g
+"""
+ORACLES["parse_json_typed"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT conv_id, turn_idx,
+           json_extract_string(text, '$.level') AS level,
+           json_extract_string(text, '$.msg') AS msg,
+           cast(json_extract(text, '$.ctx.k') AS BIGINT) AS ctx_k,
+           cast(json_extract(text, '$.ctx.arr[0]') AS BIGINT) AS arr0,
+           cast(json_extract(text, '$.logNo') AS BIGINT) AS log_no
+    FROM transcripts WHERE text LIKE '{{%'
+"""
+_GEO_DIM_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({s}, {e}, '{ci}', '{pr}', '{co}', '{cc}')"
+        for s, e, ci, pr, co, cc in GEO_DIM
+    )
+    + ") AS geo(ip_start, ip_end, city, province, country, country_code)"
+)
+ORACLES["geoip"] = f"""
+    WITH transcripts AS ({_TX}),
+    geo AS ({_GEO_DIM_SQL}),
+    t AS (
+      SELECT conv_id, turn_idx, string_split(text, ' ')[1] AS ip
+      FROM transcripts WHERE text LIKE '10.%'
+    ),
+    ipl AS (
+      SELECT conv_id, turn_idx, ip,
+             cast(string_split(ip, '.')[1] AS BIGINT) * 16777216
+           + cast(string_split(ip, '.')[2] AS BIGINT) * 65536
+           + cast(string_split(ip, '.')[3] AS BIGINT) * 256
+           + cast(string_split(ip, '.')[4] AS BIGINT) AS n
+      FROM t
+    )
+    SELECT i.conv_id, i.turn_idx, i.ip, g.city AS ip_city,
+           g.country_code AS ip_cc
+    FROM ipl i LEFT JOIN geo g ON i.n BETWEEN g.ip_start AND g.ip_end
+"""
+ORACLES["cloud_meta"] = f"""
+    SELECT event_id,
+           '{CLOUD_META["__cloud_instance_id__"]}' AS "__cloud_instance_id__",
+           '{CLOUD_META["__cloud_instance_name__"]}' AS instance_name,
+           '{CLOUD_META["__cloud_instance_region__"]}'
+             AS "__cloud_instance_region__",
+           '{CLOUD_META["__cloud_instance_type__"]}'
+             AS "__cloud_instance_type__"
+    FROM events
+"""
+ORACLES["gotime"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT conv_id, turn_idx,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strftime(ts + INTERVAL 8 HOUR, '%Y/%m/%dT%H:%M:%S') AS bj_str,
+           cast(epoch_ms(date_trunc('second', ts)) AS STRING) AS epoch_ms
+    FROM transcripts
+"""
+ORACLES["encrypt_golden"] = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({i}::BIGINT, '{p}', '{ct}', '{p}')" for i, p, ct in ENCRYPT_GOLDEN
+    )
+    + ") AS t(id, plain, ct, rt)"
+)
 
 ORACLES["grok"] = _grok_oracle_sql()
 ORACLES["curation_pipeline"] = """
@@ -1272,4 +1583,14 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ngram_jaccard": q_ngram_jaccard,
     "otel_spans": q_otel_spans,
+    # round-3 additions: every remaining SURVEY §2 scalar operator now
+    # has a CORRECTNESS row (VERDICT r2 item 1)
+    "enrich_chain": q_enrich_chain,
+    "filter_key_regex": q_filter_key_regex,
+    "split_log_regex": q_split_log_regex,
+    "parse_json_typed": q_parse_json_typed,
+    "geoip": q_geoip,
+    "cloud_meta": q_cloud_meta,
+    "gotime": q_gotime,
+    "encrypt_golden": q_encrypt_golden,
 }

@@ -332,3 +332,26 @@ def test_cloud_meta_tags(spark):
     ).first()
     assert out["__cloud_instance_id__"] == "id_xxx"
     assert out["instance"] == "name_xxx"
+
+
+def test_encrypt_golden_matches_independent_aes():
+    """The pinned ENCRYPT_GOLDEN ciphertexts (queries.py — the driver
+    oracle literals) regenerate from an INDEPENDENT AES implementation
+    (pyca/cryptography), so the golden is not Spark-self-referential."""
+    pytest.importorskip("cryptography")
+    from cryptography.hazmat.primitives import padding
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher,
+        algorithms,
+        modes,
+    )
+
+    from loongcollector_spark.queries import ENCRYPT_GOLDEN, ENCRYPT_KEY_HEX
+
+    key = bytes.fromhex(ENCRYPT_KEY_HEX)
+    for _pid, plain, expected_hex in ENCRYPT_GOLDEN:
+        padder = padding.PKCS7(128).padder()
+        data = padder.update(plain.encode()) + padder.finalize()
+        enc = Cipher(algorithms.AES(key), modes.CBC(bytes(16))).encryptor()
+        ct = enc.update(data) + enc.finalize()
+        assert ct.hex().upper() == expected_hex
