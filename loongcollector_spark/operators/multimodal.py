@@ -54,7 +54,9 @@ def attach_media_metadata(
     """Derive cheap metadata without decoding: size + magic-byte format
     sniffing — pure JVM expressions over the binary column. PNG
     width/height come straight from the IHDR chunk (big-endian u32 at
-    fixed offsets 17/21 — no inflate needed)."""
+    fixed offsets 17/21 — no inflate needed); JPEG width/height from a
+    bounded SOFn segment walk (baseline SOF0 through progressive SOF2
+    and the rarer SOFn variants)."""
     b = F.col(binary_col)
     head = F.hex(F.substring(b, 1, 4))
     fmt = (
@@ -74,9 +76,68 @@ def attach_media_metadata(
     def _be32(offset: int):
         return F.conv(F.hex(F.substring(b, offset, 4)), 16, 10).cast("int")
 
+    def _be16(pos):  # 1-based dynamic position
+        return F.conv(F.hex(F.substring(b, pos, 2)), 16, 10).cast("int")
+
+    def _byte(pos):
+        return F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("int")
+
+    # JPEG SOFn frame header walk (ISO/IEC 10918 marker layout):
+    # segments are [FF][marker][len_be16][payload]; the SOF payload is
+    # [precision][height_be16][width_be16]. A bounded fold steps
+    # segment-to-segment from offset 3 (after FFD8) until SOF, SOS
+    # (entropy data — stop), or 32 segments. JVM-side as requested:
+    # the per-step state is O(1) (pos,w,h), evaluated only on jpg rows
+    # in the metadata path, so the interpreted HOF is off the per-byte
+    # hot path. Best-effort by design: inter-segment FF fill bytes or
+    # >32 header segments yield NULL dims, never an error.
+    _SOF_MARKERS = [
+        0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+    ]
+    _jpeg_init = F.struct(
+        F.lit(3).cast("int").alias("pos"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+    )
+
+    def _jpeg_step(acc, _i):
+        p = acc["pos"]
+        m1, m2 = _byte(p), _byte(p + 1)
+        stop = (
+            acc["w"].isNotNull()
+            | (p + 8 > F.length(b))
+            | (m1 != 0xFF)
+            | (m2 == 0xDA)
+        )
+        found = F.struct(
+            p.alias("pos"), _be16(p + 7).alias("w"), _be16(p + 5).alias("h")
+        )
+        advance = F.struct(
+            (p + 2 + _be16(p + 2)).cast("int").alias("pos"),
+            acc["w"].alias("w"),
+            acc["h"].alias("h"),
+        )
+        return F.when(stop, acc).otherwise(
+            F.when(m2.isin(_SOF_MARKERS), found).otherwise(advance)
+        )
+
+    jpeg_dims = F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)), _jpeg_init, _jpeg_step
+    )
+
     is_png = head.startswith("89504E47") & (F.length(b) >= 24)
-    width = F.when(is_png, _be32(17)).otherwise(F.lit(None).cast("int"))
-    height = F.when(is_png, _be32(21)).otherwise(F.lit(None).cast("int"))
+    is_jpg = head.startswith("FFD8")
+    width = (
+        F.when(is_png, _be32(17))
+        .when(is_jpg, jpeg_dims["w"])
+        .otherwise(F.lit(None).cast("int"))
+    )
+    height = (
+        F.when(is_png, _be32(21))
+        .when(is_jpg, jpeg_dims["h"])
+        .otherwise(F.lit(None).cast("int"))
+    )
     return df.withColumn(
         meta_col,
         F.struct(

@@ -19,9 +19,11 @@ attribute JSON with sorted keys and the promoted host/service keys
 removed from the resource object. Deviation (documented): attribute
 values render as JSON strings regardless of OTLP value type (a Spark
 map is homogeneous; the reference's json.Marshal keeps native
-types). The reference's ``protobuf``/``protojson`` formats
-need the OTLP protobuf bindings, which this container doesn't ship —
-format='protobuf' raises with that explanation.
+types). All three reference formats are supported: ``json`` /
+``protojson`` parse directly (protojson IS the camelCase OTLP/JSON
+encoding), and ``protobuf`` decodes the public wire format with the
+pure-Python walker in functions/otlp_wire.py before entering the same
+JSON plan.
 """
 
 from __future__ import annotations
@@ -80,6 +82,18 @@ _STATUS = {
 }
 
 
+def _fmt_double(v: Column) -> Column:
+    """Double → string in Go strconv FormatFloat 'g' style for the
+    common cases: whole-number doubles print without a decimal point
+    ('2', not '2.0'). Residual deviation (documented): very small /
+    large fractional values render in Spark's scientific form
+    ('1.0E-4' vs Go's '0.0001')."""
+    as_long = v.cast("long")
+    return F.when(
+        as_long.cast("double") == v, as_long.cast("string")
+    ).otherwise(v.cast("string"))
+
+
 def _enum_chain(col: Column, table: dict[str, str], default: str) -> Column:
     out = None
     for raw, short in table.items():
@@ -110,7 +124,9 @@ def _attr_entries(attrs: Column, exclude: tuple[str, ...] = ()) -> Column:
             F.coalesce(
                 a["value"]["stringValue"],
                 a["value"]["intValue"],
-                a["value"]["doubleValue"].cast("string"),
+                # Go pcommon AsString renders whole-number doubles
+                # without the decimal point ('2', not '2.0')
+                _fmt_double(a["value"]["doubleValue"]),
                 a["value"]["boolValue"].cast("string"),
                 # non-scalar values (arrayValue/kvlistValue — outside
                 # the scalar schema) must not go NULL: concat_ws would
@@ -124,7 +140,19 @@ def _attr_entries(attrs: Column, exclude: tuple[str, ...] = ()) -> Column:
 
 
 def _attrs_map(attrs: Column, exclude: tuple[str, ...] = ()) -> Column:
-    return F.map_from_entries(_attr_entries(attrs, exclude))
+    """Entries → map with in-expression key dedup (keep the LAST of
+    equal keys in sorted order — same entry the session-level LAST_WIN
+    policy kept). map_from_entries would DUPLICATE_MAP_KEY-crash on a
+    vanilla session for payloads with repeated attribute keys; the
+    reference's pcommon.Map tolerates them, so dedup must not depend
+    on spark.sql.mapKeyDedupPolicy being configured."""
+    entries = _attr_entries(attrs, exclude)
+    deduped = F.filter(
+        entries,
+        lambda e, i: (i == F.size(entries) - 1)
+        | (F.get(entries, i + 1)["key"] != e["key"]),
+    )
+    return F.map_from_entries(deduped)
 
 
 def _attrs_json(attrs: Column, exclude: tuple[str, ...] = ()) -> Column:
@@ -152,13 +180,24 @@ def parse_otel_trace(
     """One output row per span in each row's OTLP payload (other input
     columns are carried through, duplicated per span — the reference
     replaces the log with the span logs). Unparseable payloads produce
-    zero spans (the reference drops the log with an alarm)."""
-    if format.lower() != "json":
-        raise NotImplementedError(
-            "processor_otel_trace formats 'protobuf'/'protojson' need the "
-            "OTLP protobuf bindings, which are not available in this "
-            "environment; 'json' is fully supported"
-        )
+    zero spans (the reference drops the log with an alarm).
+
+    ``format``: 'json'/'protojson' (OTLP/JSON text — protojson IS the
+    camelCase JSON encoding this schema parses; JVM-native hot path)
+    or 'protobuf' (serialized ``TracesData`` in a binary column —
+    decoded by the pure-Python wire walker functions/otlp_wire.py in
+    an Arrow-batched UDF, then fed through the same JSON plan, so both
+    formats produce identical rows)."""
+    fmt = format.lower()
+    if fmt == "protobuf":
+        from ..functions.otlp_wire import decode_udf
+
+        tmp = "__otlp_trace_json"
+        decoded = df.withColumn(tmp, decode_udf("traces")(F.col(source_key)))
+        out = parse_otel_trace(decoded, tmp, format="json", drop_source=True)
+        return out.drop(source_key) if drop_source else out
+    if fmt not in ("json", "protojson"):
+        raise ValueError(f"unknown otel trace format {format!r}")
     parsed = F.from_json(F.col(source_key), OTLP_TRACE_SCHEMA)
     out = (
         df.withColumn("__rs", F.explode(parsed["resourceSpans"]))
@@ -360,13 +399,20 @@ def parse_otel_metric(
 
     ``asInt`` values above 2^53 lose precision through the double
     ``__value__`` column (the reference carries float64 there too once
-    rendered, but preserves int64 exactly up to formatting). protobuf
-    formats raise as in :func:`parse_otel_trace`."""
-    if format.lower() != "json":
-        raise NotImplementedError(
-            "processor_otel_metric formats 'protobuf'/'protojson' need the "
-            "OTLP protobuf bindings; 'json' is supported"
-        )
+    rendered, but preserves int64 exactly up to formatting).
+    ``format='protobuf'`` accepts serialized ``MetricsData`` binary
+    payloads via the same wire-decode-to-JSON path as
+    :func:`parse_otel_trace`."""
+    fmt = format.lower()
+    if fmt == "protobuf":
+        from ..functions.otlp_wire import decode_udf
+
+        tmp = "__otlp_metric_json"
+        decoded = df.withColumn(tmp, decode_udf("metrics")(F.col(source_key)))
+        out = parse_otel_metric(decoded, tmp, format="json", drop_source=True)
+        return out.drop(source_key) if drop_source else out
+    if fmt not in ("json", "protojson"):
+        raise ValueError(f"unknown otel metric format {format!r}")
     parsed = F.from_json(F.col(source_key), OTLP_METRIC_SCHEMA)
     out = (
         df.withColumn("__rm", F.explode(parsed["resourceMetrics"]))
@@ -421,13 +467,15 @@ def parse_otel_metric(
             F.coalesce(dp["exemplars"], F.array().cast(_EXEMPLARS)), one
         )
 
+    # exemplar rows precede the metric row (GaugeToLogs/SumToLogs
+    # append exemplar logs first, otlpDataToSLSProto.go:127-135)
     gauge_rows = F.flatten(F.transform(
         m["gauge"]["dataPoints"],
         lambda dp: F.concat(
+            exemplar_rows(dp),
             F.array(_metric_row(
                 name, dp_labels(dp), dp["timeUnixNano"], _num_value(dp)
             )),
-            exemplar_rows(dp),
         ),
     ))
     sum_extra_entries = F.concat(
@@ -440,11 +488,11 @@ def parse_otel_metric(
     sum_rows = F.flatten(F.transform(
         m["sum"]["dataPoints"],
         lambda dp: F.concat(
+            exemplar_rows(dp, sum_extra_entries),
             F.array(_metric_row(
                 name, dp_labels(dp, sum_extra_entries), dp["timeUnixNano"],
                 _num_value(dp),
             )),
-            exemplar_rows(dp, sum_extra_entries),
         ),
     ))
     summary_rows = F.flatten(
@@ -467,7 +515,9 @@ def parse_otel_metric(
                         dp["quantileValues"],
                         lambda q: _metric_row(
                             name,
-                            dp_labels(dp, _kv("quantile", q["quantile"].cast("string"))),
+                            # strconv 'g': whole-number quantiles
+                            # render '0'/'1', not '0.0'/'1.0'
+                            dp_labels(dp, _kv("quantile", _fmt_double(q["quantile"]))),
                             dp["timeUnixNano"],
                             F.coalesce(q["value"], F.lit(0.0)),
                         ),
@@ -500,22 +550,12 @@ def parse_otel_metric(
             ),
             lambda r: r.isNotNull(),
         )
-        # bounds + '+Inf'; bucket j value = CUMULATIVE count ≤ bound j.
-        # Bound rendering follows Go strconv 'g' for the common cases:
-        # whole-number bounds print without a decimal point ("1", not
-        # "1.0"); residual deviation: very small/large fractional
-        # bounds render in Spark's scientific form ("1.0E-4" vs Go's
-        # "0.0001")
-        def bound_str(b):
-            as_long = b.cast("long")
-            return F.when(
-                (as_long.cast("double") == b), as_long.cast("string")
-            ).otherwise(b.cast("string"))
-
+        # bounds + '+Inf'; bucket j value = CUMULATIVE count ≤ bound j;
+        # bound rendering via the shared strconv-'g' formatter
         bounds = F.concat(
             F.transform(
                 F.coalesce(dp["explicitBounds"], F.array().cast("array<double>")),
-                bound_str,
+                _fmt_double,
             ),
             F.array(F.lit("+Inf")),
         )
@@ -563,12 +603,6 @@ def parse_otel_metric(
         _kv("otlp.metric.histogram.type", F.lit("ExponentialHistogram")),
     )
 
-    def _fmt_bound(v):
-        as_long = v.cast("long")
-        return F.when(
-            as_long.cast("double") == v, as_long.cast("string")
-        ).otherwise(v.cast("string"))
-
     def exp_point_rows(dp) -> Column:
         base_lbls = dp_labels(dp, exp_extra)
         t = dp["timeUnixNano"]
@@ -600,11 +634,11 @@ def parse_otel_metric(
                 lower = F.pow(base, off + i.cast("double"))
                 upper = lower * base
                 if positive:
-                    le = F.concat(F.lit("("), _fmt_bound(lower), F.lit(","),
-                                  _fmt_bound(upper), F.lit("]"))
+                    le = F.concat(F.lit("("), _fmt_double(lower), F.lit(","),
+                                  _fmt_double(upper), F.lit("]"))
                 else:
-                    le = F.concat(F.lit("["), _fmt_bound(-upper), F.lit(","),
-                                  _fmt_bound(-lower), F.lit(")"))
+                    le = F.concat(F.lit("["), _fmt_double(-upper), F.lit(","),
+                                  _fmt_double(-lower), F.lit(")"))
                 return _metric_row(
                     F.concat(name, F.lit("_bucket")),
                     dp_labels(dp, exp_extra, _kv("le", le)),

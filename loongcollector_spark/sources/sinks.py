@@ -15,6 +15,11 @@ Capability parity (new code) with the reference flusher layer:
 * sls-shard layout     — FlusherSLS shard-hash key
                          (core/plugin/flusher/sls/FlusherSLS.cpp:1157-1170)
                          → repartition on xxhash64(tags) before write
+* sls protobuf         — the reference's LogGroup wire format
+                         (pkg/protocol/proto/sls_logs.proto:8-33;
+                         serializer SLSSerializer.h:37) via the
+                         pure-Python encoder in sls_pb.py
+                         (re-exported here as serialize_sls_loggroups)
 * iceberg              — production sink: atomic-commit table appends;
                          gated on the runtime having Iceberg jars, with
                          parquet directory fallback carrying the same
@@ -27,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sls_pb import serialize_sls_loggroups  # noqa: F401  (serializer option)
+
 __all__ = [
     "write_json_lines",
     "write_blackhole",
@@ -35,6 +42,7 @@ __all__ = [
     "write_table",
     "read_table",
     "read_text_logs",
+    "serialize_sls_loggroups",
 ]
 
 

@@ -121,3 +121,42 @@ def test_spark_real_decode_pipeline(spark):
     small = codecs.decode_png(bytes(rs[1]))
     assert small.shape == (4, 4, 3)
     assert rs[3] is None
+
+
+def _jpeg_header(sof_marker: int, width: int, height: int) -> bytes:
+    """Hand-built JPEG header per the ISO/IEC 10918 marker layout:
+    SOI, APP0/JFIF, a COM segment (exercises the walk), SOFn with the
+    given dimensions, then SOS + fake entropy data."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    com = seg(0xFE, b"made by hand")
+    sof_payload = struct.pack(">BHH", 8, height, width) + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sof = seg(sof_marker, sof_payload)
+    sos = seg(0xDA, bytes([3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + app0 + com + sof + sos + b"\x12\x34\xff\xd9"
+
+
+def test_jpeg_sof_dimensions_jvm_side(spark):
+    """SOF0 (baseline) and SOF2 (progressive) width/height parse
+    JVM-side in attach_media_metadata; truncated JPEG yields NULL dims
+    and never errors."""
+    from loongcollector_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(_jpeg_header(0xC0, 640, 480))),
+        (2, bytearray(_jpeg_header(0xC2, 31, 17))),
+        (3, bytearray(b"\xff\xd8\xff")),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    meta = {r.id: r.media_meta for r in multimodal.attach_media_metadata(df).collect()}
+    assert meta[1].format == "jpg" and meta[1].media_type == "image"
+    assert (meta[1].width, meta[1].height) == (640, 480)
+    assert (meta[2].width, meta[2].height) == (31, 17)
+    assert meta[3].format == "jpg"
+    assert meta[3].width is None and meta[3].height is None

@@ -79,10 +79,135 @@ def test_otel_trace_unparseable_drops(spark):
     assert parse_otel_trace(df, "payload").count() == 0
 
 
-def test_otel_protobuf_raises(spark):
+def test_otel_unknown_format_raises(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "payload"])
-    with pytest.raises(NotImplementedError):
-        parse_otel_trace(df, "payload", format="protobuf")
+    with pytest.raises(ValueError, match="unknown otel trace format"):
+        parse_otel_trace(df, "payload", format="xml")
+
+
+def _encode_kv(field, key, value_field, value):
+    """Test-side OTLP KeyValue encoder at attribute-list *field*
+    (numbers from the public opentelemetry-proto common.proto) —
+    independent of the decoder's table-driven walk."""
+    from loongcollector_spark.functions import protowire as w
+
+    if value_field == "string":
+        av = w.write_string_field(1, value)
+    elif value_field == "int":
+        av = w.write_varint_field(3, value)
+    elif value_field == "double":
+        import struct
+
+        av = w.write_tag(4, 1) + struct.pack("<d", value)
+    else:
+        raise AssertionError(value_field)
+    return w.write_len_delimited(
+        field, w.write_string_field(1, key) + w.write_len_delimited(2, av)
+    )
+
+
+def _encode_golden_traces_payload():
+    """Wire-encode the exact content of queries._OTEL_GOLDEN_PAYLOAD
+    (TracesData: trace.proto field numbers)."""
+    import struct
+
+    from loongcollector_spark.functions import protowire as w
+
+    def fixed64(field, val):
+        return w.write_tag(field, 1) + struct.pack("<Q", val)
+
+    def span(trace_id, span_id, parent, name, kind, start, end, attrs,
+             status_code, status_msg):
+        body = w.write_len_delimited(1, bytes.fromhex(trace_id))
+        body += w.write_len_delimited(2, bytes.fromhex(span_id))
+        if parent:
+            body += w.write_len_delimited(4, bytes.fromhex(parent))
+        body += w.write_string_field(5, name)
+        body += w.write_varint_field(6, kind)
+        body += fixed64(7, start) + fixed64(8, end)
+        body += b"".join(attrs)
+        status = w.write_varint_field(3, status_code)
+        if status_msg:
+            status = w.write_string_field(2, status_msg) + status
+        body += w.write_len_delimited(15, status)
+        return w.write_len_delimited(2, body)  # ScopeSpans.spans = 2
+
+    res = w.write_len_delimited(
+        1,
+        _encode_kv(1, "service.name", "string", "svc")
+        + _encode_kv(1, "env", "string", "prod"),
+    )  # ResourceSpans.resource = 1
+    scope = w.write_len_delimited(
+        1, w.write_string_field(1, "lib") + w.write_string_field(2, "2")
+    )  # ScopeSpans.scope = 1
+    spans = span(
+        "0af7651916cd43dd8448eb211c80319c", "b7ad6b7169203331", "",
+        "GET /api", 2, 1704067200000000000, 1704067200250000000,
+        [_encode_kv(9, "http.status", "int", 200)], 1, "",
+    ) + span(
+        "0af7651916cd43dd8448eb211c80319c", "00f067aa0ba902b7",
+        "b7ad6b7169203331", "db", 3, 1704067200050000000,
+        1704067200100000000, [], 2, "timeout",
+    )
+    scope_spans = w.write_len_delimited(2, scope + spans)
+    resource_spans = w.write_len_delimited(1, res + scope_spans)
+    return resource_spans
+
+
+def test_otel_protobuf_matches_json_golden(spark):
+    """format='protobuf' on the wire-encoded golden payload produces
+    rows byte-identical to the JSON golden (VERDICT r2 item 5). The
+    OTLP 'int' attribute in the protobuf payload exercises the
+    intValue branch; 'kind'/'status' arrive as numeric enums."""
+    from loongcollector_spark.queries import _OTEL_GOLDEN_PAYLOAD
+
+    wire = _encode_golden_traces_payload()
+    cols = [
+        "service", "resource", "traceID", "spanID", "parentSpanID",
+        "kind", "name", "start", "duration", "attribute", "statusCode",
+        "statusMessage",
+    ]
+    pb_df = spark.createDataFrame([(1, bytearray(wire))], "rid int, payload binary")
+    pb_rows = sorted(
+        tuple(r[c] for c in cols)
+        for r in parse_otel_trace(pb_df, "payload", format="protobuf").collect()
+    )
+    js_df = spark.createDataFrame([(1, _OTEL_GOLDEN_PAYLOAD)], ["rid", "payload"])
+    js_rows = sorted(
+        tuple(r[c] for c in cols)
+        for r in parse_otel_trace(js_df, "payload", format="json").collect()
+    )
+    assert pb_rows == js_rows
+    assert len(pb_rows) == 2
+
+
+def test_otel_protobuf_metrics_roundtrip(spark):
+    """MetricsData wire decode: gauge datapoint with attributes +
+    fixed64 timestamp + sfixed64 asInt, through the shared converter."""
+    import struct
+
+    from loongcollector_spark.functions import protowire as w
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    dp = (
+        w.write_tag(3, 1) + struct.pack("<Q", 2_000_000_000)  # timeUnixNano
+        + w.write_tag(6, 1) + struct.pack("<q", 7)            # asInt
+        + _encode_kv(7, "pod", "string", "p1")
+    )
+    gauge = w.write_len_delimited(1, dp)                      # Gauge.dataPoints
+    metric = w.write_string_field(1, "cpu_load") + w.write_len_delimited(5, gauge)
+    sm = w.write_len_delimited(2, metric)                     # ScopeMetrics.metrics
+    rm = w.write_len_delimited(2, sm)                         # ResourceMetrics.scopeMetrics
+    payload = w.write_len_delimited(1, rm)                    # MetricsData.resourceMetrics
+
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    rows = parse_otel_metric(df, "payload", format="protobuf").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["__name__"] == "cpu_load"
+    assert r["__value__"] == 7.0
+    assert r["__time_nano__"] == 2_000_000_000
+    assert "pod#$#p1" in r["__labels__"]
 
 
 def test_otel_links_events_reference_shape(spark):
@@ -313,3 +438,93 @@ def test_otel_metric_exemplars(spark):
     for want in ("traceId#$#abc", "spanId#$#def", "pod#$#p1"):
         assert want in ex["__labels__"]
     assert rows["lat"]["__value__"] == 5.0  # data point row unaffected
+
+
+def test_otel_duplicate_attr_keys_no_session_config_dependence(spark):
+    """Repeated attribute keys must not DUPLICATE_MAP_KEY-crash when
+    spark.sql.mapKeyDedupPolicy is the vanilla EXCEPTION default — the
+    dedup now happens in-expression (ADVICE r2). Last-sorted entry
+    wins, same as the previous LAST_WIN session behavior."""
+    payload = {
+        "resourceSpans": [{
+            "resource": {"attributes": []},
+            "scopeSpans": [{"scope": {"name": "l", "version": "1"}, "spans": [{
+                "traceId": "aa", "spanId": "bb", "name": "s", "kind": 1,
+                "startTimeUnixNano": "1000", "endTimeUnixNano": "2000",
+                "attributes": [
+                    {"key": "k", "value": {"stringValue": "first"}},
+                    {"key": "k", "value": {"stringValue": "second"}},
+                    {"key": "z", "value": {"stringValue": "zz"}},
+                ],
+                "status": {"code": 1, "message": ""},
+            }]}],
+        }]
+    }
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        df = spark.createDataFrame([(json.dumps(payload),)], ["payload"])
+        row = parse_otel_trace(df, "payload").first()
+        assert json.loads(row["attribute"]) == {"k": "second", "z": "zz"}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+
+
+def test_otel_whole_number_double_renderings(spark):
+    """strconv-'g' parity (ADVICE r2): whole-number doubleValue
+    attributes render '2' (not '2.0'); whole-number summary quantiles
+    render '0'/'1' (not '0.0'/'1.0'); fractional values keep their
+    decimal form."""
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    payload = {
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "shards", "value": {"doubleValue": 2.0}},
+                {"key": "ratio", "value": {"doubleValue": 2.5}},
+            ]},
+            "scopeMetrics": [{"scope": {"name": "m", "version": "1"}, "metrics": [
+                {"name": "lat", "summary": {"dataPoints": [{
+                    "timeUnixNano": "1000", "sum": 9.0, "count": "3",
+                    "quantileValues": [
+                        {"quantile": 0.0, "value": 1.0},
+                        {"quantile": 0.5, "value": 2.0},
+                        {"quantile": 1.0, "value": 3.0},
+                    ],
+                }]}},
+            ]}],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(payload),)], ["payload"])
+    rows = parse_otel_metric(df, "payload").collect()
+    quantile_labels = sorted(
+        r["__labels__"] for r in rows if r["__name__"] == "lat"
+    )
+    assert quantile_labels == sorted([
+        "quantile#$#0|ratio#$#2.5|shards#$#2",
+        "quantile#$#0.5|ratio#$#2.5|shards#$#2",
+        "quantile#$#1|ratio#$#2.5|shards#$#2",
+    ])
+
+
+def test_otel_exemplar_rows_precede_metric_row(spark):
+    """GaugeToLogs/SumToLogs append exemplar logs BEFORE the metric
+    log (otlpDataToSLSProto.go:127-135) — row order within one
+    payload's expansion preserves that (ADVICE r2)."""
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    payload = {
+        "resourceMetrics": [{
+            "resource": {"attributes": []},
+            "scopeMetrics": [{"scope": {"name": "m", "version": "1"}, "metrics": [
+                {"name": "g", "gauge": {"dataPoints": [{
+                    "timeUnixNano": "2000000000", "asDouble": 5.0,
+                    "exemplars": [{"timeUnixNano": "1500000000",
+                                   "asDouble": 4.5}],
+                }]}},
+            ]}],
+        }]
+    }
+    df = spark.createDataFrame([(json.dumps(payload),)], ["payload"]).coalesce(1)
+    names = [r["__name__"] for r in parse_otel_metric(df, "payload").collect()]
+    assert names == ["g_exemplars", "g"]
