@@ -24,11 +24,19 @@ precisely what executor-count scaling evidences. The single-JVM
 local[8]→local[32] ratio is ALSO measured and reported as context
 (``scaling_single_jvm``) together with the host calibration numbers.
 
-Both levels are measured interleaved, best-of over several rounds, and
-the harness retries extra sets while E is below target — co-tenant
-noise on this shared host clips individual windows by 30-50%, and the
-quantity being estimated is the job's quiet-host scaling, approached
-from below by best-of sampling.
+Both levels are measured interleaved, best-of over a FIXED number of
+sets (``SPARK_GRAFT_BENCH_SCALING_SETS``, default 4, budget-capped) —
+the stopping rule no longer conditions on reaching the pass gate
+(ADVICE r2): every per-set efficiency is reported alongside the
+best-of headline, so the gate is evaluated on data whose collection
+did not depend on it. Co-tenant noise on this shared host clips
+individual windows by 30-50%; best-of approaches the job's quiet-host
+scaling from below.
+
+Headline queries report BOTH cold (cache cleared between warm-up and
+measurement — full recompute) and warm (immediately repeated, Spark
+cache intact) timings, so round-over-round deltas separate code
+changes from cache-protocol artifacts (VERDICT r2 item 7).
 
 Scaling run is skipped when SPARK_GRAFT_BENCH_SCALING=0.
 """
@@ -51,9 +59,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # to sample many windows of this noisy shared host.
 BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "24000000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-# wall-clock budget for the scaling section (adaptive retries stop
-# once exceeded)
+# wall-clock budget for the scaling section (set loop stops once
+# exceeded) and the fixed number of measurement sets
 SCALING_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_BUDGET", "1100"))
+SCALING_SETS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_SETS", "4"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 HEADLINE = [
@@ -307,12 +316,13 @@ def main() -> None:
     # scaling first (cleanest CPU state): N vs 4N EXECUTORS
     # (local-cluster, module docstring has the full protocol
     # rationale), interleaved N/4N/N/4N so drifting co-tenant load
-    # hits both cluster sizes alike, best-of per level, adaptive extra
-    # sets while E is short of target (quiet-host windows are the
-    # quantity being estimated; noise only ever clips throughput).
+    # hits both cluster sizes alike, best-of per level over a FIXED
+    # number of sets — the set count never depends on the measured E
+    # (unbiased stopping rule), only on the wall-clock budget.
     scaling = None
     scaling_sj = None
     spin_caps: list[float] = []
+    set_effs: list[float] = []
     if DO_SCALING:
         t_scale0 = time.monotonic()
         src = _ensure_bench_input(BENCH_TURNS)
@@ -320,7 +330,7 @@ def main() -> None:
         lows: list[float] = []
         highs: list[float] = []
 
-        def one_set() -> float:
+        def one_set() -> None:
             spin_caps.append(round(_host_spin_capacity(), 3))
             lows.append(
                 _run_throughput_lc(n_low, cores_per, src, BENCH_TURNS, rounds=2, warm=1)
@@ -328,13 +338,16 @@ def main() -> None:
             highs.append(
                 _run_throughput_lc(n_high, cores_per, src, BENCH_TURNS, rounds=3, warm=2)
             )
-            return max(highs) / ((n_high / n_low) * max(lows))
+            set_effs.append(
+                round(highs[-1] / ((n_high / n_low) * lows[-1]), 3)
+            )
 
         try:
-            eff = one_set()
-            eff = one_set()
-            while eff < 0.82 and (time.monotonic() - t_scale0) < SCALING_BUDGET_SEC:
-                eff = one_set()
+            for _ in range(SCALING_SETS):
+                one_set()
+                if (time.monotonic() - t_scale0) > SCALING_BUDGET_SEC:
+                    break
+            eff = max(highs) / ((n_high / n_low) * max(lows))
             scaling = (n_low, n_high, n_low * cores_per, n_high * cores_per,
                        cores_per, max(lows), max(highs), eff)
         except RuntimeError as exc:
@@ -346,18 +359,22 @@ def main() -> None:
                   "falling back to single-JVM levels", file=sys.stderr)
             lows.clear()
             highs.clear()
+            set_effs.clear()
             low_c = max(CPUS // 4, 1)
 
-            def one_set_sj() -> float:
+            def one_set_sj() -> None:
                 spin_caps.append(round(_host_spin_capacity(), 3))
                 lows.append(_run_throughput(low_c, src, BENCH_TURNS, rounds=2))
                 highs.append(_run_throughput(CPUS, src, BENCH_TURNS, rounds=3))
-                return max(highs) / ((CPUS / low_c) * max(lows))
+                set_effs.append(
+                    round(highs[-1] / ((CPUS / low_c) * lows[-1]), 3)
+                )
 
-            eff = one_set_sj()
-            eff = one_set_sj()
-            while eff < 0.82 and (time.monotonic() - t_scale0) < SCALING_BUDGET_SEC:
-                eff = one_set_sj()
+            for _ in range(SCALING_SETS):
+                one_set_sj()
+                if (time.monotonic() - t_scale0) > SCALING_BUDGET_SEC:
+                    break
+            eff = max(highs) / ((CPUS / low_c) * max(lows))
             scaling = (1, 1, low_c, CPUS, None, max(lows), max(highs), eff)
 
         # context metric: the same job single-JVM at CPUS/4 vs CPUS
@@ -380,28 +397,40 @@ def main() -> None:
     spark = get_spark("bench", cores=CPUS)
     bench_queries = _bench_queries()
     q_secs: dict[str, float] = {}
+    q_secs_warm: dict[str, float] = {}
     for name in HEADLINE:
         # fresh DataFrame per measurement (re-counting one Dataset
         # would let Spark skip its computed shuffle stages), and the
-        # Spark cache cleared between warm and timed runs so the timed
+        # Spark cache cleared between warm-up and the COLD run so that
         # number is a full recompute — the minhash signature persist()
-        # from the warm run would otherwise serve the timed run (and
-        # log an "already cached" warning on its re-persist)
-        bench_queries[name](spark, SF_DIR).count()  # warm: codegen, listing
+        # from the warm-up would otherwise serve it (and log an
+        # "already cached" warning on its re-persist). The WARM run
+        # repeats immediately with the cache intact: the code-change
+        # signal, free of cache-protocol artifacts.
+        bench_queries[name](spark, SF_DIR).count()  # warm-up: codegen, listing
         spark.catalog.clearCache()
         t0 = time.monotonic()
         df = bench_queries[name](spark, SF_DIR)
         n = df.count()
         q_secs[name] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        bench_queries[name](spark, SF_DIR).count()
+        q_secs_warm[name] = round(time.monotonic() - t0, 3)
         spark.catalog.clearCache()
-        print(f"# {name}: {q_secs[name]:.3f}s rows={n}", file=sys.stderr)
+        print(
+            f"# {name}: cold {q_secs[name]:.3f}s warm {q_secs_warm[name]:.3f}s "
+            f"rows={n}",
+            file=sys.stderr,
+        )
     spark.stop()
 
     result = {
-        "metric": "headline queries total wall time",
+        "metric": "headline queries total wall time (cold)",
         "value": round(sum(q_secs.values()), 3),
         "unit": "sec",
         "queries": q_secs,
+        "queries_warm": q_secs_warm,
+        "total_warm_sec": round(sum(q_secs_warm.values()), 3),
         "sf": SF_DIR,
     }
 
@@ -422,6 +451,10 @@ def main() -> None:
             "turns_per_sec_low": round(thr_low, 1),
             "turns_per_sec_high": round(thr_high, 1),
             "efficiency": round(eff, 3),
+            # per-set efficiencies (one per fixed measurement set —
+            # the full distribution behind the best-of headline)
+            "per_set_efficiency": set_effs,
+            "n_sets": len(set_effs),
             # host calibration: pure-CPU spin scaling 8->32 workers
             # measured before each set (1.0 = quiet host)
             "host_spin_capacity": spin_caps,
@@ -429,7 +462,7 @@ def main() -> None:
         print(
             f"# scaling: {thr_low:.0f} t/s @{c_low} cores, "
             f"{thr_high:.0f} t/s @{c_high} cores, E={eff:.3f} "
-            f"(host spin caps {spin_caps})",
+            f"(per-set {set_effs}, host spin caps {spin_caps})",
             file=sys.stderr,
         )
     if scaling_sj is not None:
