@@ -63,7 +63,8 @@ def attach_media_metadata(
         F.when(head.startswith("89504E47"), "png")
         .when(head.startswith("FFD8"), "jpg")
         .when(head.startswith("52494646"), "wav")
-        .when(head.startswith("00000018") | head.startswith("00000020"), "mp4")
+        # any ISO-BMFF: 4-byte box size then 'ftyp' (size varies by brand)
+        .when(F.substring(b, 5, 4).cast("string") == "ftyp", "mp4")
         .otherwise("unknown")
     )
     media_type = (
@@ -126,6 +127,71 @@ def attach_media_metadata(
         F.sequence(F.lit(1), F.lit(32)), _jpeg_init, _jpeg_step
     )
 
+    # WAV duration from the canonical RIFF layout the wave module
+    # writes (fmt_ chunk at offset 13 with size 16, data chunk at 37):
+    # duration_ms = data_size * 1000 / byte_rate. Non-canonical chunk
+    # orders (LIST/fact before data) yield NULL — best-effort metadata,
+    # never an error.
+    def _le32(pos: int):
+        return (
+            _byte(F.lit(pos))
+            + _byte(F.lit(pos + 1)) * 256
+            + _byte(F.lit(pos + 2)) * 65536
+            + _byte(F.lit(pos + 3)) * 16777216
+        ).cast("long")
+
+    wav_canonical = (
+        head.startswith("52494646")
+        & (F.length(b) >= 44)
+        & (F.substring(b, 13, 4).cast("string") == "fmt ")
+        & (F.substring(b, 37, 4).cast("string") == "data")
+        & (_le32(29) > 0)
+    )
+    wav_dur = F.when(
+        wav_canonical, (_le32(41) * 1000 / _le32(29)).cast("long")
+    )
+
+    # MP4 duration from moov/mvhd (ISO/IEC 14496-12 box layout):
+    # bounded top-level box walk to moov, whose first child is mvhd in
+    # canonical muxer output; duration_ms = duration * 1000 / timescale
+    # (mvhd v0: timescale/duration be32 at box+20/+24; v1: be64
+    # duration at +32 after 64-bit times). Non-first-child mvhd → NULL.
+    def _be32_at(pos):
+        return F.conv(F.hex(F.substring(b, pos, 4)), 16, 10).cast("long")
+
+    def _be64_at(pos):
+        return F.conv(F.hex(F.substring(b, pos, 8)), 16, 10).cast("long")
+
+    _mp4_init = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("dur"),
+    )
+
+    def _mp4_step(acc, _i):
+        p = acc["pos"]
+        size = _be32_at(p)
+        btype = F.substring(b, p + 4, 4).cast("string")
+        stop = p.isNull() | acc["dur"].isNotNull() | (p + 8 > F.length(b)) | (size < 8)
+        c = p + 8  # first child box
+        is_mvhd = F.substring(b, c + 4, 4).cast("string") == "mvhd"
+        v1 = _byte(c + 8) == 1
+        ts = F.when(v1, _be32_at(c + 28)).otherwise(_be32_at(c + 20))
+        dur_units = F.when(v1, _be64_at(c + 32)).otherwise(_be32_at(c + 24))
+        mvhd_dur = F.when(
+            is_mvhd & (ts > 0), (dur_units * 1000 / ts).cast("long")
+        )
+        found = F.struct(
+            F.lit(None).cast("long").alias("pos"), mvhd_dur.alias("dur")
+        )
+        advance = F.struct((p + size).alias("pos"), acc["dur"].alias("dur"))
+        return F.when(stop, acc).otherwise(
+            F.when(btype == "moov", found).otherwise(advance)
+        )
+
+    mp4_dur = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)), _mp4_init, _mp4_step
+    )["dur"]
+
     is_png = head.startswith("89504E47") & (F.length(b) >= 24)
     is_jpg = head.startswith("FFD8")
     width = (
@@ -145,7 +211,10 @@ def attach_media_metadata(
             fmt.alias("format"),
             width.alias("width"),
             height.alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            F.when(fmt == "wav", wav_dur)
+            .when(fmt == "mp4", mp4_dur)
+            .otherwise(F.lit(None).cast("long"))
+            .alias("duration_ms"),
             F.length(b).cast("long").alias("size_bytes"),
         ),
     )

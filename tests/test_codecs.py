@@ -160,3 +160,48 @@ def test_jpeg_sof_dimensions_jvm_side(spark):
     assert (meta[2].width, meta[2].height) == (31, 17)
     assert meta[3].format == "jpg"
     assert meta[3].width is None and meta[3].height is None
+
+
+def _mp4_stub(timescale: int, duration: int, version: int = 0) -> bytes:
+    """Hand-built minimal MP4: ftyp + moov(mvhd) boxes per the
+    ISO/IEC 14496-12 layout."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    if version == 0:
+        mvhd_payload = (
+            bytes([0, 0, 0, 0])                      # version 0 + flags
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + bytes(80)                              # rate..next_track_id
+        )
+    else:
+        mvhd_payload = (
+            bytes([1, 0, 0, 0])                      # version 1 + flags
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + bytes(80)
+        )
+    moov = box(b"moov", box(b"mvhd", mvhd_payload))
+    return ftyp + moov
+
+
+def test_wav_and_mp4_duration_ms(spark):
+    """duration_ms: WAV from byte_rate/data-size (800 samples @ 8 kHz
+    = 100 ms), MP4 from mvhd timescale/duration (v0 and v1)."""
+    from loongcollector_spark.operators import multimodal
+
+    wav = codecs.encode_wav(np.zeros(800, dtype=np.int16), 8000)
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(_mp4_stub(timescale=600, duration=1500))),      # 2500 ms
+        (3, bytearray(_mp4_stub(timescale=1000, duration=250, version=1))),
+        (4, bytearray(_mp4_stub(600, 1500)[:12])),                    # truncated
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    meta = {r.id: r.media_meta for r in multimodal.attach_media_metadata(df).collect()}
+    assert meta[1].format == "wav" and meta[1].duration_ms == 100
+    assert meta[2].duration_ms == 2500
+    assert meta[3].duration_ms == 250
+    assert meta[4].duration_ms is None

@@ -355,3 +355,37 @@ def test_encrypt_golden_matches_independent_aes():
         enc = Cipher(algorithms.AES(key), modes.CBC(bytes(16))).encryptor()
         ct = enc.update(data) + enc.finalize()
         assert ct.hex().upper() == expected_hex
+
+
+def test_desensitize_md5_native_agrees_with_pandas_twin(spark):
+    """The JVM split/extract_all/interleave formulation of md5
+    desensitize must agree exactly with the re.sub-callback pandas
+    twin on edge shapes: leading match, trailing match, adjacent
+    matches, no match, NULL."""
+    rows = [
+        ("pw=a tail",),          # leading match
+        ("head pw=b",),          # trailing match
+        ("pw=a pw=b",),          # two matches
+        ("pw=apw=b",),           # adjacent-ish
+        ("no secrets",),         # no match
+        (None,),                 # NULL passthrough
+        ("",),                   # empty string
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    nat = [
+        r.text
+        for r in enrich.desensitize(
+            df, "text", r"pw=\w+", method="md5"
+        ).collect()
+    ]
+    pdn = [
+        r.text
+        for r in enrich.desensitize(
+            df, "text", r"pw=\w+", method="md5", engine="pandas"
+        ).collect()
+    ]
+    assert nat == pdn
+    import hashlib
+
+    h = hashlib.md5(b"pw=a").hexdigest()
+    assert nat[0] == f"{h} tail"
