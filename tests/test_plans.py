@@ -133,3 +133,30 @@ def test_route_simple_config_has_no_explode(spark, sf_dir):
     )
     plan2 = rt.route(tx, cfg2)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" in plan2  # copy semantics still use the explode
+
+
+def test_desensitize_md5_native_stays_jvm_side(spark, raw):
+    """The default md5-desensitize engine must contain NO Python eval
+    node (it replaced the package's one per-row-Python path); the
+    pandas twin keeps its ArrowEvalPython."""
+    from loongcollector_spark.operators.enrich import desensitize
+
+    nat = desensitize(raw, "props", r"\d+", method="md5")
+    plan = nat._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    twin = desensitize(raw, "props", r"\d+", method="md5", engine="pandas")
+    plan2 = twin._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan2
+
+
+def test_geoip_query_plan_is_broadcast(spark, sf_dir):
+    """The geoip oracle query's range join must broadcast the geo dim
+    (never shuffle the fact side at 100 TB)."""
+    from loongcollector_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["geoip"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
