@@ -893,6 +893,86 @@ def q_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "ts_str", "bj_str", "epoch_ms")
 
 
+_MOCK_N = 20000
+
+
+def q_mock_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_mock / input_mock parity (plugins/input/mock, SURVEY
+    §2.1 row 2): the at-scale deterministic generator
+    (sources/transcripts.generate_transcripts — spark.range, pure
+    column expressions, parallelism-independent) value-matched row for
+    row against a DuckDB twin over ``range(N)``. *sf_dir* is unused:
+    the generator IS the source."""
+    from .sources.transcripts import generate_transcripts
+
+    out = generate_transcripts(spark, _MOCK_N)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+
+
+def _mock_generator_oracle_sql(n: int = _MOCK_N) -> str:
+    """DuckDB twin of generate_transcripts' expression DAG (defaults:
+    hot_convs=7, hot_fraction_mod=10, hot_rows_lt=3, n_convs=n/200)."""
+    n_convs = max(n // 200, 1)
+    return f"""
+    WITH rng AS (SELECT range AS id FROM range(0, {n})),
+    base AS (
+      SELECT id AS event_id,
+             CASE WHEN mod(id, 10) < 3 THEN mod(id, 7)
+                  ELSE mod(id, {n_convs}) END AS user_id,
+             CASE WHEN mod(id, 6) <= 2 THEN 'GET'
+                  WHEN mod(id, 6) = 3 THEN 'POST'
+                  WHEN mod(id, 6) = 4 THEN 'PUT' ELSE 'DELETE' END AS m,
+             CASE WHEN mod(id, 10) <= 6 THEN '200'
+                  WHEN mod(id, 10) = 7 THEN '302'
+                  WHEN mod(id, 10) = 8 THEN '404' ELSE '500' END AS st,
+             CASE WHEN mod(id, 5) = 0 THEN 'ERROR'
+                  WHEN mod(id, 5) = 1 THEN 'WARN' ELSE 'INFO' END AS lvl,
+             concat('10.', cast(mod(id, 223) + 1 AS STRING), '.',
+                    cast(mod(id * 7, 256) AS STRING), '.',
+                    cast(mod(id * 13, 256) AS STRING)) AS ip
+      FROM rng
+    )
+    SELECT
+      concat('conv-', lpad(cast(user_id AS STRING), 8, '0')) AS conv_id,
+      cast(event_id AS INT) AS turn_idx,
+      CASE WHEN mod(event_id, 97) = 53 THEN 'alien'
+           WHEN mod(event_id, 4) = 0 THEN 'user'
+           WHEN mod(event_id, 4) = 1 THEN 'assistant'
+           WHEN mod(event_id, 4) = 2 THEN 'system' ELSE 'tool' END AS role,
+      CASE mod(event_id, 3)
+        WHEN 0 THEN concat(ip, ' - - [01/Jan/2024:00:00:00 +0000] "', m,
+             ' /api/v1/item/', cast(mod(event_id * 31, 1000) AS STRING),
+             ' HTTP/1.1" ', st, ' ',
+             cast(100 + mod(event_id * 17, 9000) AS STRING),
+             ' "-" "agent-', cast(mod(event_id, 50) AS STRING),
+             '" logNo=', cast(event_id AS STRING))
+        WHEN 1 THEN concat('{{"level":"', lvl, '","msg":"turn-',
+             cast(mod(event_id, 1000) AS STRING), '","ctx":{{"k":',
+             cast(mod(event_id, 100) AS STRING), ',"arr":[',
+             cast(mod(event_id, 7) AS STRING), ',',
+             cast(mod(event_id, 11) AS STRING), ']}},"logNo":',
+             cast(event_id AS STRING), '}}')
+        ELSE concat('level=', lvl, ' svc=svc-',
+             cast(mod(event_id, 20) AS STRING), ' code=', st, ' dur=',
+             cast(mod(event_id * 11, 5000) AS STRING), 'ms logNo=',
+             cast(event_id AS STRING))
+      END AS text,
+      CASE WHEN mod(event_id, 7) = 0 THEN 'search'
+           WHEN mod(event_id, 7) IN (1, 2) THEN 'code'
+           WHEN mod(event_id, 7) = 3 THEN 'browser' ELSE 'none' END AS tool,
+      TIMESTAMP '2024-01-01 00:00:00'
+        + INTERVAL (mod(event_id, 86400)) SECOND AS ts
+    FROM base
+    """
+
+
 # AES-128-CBC, PKCS padding, the reference's all-zero default IV
 # (processor_encrypt.go:52-55) — golden ciphertexts computed with an
 # INDEPENDENT implementation (pyca/cryptography; regenerated and
@@ -1230,6 +1310,7 @@ ORACLES["gotime"] = f"""
            cast(epoch_ms(date_trunc('second', ts)) AS STRING) AS epoch_ms
     FROM transcripts
 """
+ORACLES["mock_generator"] = _mock_generator_oracle_sql()
 ORACLES["encrypt_golden"] = (
     "SELECT * FROM (VALUES "
     + ", ".join(
@@ -1593,4 +1674,5 @@ QUERIES = {
     "cloud_meta": q_cloud_meta,
     "gotime": q_gotime,
     "encrypt_golden": q_encrypt_golden,
+    "mock_generator": q_mock_generator,
 }

@@ -528,3 +528,66 @@ def test_otel_exemplar_rows_precede_metric_row(spark):
     df = spark.createDataFrame([(json.dumps(payload),)], ["payload"]).coalesce(1)
     names = [r["__name__"] for r in parse_otel_metric(df, "payload").collect()]
     assert names == ["g_exemplars", "g"]
+
+
+def test_otel_protobuf_histogram_packed_and_zigzag(spark):
+    """Wire decode of the packed-numeric paths (explicitBounds packed
+    doubles, bucketCounts packed fixed64) and the sint32 zigzag scale
+    of exponential histograms, compared against the identical payload
+    in JSON form."""
+    import struct
+
+    from loongcollector_spark.functions import protowire as w
+    from loongcollector_spark.operators.otel import parse_otel_metric
+
+    # HistogramDataPoint: time=3 fixed64, count=4 fixed64, sum=5 double,
+    # bucketCounts=6 packed fixed64, explicitBounds=7 packed double
+    hdp = (
+        w.write_tag(3, 1) + struct.pack("<Q", 1_000_000_000)
+        + w.write_tag(4, 1) + struct.pack("<Q", 6)
+        + w.write_tag(5, 1) + struct.pack("<d", 12.5)
+        + w.write_len_delimited(6, struct.pack("<QQQ", 1, 2, 3))
+        + w.write_len_delimited(7, struct.pack("<dd", 0.5, 2.0))
+    )
+    histogram = w.write_len_delimited(1, hdp) + w.write_varint_field(2, 2)
+    m1 = w.write_string_field(1, "lat") + w.write_len_delimited(9, histogram)
+    # ExponentialHistogramDataPoint: scale=6 sint32 (zigzag: -1 -> 1),
+    # zeroCount=7 fixed64, positive Buckets{offset=1 sint32, counts=2
+    # packed varint}
+    edp = (
+        w.write_tag(3, 1) + struct.pack("<Q", 1_000_000_000)
+        + w.write_tag(4, 1) + struct.pack("<Q", 3)
+        + w.write_tag(6, 0) + w.write_varint(1)      # zigzag(-1) = 1
+        + w.write_tag(7, 1) + struct.pack("<Q", 1)
+        + w.write_len_delimited(8, w.write_tag(1, 0) + w.write_varint(2)  # offset sint32: zigzag(1)=2
+                                + w.write_len_delimited(2, w.write_varint(2) + w.write_varint(0)))
+    )
+    exp = w.write_len_delimited(1, edp) + w.write_varint_field(2, 1)
+    m2 = w.write_string_field(1, "sz") + w.write_len_delimited(10, exp)
+    sm = w.write_len_delimited(2, m1) + w.write_len_delimited(2, m2)
+    payload = w.write_len_delimited(1, w.write_len_delimited(2, sm))
+
+    json_payload = {
+        "resourceMetrics": [{
+            "scopeMetrics": [{"metrics": [
+                {"name": "lat", "histogram": {"aggregationTemporality": 2,
+                    "dataPoints": [{"timeUnixNano": "1000000000",
+                        "count": "6", "sum": 12.5,
+                        "bucketCounts": ["1", "2", "3"],
+                        "explicitBounds": [0.5, 2.0]}]}},
+                {"name": "sz", "exponentialHistogram": {
+                    "aggregationTemporality": 1,
+                    "dataPoints": [{"timeUnixNano": "1000000000",
+                        "count": "3", "scale": -1, "zeroCount": "1",
+                        "positive": {"offset": 1,
+                                     "bucketCounts": ["2", "0"]}}]}},
+            ]}],
+        }]
+    }
+    pb_df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    js_df = spark.createDataFrame([(json.dumps(json_payload),)], ["payload"])
+    key = lambda r: (r["__name__"], r["__labels__"], r["__time_nano__"], r["__value__"])  # noqa: E731
+    pb = sorted(key(r) for r in parse_otel_metric(pb_df, "payload", format="protobuf").collect())
+    js = sorted(key(r) for r in parse_otel_metric(js_df, "payload", format="json").collect())
+    assert pb == js
+    assert len(pb) >= 8  # _sum/_count + 3 buckets + exp rows
