@@ -31,6 +31,8 @@ __all__ = [
     "minhash_dedup_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "dedup_components",
 ]
 
 # deterministic odd seeds for minhash permutations (fixed, public math)
@@ -453,4 +455,97 @@ def ngram_jaccard_pairs(
     union = F.size(F.array_union("ga", "gb"))
     return out.select(
         "a", "b", (inter / union).alias("jaccard")
+    )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-dup clustering: connected components over candidate pairs
+    by hash-min label propagation — the step a curation pipeline runs
+    AFTER LSH so each duplicate CLUSTER keeps one canonical document
+    (pairwise winners alone mis-keep docs in chained clusters
+    a~b, b~c: dropping max(a,b) and max(b,c) loses c's content link).
+
+    Training-data-pipeline addition (not in the reference; SURVEY
+    §2.11). Algorithm: every node starts labeled with its own id; each
+    round every node takes the min label over itself and its
+    neighbors; converged when no label changes. O(component diameter)
+    rounds — near-dup clusters are shallow (stars/chains of a few
+    hops), so this terminates in a handful of rounds at any corpus
+    size. Each round is one shuffle (groupBy node); labels are
+    (long, long) pairs — text never moves. The convergence check rides
+    the same job as the update (count of changed labels), and each
+    round's result is localCheckpoint()-ed to stop Catalyst re-deriving
+    an ever-deeper iterative plan.
+
+    Returns ``(id_col, component)`` where component = min doc id in
+    the node's component; singleton nodes keep their own id.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
+        .union(edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m")))
+        .filter(F.col("n") != F.col("m"))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("n"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["m"] == labels["n"])
+            .select(sym["n"].alias("n"), F.col("component"))
+            .groupBy("n")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")
+                ).cast("long").alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.agg(F.sum("__chg")).first()[0] or 0
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(id_col), "component")
+
+
+def dedup_components(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs → connected components → per-doc
+    cluster assignment: ``(doc_id, component, is_canonical)`` where
+    the canonical document of each cluster is its min doc id. The full
+    pipeline a curation job runs to drop near-duplicates without
+    losing chained-cluster members."""
+    pairs = minhash_dedup_pairs(
+        docs, threshold=threshold, hash_mode=hash_mode, num_perm=num_perm,
+        bands=bands, k=k,
+    )
+    comp = connected_components(docs, pairs, id_col=id_col)
+    return comp.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
     )

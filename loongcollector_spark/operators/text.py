@@ -18,6 +18,7 @@ __all__ = [
     "quality_signals",
     "language_id",
     "fingerprint",
+    "stratified_sample",
 ]
 
 # tiny public stopword lists per language for the n-gram/stopword
@@ -134,3 +135,48 @@ def fingerprint(
     normalization; md5 is engine-portable for oracle checks.)"""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.withColumn(dest, F.md5(norm))
+
+
+def stratified_sample(
+    df,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+    hash_mode: str = "xxhash64",
+    precision: int = 1_000_000,
+):
+    """Deterministic per-stratum sampling — the training-mix operation
+    (keep 50% of English, 10% of code, ...) done reproducibly at any
+    scale: keep a row iff ``hash(id || salt) % precision <
+    fraction(stratum) * precision``. No RNG state, no sampleBy
+    seed-per-partition nondeterminism: the same row always makes the
+    same decision, so reruns, resumes and two-cluster-size runs agree
+    row-for-row. Changing *salt* draws an independent sample.
+
+    ``hash_mode='xxhash64'`` (production, one JVM hash) or ``'md5'``
+    (the engine-portable oracle kernel shared with dedup.py).
+    Pure column expressions — the filter pushes into the scan."""
+    from pyspark.sql import functions as F
+
+    from .dedup import _md5_long
+
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    if hash_mode == "md5":
+        h = _md5_long(key)
+    else:
+        h = F.abs(F.xxhash64(key))
+    bucket = h % precision
+    thresh = None
+    for value, frac in sorted(fractions.items()):
+        t = F.lit(int(frac * precision))
+        cond = F.col(strata_col) == value
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        thresh.otherwise(F.lit(int(default_fraction * precision)))
+        if thresh is not None
+        else F.lit(int(default_fraction * precision))
+    )
+    return df.filter(bucket < thresh)

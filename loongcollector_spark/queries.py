@@ -893,6 +893,75 @@ def q_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "ts_str", "bj_str", "epoch_ms")
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash+LSH pairs → connected components
+    (hash-min label propagation) → per-doc cluster + canonical flag.
+    Oracle hash mode (md5 kernel) so the candidate pairs match DuckDB;
+    the DuckDB twin computes components with a recursive CTE over the
+    same pairs — a genuinely iterative Spark algorithm value-checked
+    end-to-end."""
+    from .operators.dedup import dedup_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_components(docs, threshold=0.5, hash_mode="md5")
+
+
+def _dedup_components_oracle_sql() -> str:
+    pairs_sql = _minhash_oracle_sql()
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a, b FROM ({pairs_sql})
+    ),
+    edges AS (
+      SELECT a AS n, b AS m FROM pairs
+      UNION
+      SELECT b AS n, a AS m FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT n, m FROM edges
+      UNION
+      SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
+    """
+
+
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 1.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (training-mix reweighting):
+    keep 50% en / 25% de / 100% zh / 10% everything else, decided by
+    the md5 hash kernel so DuckDB reproduces the exact row set."""
+    from .operators.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, "lang", SAMPLE_FRACTIONS, default_fraction=0.1,
+        salt="r3", hash_mode="md5",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _stratified_sample_oracle_sql() -> str:
+    hashed = _MD5L.format(x="concat(cast(doc_id AS STRING), 'r3')")
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(f * 1_000_000)}"
+        for v, f in sorted(SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE mod({hashed}, 1000000) <
+          CASE {cases} ELSE {int(0.1 * 1_000_000)} END
+    """
+
+
 _MOCK_N = 20000
 
 
@@ -1621,6 +1690,8 @@ ORACLES["ngram_jaccard"] = f"""
 
 ORACLES["embedding_neardup"] = _embedding_neardup_oracle_sql()
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
+ORACLES["dedup_components"] = _dedup_components_oracle_sql()
+ORACLES["stratified_sample"] = _stratified_sample_oracle_sql()
 ORACLES["simhash"] = _simhash_oracle_sql()
 ORACLES["language_id"] = _language_id_oracle_sql()
 
@@ -1675,4 +1746,6 @@ QUERIES = {
     "gotime": q_gotime,
     "encrypt_golden": q_encrypt_golden,
     "mock_generator": q_mock_generator,
+    "dedup_components": q_dedup_components,
+    "stratified_sample": q_stratified_sample,
 }

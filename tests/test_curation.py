@@ -239,3 +239,69 @@ def test_minhash_md5_mode_finds_same_planted_pairs(spark):
         assert all(4 not in p for p in got), mode
         est = {(r.a, r.b): r.jaccard_est for r in pairs}
         assert est[(1, 2)] == 1.0
+
+
+def test_connected_components_chained_clusters(spark):
+    """a~b and b~c must land in ONE component (the pairwise-winner
+    trap this operator exists to fix); separate clusters and
+    singletons keep distinct labels; label = min id in component."""
+    from loongcollector_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6), (7, 0)], ["a", "b"]
+    )
+    out = {r.doc_id: r.component for r in connected_components(nodes, edges).collect()}
+    assert out == {0: 0, 7: 0, 1: 1, 3: 1, 5: 1, 2: 2, 6: 2, 4: 4}
+
+
+def test_dedup_components_vs_pair_winners(spark, sf_dir):
+    """dedup_components keeps exactly one canonical doc per near-dup
+    cluster; every non-canonical doc's component points at an existing
+    canonical doc."""
+    from loongcollector_spark.operators.dedup import dedup_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comp = dedup_components(docs, threshold=0.5, hash_mode="md5").collect()
+    by_comp = {}
+    for r in comp:
+        by_comp.setdefault(r.component, []).append((r.doc_id, r.is_canonical))
+    for c, members in by_comp.items():
+        canon = [d for d, is_c in members if is_c]
+        assert canon == [c]  # exactly one canonical == the min id
+        assert min(d for d, _ in members) == c
+
+
+def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
+    """Same salt → identical row set across runs and parallelism;
+    different salt → different draw; rates land near target; xxhash64
+    and md5 kernels implement the same contract."""
+    from loongcollector_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frac = {"en": 0.5, "de": 0.0}
+    a = {r.doc_id for r in stratified_sample(docs, "lang", frac).collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(
+            docs.repartition(7), "lang", frac
+        ).collect()
+    }
+    assert a == b  # parallelism-independent
+    c = {r.doc_id for r in stratified_sample(docs, "lang", frac, salt="x").collect()}
+    assert a != c  # independent draw per salt
+    n_en = docs.filter("lang = 'en'").count()
+    kept_en = (
+        stratified_sample(docs, "lang", frac)
+        .filter("lang = 'en'")
+        .count()
+    )
+    assert abs(kept_en / n_en - 0.5) < 0.15
+    assert stratified_sample(docs, "lang", frac).filter("lang = 'de'").count() == 0
+    # default_fraction=0 drops unlisted strata entirely
+    assert (
+        stratified_sample(docs, "lang", {"en": 1.0})
+        .filter("lang <> 'en'")
+        .count()
+        == 0
+    )
