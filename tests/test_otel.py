@@ -591,3 +591,12 @@ def test_otel_protobuf_histogram_packed_and_zigzag(spark):
     js = sorted(key(r) for r in parse_otel_metric(js_df, "payload", format="json").collect())
     assert pb == js
     assert len(pb) >= 8  # _sum/_count + 3 buckets + exp rows
+
+
+def test_otel_protojson_aliases_json(spark):
+    """format='protojson' IS the camelCase OTLP/JSON encoding — same
+    rows as format='json'."""
+    df = spark.createDataFrame([(1, json.dumps(PAYLOAD))], ["id", "payload"])
+    a = sorted(map(str, parse_otel_trace(df, "payload", format="json").collect()))
+    b = sorted(map(str, parse_otel_trace(df, "payload", format="protojson").collect()))
+    assert a == b
