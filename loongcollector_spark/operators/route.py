@@ -25,7 +25,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["RouterRule", "RouterConfig", "route", "fanout_write", "read_sink"]
+__all__ = [
+    "RouterRule",
+    "RouterConfig",
+    "route",
+    "fanout_write",
+    "fanout_write_sls",
+    "read_sink",
+]
 
 
 def _anchor(pattern: str) -> str:
@@ -137,3 +144,27 @@ def read_sink(spark, base_path: str, sink: str, fmt: str = "parquet") -> DataFra
         if not os.path.isdir(os.path.join(base_path, f"sink={sink}"))
         else spark.read.format(fmt).load(os.path.join(base_path, f"sink={sink}"))
     )
+
+
+def fanout_write_sls(
+    routed: DataFrame,
+    base_path: str,
+    sink_col: str = "sink",
+    *,
+    time_key: str | None = None,
+    mode: str = "append",
+    **serializer_kwargs,
+) -> None:
+    """Fan-out in the reference's WIRE format: rows → per-sink SLS
+    ``LogGroup`` protobuf blobs (sources/sls_pb.py;
+    pkg/protocol/proto/sls_logs.proto:8-33, serializer
+    SLSSerializer.h:37) written in ONE pass as
+    ``{base}/topic=<sink>/`` parquet of ``(topic, n_logs, value)``
+    rows — the flusher_sls per-logstore batch layout with Spark's
+    atomic job commit instead of HTTP send."""
+    from ..sources.sls_pb import serialize_sls_loggroups
+
+    blobs = serialize_sls_loggroups(
+        routed, topic_key=sink_col, time_key=time_key, **serializer_kwargs
+    )
+    blobs.write.partitionBy("topic").mode(mode).parquet(base_path)

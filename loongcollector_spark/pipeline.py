@@ -44,6 +44,12 @@ PROCESSORS: dict[str, ProcessorFn] = {
     # params like the reference
     # (plugins/processor/defaultone/processor_default.go:15-20)
     "default": lambda df, **_: df,
+    # processor_spl (core/plugin/processor/ProcessorSPL.h:26-48): run a
+    # query string against the in-flight event group — Spark SQL IS our
+    # SPL engine; the frame is exposed as the configurable view name
+    "spl": lambda df, query, view_name="spl_input": (
+        df.createOrReplaceTempView(view_name) or df.sparkSession.sql(query)
+    ),
     "parse_regex": parse.parse_regex,
     "parse_grok": parse.parse_grok,
     "parse_json": parse.parse_json,

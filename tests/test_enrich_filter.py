@@ -219,7 +219,7 @@ def test_registry_reaches_all_survey_operators():
     from loongcollector_spark.pipeline import PROCESSORS
 
     required = {
-        "default", "parse_regex", "parse_grok", "parse_json", "parse_json_typed",
+        "default", "spl", "parse_regex", "parse_grok", "parse_json", "parse_json_typed",
         "parse_delimiter", "parse_keyvalue", "parse_anchor",
         "parse_apsara", "split_log_string", "split_log_regex",
         "merge_multiline", "parse_timestamp", "add_fields", "add_tags",

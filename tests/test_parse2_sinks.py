@@ -294,3 +294,44 @@ def test_sls_loggroup_rotation(spark):
     df = spark.range(0, 10).selectExpr("cast(id as string) AS msg").coalesce(1)
     out = serialize_sls_loggroups(df, max_log_count=4).collect()
     assert sorted(r.n_logs for r in out) == [2, 4, 4]
+
+
+def test_fanout_write_sls_wire_layout(spark, tmp_path):
+    """Routed rows fan out as per-sink LogGroup wire blobs in one
+    pass; read-back decodes every row with the sink as topic."""
+    from loongcollector_spark.operators.route import fanout_write_sls
+    from loongcollector_spark.sources.sls_pb import decode_loggroup
+
+    df = spark.createDataFrame(
+        [("hello", "s1"), ("there", "s1"), ("bye", "s2")], ["text", "sink"]
+    ).coalesce(1)
+    base = str(tmp_path / "sls")
+    fanout_write_sls(df, base, category="store")
+    back = spark.read.parquet(base)
+    groups = [decode_loggroup(bytes(r.value)) for r in back.collect()]
+    by_topic = {g["topic"]: g for g in groups}
+    assert set(by_topic) == {"s1", "s2"}
+    assert [c for lg in by_topic["s1"]["logs"] for c in lg["contents"]] == [
+        ("text", "hello"), ("text", "there"),
+    ]
+    assert by_topic["s2"]["category"] == "store"
+
+
+def test_spl_processor_in_pipeline_spec(spark):
+    """processor_spl analog: a config-driven SQL step over the
+    in-flight frame (ProcessorSPL.h:26-48 — Spark SQL is the engine)."""
+    from loongcollector_spark.pipeline import Pipeline
+
+    spec = {
+        "processors": [
+            {"type": "add_fields", "fields": {"env": "prod"}},
+            {
+                "type": "spl",
+                "query": "SELECT upper(role) AS role_uc, env "
+                         "FROM spl_input WHERE role <> 'alien'",
+            },
+        ]
+    }
+    df = spark.createDataFrame([("user",), ("alien",)], ["role"])
+    out = Pipeline(spec).apply_processors(df).collect()
+    assert [(r.role_uc, r.env) for r in out] == [("USER", "prod")]
