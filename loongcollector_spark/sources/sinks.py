@@ -43,6 +43,7 @@ __all__ = [
     "read_table",
     "read_text_logs",
     "serialize_sls_loggroups",
+    "write_bucketed_table",
 ]
 
 
@@ -177,3 +178,32 @@ def read_text_logs(
         w = W.partitionBy(path_tag).orderBy(F.monotonically_increasing_id())
         df = df.withColumn(line_number_col, F.row_number().over(w))
     return df
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    *,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on *bucket_cols*
+    — the co-located-join layout: two tables bucketed the same way
+    join WITHOUT a shuffle (each task reads matching bucket files from
+    both sides), which at 100 TB turns the repeated transcript⨝sink /
+    signature⨝signature joins from full exchanges into local merges.
+    The write itself pays one shuffle to cluster rows; every
+    subsequent join on the bucket key is exchange-free
+    (tests/test_plans.py pins the no-Exchange join plan).
+
+    Uses the session catalog's managed-table path (``bucketBy``
+    requires ``saveAsTable``; the warehouse dir is local parquet here,
+    an Iceberg catalog with a bucket partition transform in
+    production)."""
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

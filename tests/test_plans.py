@@ -160,3 +160,35 @@ def test_geoip_query_plan_is_broadcast(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path, sf_dir):
+    """Co-located join evidence: two tables bucketed on the same key
+    join with NO Exchange on either side (each task reads matching
+    bucket files) — the layout the 100 TB transcript⨝signature joins
+    would use. The sort-merge join reads the bucketed layout directly;
+    broadcast is disabled for the assertion so the shuffle-free claim
+    is about bucketing, not broadcast."""
+    from loongcollector_spark.sources.sinks import write_bucketed_table
+
+    prev_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(
+            docs.select("doc_id", "lang"), "b_lhs", ["doc_id"], 4,
+            sort_cols=["doc_id"],
+        )
+        write_bucketed_table(
+            docs.select("doc_id", "n_chars"), "b_rhs", ["doc_id"], 4,
+            sort_cols=["doc_id"],
+        )
+        joined = spark.table("b_lhs").join(spark.table("b_rhs"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lhs")
+        spark.sql("DROP TABLE IF EXISTS b_rhs")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
