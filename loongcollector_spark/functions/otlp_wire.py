@@ -262,6 +262,15 @@ def decode_message(buf: bytes, table: dict) -> dict:
         if spec is None:
             continue
         name, kind, repeated = spec
+        # wire-type guard: a known field number carrying the wrong wire
+        # type (corrupt/adversarial payload) is malformed — reject the
+        # whole payload (ValueError → caller returns None) rather than
+        # mis-decoding an int as a nested message
+        if isinstance(kind, dict) or kind in ("s", "hex", "b64"):
+            if wt != 2:
+                raise ValueError(
+                    f"field {field}: expected length-delimited, got wire type {wt}"
+                )
         if isinstance(kind, dict):
             val = decode_message(v, kind)
             if repeated:

@@ -170,3 +170,73 @@ def test_go_layout_literal_quoting():
     # stray letters must be quoted, not interpreted as JDK pattern chars
     assert go_layout_to_spark("2006-01-02T15:04:05") == "yyyy-MM-dd'T'HH:mm:ss"
     assert go_layout_to_spark("at 15:04") == "'at 'HH:mm"
+
+# ---------------------------------------------------------- wire format
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_varint_roundtrip_property(v):
+    from loongcollector_spark.functions import protowire as w
+
+    buf = w.write_varint(v)
+    out, i = w.read_varint(buf, 0)
+    assert out == v and i == len(buf)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_negative_varint_two_complement(v):
+    from loongcollector_spark.functions import protowire as w
+
+    buf = w.write_varint(v)
+    out, _ = w.read_varint(buf, 0)
+    assert w.u64_to_i64(out) == v
+
+
+sls_contents = st.lists(
+    st.tuples(
+        st.text(alphabet=st.characters(codec="utf-8"), max_size=24),
+        st.text(alphabet=st.characters(codec="utf-8"), max_size=48),
+    ),
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2**31 - 1), sls_contents),
+        min_size=0,
+        max_size=5,
+    ),
+    st.text(max_size=16),
+    sls_contents,
+)
+def test_sls_loggroup_wire_roundtrip_property(logs, topic, tags):
+    """Any LogGroup survives encode → decode exactly (times, content
+    order, tags, topic)."""
+    from loongcollector_spark.sources.sls_pb import (
+        decode_loggroup,
+        encode_log,
+        encode_loggroup,
+    )
+
+    blobs = [encode_log(t, contents) for t, contents in logs]
+    group = encode_loggroup(blobs, topic=topic, log_tags=tags)
+    back = decode_loggroup(group)
+    assert [(lg["time"], lg["contents"]) for lg in back["logs"]] == [
+        (t, list(c)) for t, c in logs
+    ]
+    assert back.get("topic", "") == topic
+    assert back["log_tags"] == [tuple(t) for t in tags]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=64))
+def test_otlp_decode_never_crashes_on_fuzz(buf):
+    """Arbitrary bytes → decode returns a JSON string or None, never
+    raises (a poison payload must not kill an executor task)."""
+    from loongcollector_spark.functions.otlp_wire import decode_metrics, decode_traces
+
+    for fn in (decode_traces, decode_metrics):
+        out = fn(buf)
+        assert out is None or isinstance(out, str)
