@@ -81,6 +81,12 @@ HEADLINE = [
     "minhash_dedup",
     "simhash",
     "ann_topk",
+    # round-3 additions (named so r2↔r3 per-query comparisons stay
+    # apples-to-apples on the shared prefix)
+    "enrich_chain",
+    "geoip",
+    "dedup_components",
+    "stratified_sample",
 ]
 
 
@@ -100,7 +106,18 @@ def _bench_queries():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return simhash(docs, hash_mode="xxhash64").select("doc_id", "simhash")
 
-    return {**QUERIES, "minhash_dedup": bench_minhash, "simhash": bench_simhash}
+    def bench_components(spark, sf_dir):
+        from loongcollector_spark.operators.dedup import dedup_components
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup_components(docs, threshold=0.5, hash_mode="xxhash64")
+
+    return {
+        **QUERIES,
+        "minhash_dedup": bench_minhash,
+        "simhash": bench_simhash,
+        "dedup_components": bench_components,
+    }
 
 
 def _pipeline(spark, src_path: str):

@@ -488,11 +488,17 @@ def connected_components(
     Returns ``(id_col, component)`` where component = min doc id in
     the node's component; singleton nodes keep their own id.
     """
+    from pyspark import StorageLevel
+
     sym = (
         edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
         .union(edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m")))
         .filter(F.col("n") != F.col("m"))
         .distinct()
+        # every iteration joins against the SAME edge set — without
+        # this persist each round would recompute the full upstream
+        # DAG (for dedup_components: the whole MinHash+LSH pipeline)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(
         F.col(id_col).alias("n"), F.col(id_col).alias("component")
@@ -521,6 +527,8 @@ def connected_components(
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    # labels are checkpointed (no lineage through sym) — safe to free
+    sym.unpersist()
     return labels.select(F.col("n").alias(id_col), "component")
 
 
