@@ -35,6 +35,7 @@ __all__ = [
     "session_window_counts",
     "stateful_conv_counter",
     "stateful_rate_limit",
+    "stream_dedup_exact",
 ]
 
 
@@ -278,4 +279,33 @@ def stateful_conv_counter(
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    fingerprint_col: str = "__fp",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose normalized-text
+    fingerprint was already seen within the watermark horizon —
+    the continuous-ingest twin of dedup.dedup_exact for a pipeline
+    that curates while it collects.
+
+    State is bounded by the watermark (``dropDuplicatesWithinWatermark``
+    evicts fingerprints older than the horizon — Spark 3.5+), and the
+    state rows carry only the 32-byte md5, never text. Late rows
+    beyond the watermark are treated as new (the documented at-least-
+    once tradeoff of bounded dedup state; unbounded exactness is the
+    batch operator's job)."""
+    from ..operators.dedup import _norm_text
+
+    with_fp = stream_df.withColumn(
+        fingerprint_col, F.md5(_norm_text(F.col(text_col)))
+    ).withWatermark(ts_col, watermark)
+    return with_fp.dropDuplicatesWithinWatermark([fingerprint_col]).drop(
+        fingerprint_col
     )

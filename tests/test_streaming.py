@@ -247,3 +247,40 @@ def test_session_window_counts_stream_and_batch_agree(spark, tmp_path):
     }
     assert batch_sessions == {("c1", 2), ("c2", 2)}
     assert got == [("c1", 2), ("c1", 3), ("c2", 1), ("c2", 1)]
+
+
+def test_stream_dedup_exact_matches_batch_dedup(spark, tmp_path):
+    """Streaming watermarked dedup over a duplicated input keeps one
+    row per distinct normalized text (all rows inside the horizon),
+    matching the batch dedup's distinct set."""
+    from datetime import datetime
+
+    from loongcollector_spark.streaming.stream import stream_dedup_exact
+
+    rows = [
+        ("a text", datetime(2024, 1, 1, 0, 0, i % 10)) for i in range(5)
+    ] + [
+        ("b text", datetime(2024, 1, 1, 0, 1, 0)),
+        ("A  TEXT ", datetime(2024, 1, 1, 0, 2, 0)),  # normalizes to 'a text'
+        ("c", datetime(2024, 1, 1, 0, 3, 0)),
+    ]
+    src = str(tmp_path / "dd_in")
+    spark.createDataFrame(rows, "text string, ts timestamp").repartition(
+        3
+    ).write.parquet(src)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    out_path = str(tmp_path / "dd_out")
+    q = (
+        stream_dedup_exact(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.text.strip().lower().replace("  ", " ")
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert got == ["a text", "b text", "c"]
