@@ -303,9 +303,15 @@ def stream_dedup_exact(
     batch operator's job)."""
     from ..operators.dedup import _norm_text
 
-    with_fp = stream_df.withColumn(
-        fingerprint_col, F.md5(_norm_text(F.col(text_col)))
-    ).withWatermark(ts_col, watermark)
+    # watermarks require TIMESTAMP event time; parquet reads the
+    # transcript ts as TIMESTAMP_NTZ in Spark 4, so the watermark
+    # rides an internal cast column and the source column is untouched
+    evt = "__evt_" + ts_col
+    with_fp = (
+        stream_df.withColumn(evt, F.col(ts_col).cast("timestamp"))
+        .withColumn(fingerprint_col, F.md5(_norm_text(F.col(text_col))))
+        .withWatermark(evt, watermark)
+    )
     return with_fp.dropDuplicatesWithinWatermark([fingerprint_col]).drop(
-        fingerprint_col
+        fingerprint_col, evt
     )

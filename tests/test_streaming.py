@@ -284,3 +284,30 @@ def test_stream_dedup_exact_matches_batch_dedup(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     )
     assert got == ["a text", "b text", "c"]
+
+
+def test_stream_dedup_exact_accepts_ntz_event_time(spark, tmp_path):
+    """Parquet transcript ts reads as TIMESTAMP_NTZ in Spark 4; the
+    watermark must ride the internal cast, not reject the source
+    (regression: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    from datetime import datetime
+
+    from loongcollector_spark.streaming.stream import stream_dedup_exact
+
+    rows = [("x", datetime(2024, 1, 1)), ("x", datetime(2024, 1, 1))]
+    src = str(tmp_path / "ntz_in")
+    spark.createDataFrame(rows, "text string, ts timestamp_ntz").write.parquet(src)
+    stream = read_transcript_stream(spark, src)
+    out = str(tmp_path / "ntz_out")
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ntz_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 1
+    assert back.columns == ["text", "ts"]
