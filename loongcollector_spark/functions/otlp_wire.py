@@ -228,21 +228,31 @@ def _scalar(kind: str, wt: int, v):
 
 def _packed(kind: str, wt: int, v) -> list:
     """Packed repeated numerics; tolerate the unpacked encoding too
-    (one record per element), as the spec requires of parsers."""
+    (one record per element), as the spec requires of parsers. Any
+    other wire type, or a fixed-width payload whose length is not a
+    multiple of 8, is malformed — ValueError so the caller drops the
+    payload instead of crashing (TypeError) or fabricating a value
+    from the truncated tail."""
     out = []
     if kind == "pd":
         if wt == 1:
             return [w.read_double(int(v))]
+        if wt != 2 or len(v) % 8:
+            raise ValueError(f"malformed packed double field (wt={wt})")
         for i in range(0, len(v), 8):
             out.append(w.read_double(int.from_bytes(v[i : i + 8], "little")))
     elif kind == "pu64f":
         if wt == 1:
             return [str(int(v))]
+        if wt != 2 or len(v) % 8:
+            raise ValueError(f"malformed packed fixed64 field (wt={wt})")
         for i in range(0, len(v), 8):
             out.append(str(int.from_bytes(v[i : i + 8], "little")))
     elif kind == "pu64v":
         if wt == 0:
             return [str(int(v))]
+        if wt != 2:
+            raise ValueError(f"malformed packed varint field (wt={wt})")
         i = 0
         while i < len(v):
             val, i = w.read_varint(v, i)

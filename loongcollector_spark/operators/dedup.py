@@ -527,6 +527,14 @@ def connected_components(
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations (a component chain longer "
+            f"than the budget); raise max_iterations — returning "
+            f"unconverged labels would silently split clusters"
+        )
     # labels are checkpointed (no lineage through sym) — safe to free
     sym.unpersist()
     return labels.select(F.col("n").alias(id_col), "component")
@@ -536,6 +544,7 @@ def dedup_components(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
+    text_col: str = "text",
     threshold: float = 0.5,
     hash_mode: str = "xxhash64",
     num_perm: int = 64,
@@ -548,8 +557,8 @@ def dedup_components(
     pipeline a curation job runs to drop near-duplicates without
     losing chained-cluster members."""
     pairs = minhash_dedup_pairs(
-        docs, threshold=threshold, hash_mode=hash_mode, num_perm=num_perm,
-        bands=bands, k=k,
+        docs, text_col, id_col, threshold=threshold, hash_mode=hash_mode,
+        num_perm=num_perm, bands=bands, k=k,
     )
     comp = connected_components(docs, pairs, id_col=id_col)
     return comp.select(

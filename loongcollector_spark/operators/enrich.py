@@ -178,6 +178,18 @@ def desensitize(
     regex dialect, used by the agreement test)."""
     col = F.col(source_key)
     if method == "md5" and engine == "native":
+        import re as _re
+
+        # the interleave below relies on len(split segments) ==
+        # len(matches)+1, which Java split breaks for patterns that
+        # can match the EMPTY string (zero-width match skipped on one
+        # side only → silently corrupted output). Detect at plan time
+        # and dispatch such patterns to the re.sub twin instead.
+        if _re.compile(regex).match("") is not None:
+            return desensitize(
+                df, source_key, regex, method="md5",
+                replace_string=replace_string, engine="pandas",
+            )
         segs = F.split(col, regex, -1)
         # NB: regexp_extract_all's str pattern arg resolves as a COLUMN
         # name (unlike regexp_extract) — must pass lit

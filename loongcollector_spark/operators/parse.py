@@ -570,12 +570,14 @@ def split_log_regex(
     w = W.partitionBy("__rid").orderBy("__pos")
     blk = F.sum(F.col("__line").rlike(start_pattern).cast("long")).over(w)
     blocks = lines.withColumn("__blk", blk)
-    # carry columns are constant per __rid, so grouping on them is free
-    # (no extra shuffle width beyond the key bytes); line order within
-    # a block is restored via (pos, line) struct sort — deterministic
-    # regardless of collect_list arrival order
+    # group ONLY on (__rid, __blk): carry columns are constant per
+    # __rid and ride through first() — grouping on them directly would
+    # reject unorderable carry types (e.g. the map column parse_json
+    # produces). Line order within a block is restored via (pos, line)
+    # struct sort — deterministic regardless of collect_list arrival
+    # order
     merged = (
-        blocks.groupBy("__rid", "__blk", *carry)
+        blocks.groupBy("__rid", "__blk")
         .agg(
             F.concat_ws(
                 "\n",
@@ -584,13 +586,14 @@ def split_log_regex(
                     lambda s: s["__line"],
                 ),
             ).alias(dest),
+            *[F.first(c).alias(c) for c in carry],
         )
         .drop("__blk")
     )
     # no orderBy: a DataFrame is an unordered multiset and a global
     # sort here would cost a full exchange at scale; impose order
     # downstream (stable_order) where a consumer needs it
-    return merged.drop("__rid")
+    return merged.select(*carry, dest)
 
 
 def _split_log_regex_hof(

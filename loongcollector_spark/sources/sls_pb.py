@@ -146,10 +146,15 @@ def serialize_sls_loggroups(
             if not len(pdf):
                 continue
             if topic_key:
-                grouped = pdf.groupby(topic_key, sort=False)
+                # dropna=False: a NULL topic must not silently drop its
+                # logs (fanout_write's analog lands them in the default
+                # partition); NULL renders as the empty topic
+                grouped = pdf.groupby(topic_key, sort=False, dropna=False)
             else:
                 grouped = [("", pdf)]
             for topic_val, g in grouped:
+                if pd.isna(topic_val):
+                    topic_val = ""
                 for lo in range(0, len(g), max_log_count):
                     chunk = g.iloc[lo : lo + max_log_count]
                     logs = []
@@ -158,11 +163,13 @@ def serialize_sls_loggroups(
                             t = 0
                         else:
                             tv = row[time_key]
-                            t = (
-                                int(tv.timestamp())
-                                if hasattr(tv, "timestamp")
-                                else int(tv)
-                            )
+                            if pd.isna(tv):
+                                t = 0  # NULL time → epoch 0, like NULL
+                                # contents → '' below
+                            elif hasattr(tv, "timestamp"):
+                                t = int(tv.timestamp())
+                            else:
+                                t = int(tv)
                         contents = [
                             (c, "" if pd.isna(row[c]) else str(row[c]))
                             for c in content_cols

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from loongcollector_spark.operators import similarity
+from loongcollector_spark.operators.enrich import desensitize as enrich_desensitize
 from loongcollector_spark.pipeline import Pipeline
 from loongcollector_spark.plans.checkpoint import run_with_checkpoint
 
@@ -151,3 +152,123 @@ def test_checkpoint_empty_input(spark, tmp_path):
     )
     assert out.count() == 0
     assert set(out.columns) == {"conv_id", "turn_idx"}
+
+# ---------------------------------------------------------------- round-3
+# regression tests for the round-3 self-review findings
+
+
+def test_otlp_packed_wrong_wiretype_returns_none():
+    """A packed field with a scalar wire type or truncated fixed-width
+    payload is rejected (None), never a TypeError crash or a
+    fabricated value from the tail."""
+    import struct
+
+    from loongcollector_spark.functions import protowire as w
+    from loongcollector_spark.functions.otlp_wire import decode_metrics
+
+    def metric_payload(dp_body):
+        hist = w.write_len_delimited(1, dp_body)
+        m = w.write_string_field(1, "x") + w.write_len_delimited(9, hist)
+        return w.write_len_delimited(
+            1, w.write_len_delimited(2, w.write_len_delimited(2, m))
+        )
+
+    # bucketCounts (field 6, packed fixed64) as a varint record
+    assert decode_metrics(metric_payload(w.write_varint_field(6, 5))) is None
+    # explicitBounds (field 7, packed doubles) with a 4-byte tail
+    bad = w.write_len_delimited(7, struct.pack("<d", 1.5) + b"\x01\x02\x03\x04")
+    assert decode_metrics(metric_payload(bad)) is None
+    # well-formed singular unpacked double still accepted
+    ok = w.write_tag(7, 1) + struct.pack("<d", 1.5)
+    assert decode_metrics(metric_payload(ok)) is not None
+
+
+def test_sls_serializer_null_topic_and_null_time(spark):
+    """NULL topic values keep their logs (empty topic) and NULL times
+    encode as 0 — nothing silently dropped, nothing crashes."""
+    from datetime import datetime
+
+    from loongcollector_spark.sources.sls_pb import (
+        decode_loggroup,
+        serialize_sls_loggroups,
+    )
+
+    rows = [
+        ("a", "s1", datetime(2024, 1, 1)),
+        ("b", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "text string, sink string, ts timestamp"
+    ).coalesce(1)
+    out = serialize_sls_loggroups(df, topic_key="sink", time_key="ts").collect()
+    by_topic = {r.topic: decode_loggroup(bytes(r.value)) for r in out}
+    assert set(by_topic) == {"s1", ""}
+    assert by_topic[""]["logs"][0]["contents"] == [("text", "b")]
+    assert by_topic[""]["logs"][0]["time"] == 0
+
+
+def test_split_log_regex_carries_unorderable_map_column(spark):
+    """A map-typed carry column (parse_json output) must survive the
+    split — grouping must not put it in the grouping key."""
+    from loongcollector_spark.operators.parse import split_log_regex
+
+    df = spark.createDataFrame(
+        [("ERR a\n x\nERR b", {"k": "v"})],
+        "text string, parsed map<string,string>",
+    )
+    out = split_log_regex(df, "text", r"^ERR ")
+    rows = sorted((r.text, dict(r.parsed)) for r in out.collect())
+    assert rows == [("ERR a\n x", {"k": "v"}), ("ERR b", {"k": "v"})]
+    assert out.columns == ["parsed", "text"]
+
+
+def test_dedup_components_honors_id_and_text_cols(spark):
+    from loongcollector_spark.operators.dedup import dedup_components
+
+    df = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "the quick brown fox jumps over the lazy dog today"),
+            (12, "completely different content with no overlap at all"),
+        ],
+        "my_id long, body string",
+    )
+    out = {
+        r.my_id: (r.component, r.is_canonical)
+        for r in dedup_components(
+            df, id_col="my_id", text_col="body", threshold=0.5
+        ).collect()
+    }
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[12] == (12, True)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from loongcollector_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iterations=1)
+    # enough budget → converges fine
+    out = connected_components(nodes, chain, max_iterations=10)
+    assert {r.component for r in out.collect()} == {0}
+
+
+def test_desensitize_md5_zero_width_pattern_dispatches_to_pandas(spark):
+    """Patterns that can match '' (x*) silently corrupted the native
+    interleave; they now route to the re.sub twin at plan time."""
+    import hashlib
+
+    df = spark.createDataFrame([("axbxxc",)], ["text"])
+    out = enrich_desensitize(df, "text", r"x+", method="md5").first().text
+    h1 = hashlib.md5(b"x").hexdigest()
+    h2 = hashlib.md5(b"xx").hexdigest()
+    assert out == f"a{h1}b{h2}c"
+    # zero-width-capable pattern: same result as explicit pandas engine
+    nat = enrich_desensitize(df, "text", r"x*", method="md5").first().text
+    pdn = enrich_desensitize(
+        df, "text", r"x*", method="md5", engine="pandas"
+    ).first().text
+    assert nat == pdn
