@@ -91,3 +91,46 @@ def test_rows_out_from_lineage_matches(spark, tmp_path):
     ck = CheckpointedRun(spark, str(tmp_path / "lin"), "rows")
     assert ck.total_rows_committed() == 150
     assert len(ck.committed_units()) == 4
+
+
+def test_midwrite_kill_leftovers_overwritten(spark, tmp_path):
+    """A SIGKILL during the write leaves partial __lc_unit=<id> files
+    and a _temporary dir with NO lineage commits; the rerun must
+    replace the poison files and match a clean run exactly."""
+    import os
+
+    from loongcollector_spark.plans.checkpoint import run_with_checkpoint
+
+    df = spark.createDataFrame(
+        [(f"c{i}", i, f"t{i}") for i in range(40)],
+        ["conv_id", "turn_idx", "text"],
+    )
+    ident = lambda d: d  # noqa: E731
+
+    clean_dir = str(tmp_path / "clean")
+    run_with_checkpoint(
+        spark, df, ident, out_dir=clean_dir,
+        lineage_dir=str(tmp_path / "lc"), job_id="c", n_units=4,
+    )
+
+    # fabricate the mid-write crash state: partial files in two unit
+    # dirs + a _temporary scratch dir, lineage empty
+    crash_dir = str(tmp_path / "crash")
+    for u in (0, 2):
+        d = os.path.join(crash_dir, f"__lc_unit={u}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-00000.parquet"), "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+    os.makedirs(os.path.join(crash_dir, "_temporary"))
+
+    final = run_with_checkpoint(
+        spark, df, ident, out_dir=crash_dir,
+        lineage_dir=str(tmp_path / "lx"), job_id="x", n_units=4,
+    )
+    cols = ["conv_id", "turn_idx", "text"]
+    a = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(clean_dir).collect()
+    )
+    b = sorted(tuple(r[c] for c in cols) for r in final.collect())
+    assert a == b and len(b) == 40
