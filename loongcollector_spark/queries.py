@@ -464,6 +464,109 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_TABLES = 4
+_LSH_PER_TABLE = 3
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane LSH, oracle-checkable integer kernel (the
+    similarity.lsh_ann_topk SHAPE with the deterministic integer
+    planes/quantization of q_embedding_neardup): 12 plane signs split
+    into 4 table buckets; candidates share ≥1 bucket with a query;
+    exact integer-dot re-rank, top-3. Bucketing (not all-pairs) is the
+    scale path; the integer arithmetic makes candidates AND ranking
+    reproducible expression-for-expression in DuckDB."""
+    planes = _neardup_planes(n_planes=_LSH_TABLES * _LSH_PER_TABLE)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    iv = F.transform(F.col("embedding"), lambda v: F.round(v * 1000).cast("long"))
+    vecs = emb.select(F.col("vec_id"), iv.alias("iv"))
+
+    def dot_with(plane):
+        arr = F.array(*[F.lit(w).cast("long") for w in plane])
+        return F.aggregate(
+            F.zip_with(F.col("iv"), arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [F.when(dot_with(p) >= 0, "1").otherwise("0") for p in planes]
+    buckets = F.array(
+        *[
+            F.concat(*bits[t * _LSH_PER_TABLE : (t + 1) * _LSH_PER_TABLE])
+            for t in range(_LSH_TABLES)
+        ]
+    )
+    s = vecs.select("vec_id", "iv", F.posexplode(buckets).alias("t", "bucket"))
+    q = s.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("qv"), "t", "bucket"
+    )
+    cand = (
+        s.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("iv"), F.col("qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
+def _ann_lsh_oracle_sql() -> str:
+    planes = _neardup_planes(n_planes=_LSH_TABLES * _LSH_PER_TABLE)
+
+    def bit(p):
+        lst = "[" + ", ".join(str(x) for x in p) + "]"
+        return (
+            "CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" i -> iv[i] * ({lst})[i])) >= 0 THEN '1' ELSE '0' END"
+        )
+
+    tables = []
+    for t in range(_LSH_TABLES):
+        bs = " || ".join(
+            bit(p) for p in planes[t * _LSH_PER_TABLE : (t + 1) * _LSH_PER_TABLE]
+        )
+        tables.append(
+            f"SELECT vec_id, iv, {t} AS t, {bs} AS bucket FROM q"
+        )
+    union = "\n      UNION ALL ".join(tables)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(round(v * 1000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    s AS (
+      {union}
+    ),
+    cand AS (
+      SELECT DISTINCT qs.vec_id AS query_id, vs.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> vs.iv[i] * qs.iv[i])) AS BIGINT) AS dot
+      FROM s vs JOIN (SELECT * FROM s WHERE vec_id < 5) qs
+        ON vs.t = qs.t AND vs.bucket = qs.bucket
+       AND vs.vec_id <> qs.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, dot FROM (
+      SELECT query_id, neighbor_id, dot,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM cand
+    ) WHERE rank <= 3
+    """
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification kernel
     (dedup.ngram_jaccard_pairs) over a deterministic candidate set:
@@ -1689,6 +1792,7 @@ ORACLES["ngram_jaccard"] = f"""
 """
 
 ORACLES["embedding_neardup"] = _embedding_neardup_oracle_sql()
+ORACLES["ann_lsh"] = _ann_lsh_oracle_sql()
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
 ORACLES["dedup_components"] = _dedup_components_oracle_sql()
 ORACLES["stratified_sample"] = _stratified_sample_oracle_sql()
@@ -1748,4 +1852,5 @@ QUERIES = {
     "mock_generator": q_mock_generator,
     "dedup_components": q_dedup_components,
     "stratified_sample": q_stratified_sample,
+    "ann_lsh": q_ann_lsh,
 }
