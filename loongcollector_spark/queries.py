@@ -1035,6 +1035,75 @@ def _dedup_components_oracle_sql() -> str:
     """
 
 
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline, value-checked end-to-end:
+    MinHash+LSH near-dup clustering → keep canonical docs → token
+    quality gate (≥5 ws tokens) → deterministic 60% stratified sample
+    per language → per-language corpus stats. Every stage shares its
+    engine-portable kernel with an existing oracle (md5 minhash,
+    recursive-CTE components, md5 sample threshold), so the composite
+    has an exact DuckDB twin — this is jobs/run_curation.py as one
+    Catalyst plan."""
+    from .operators.dedup import dedup_components
+    from .operators.text import stratified_sample, token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comp = dedup_components(docs, threshold=0.5, hash_mode="md5")
+    canonical = comp.filter(F.col("is_canonical")).select("doc_id")
+    kept = docs.join(canonical, "doc_id", "left_semi")
+    gated = token_stats(kept).filter(F.col("n_ws_tokens") >= 5)
+    sampled = stratified_sample(
+        gated, "lang", {}, default_fraction=0.6, salt="cv2", hash_mode="md5"
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _curation_v2_oracle_sql() -> str:
+    pairs_sql = _minhash_oracle_sql()
+    thresh = _MD5L.format(x="concat(cast(doc_id AS STRING), 'cv2')")
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a, b FROM ({pairs_sql})
+    ),
+    edges AS (
+      SELECT a AS n, b AS m FROM pairs
+      UNION SELECT b AS n, a AS m FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT n, m FROM edges
+      UNION
+      SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.m), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    kept AS (
+      SELECT d.* FROM documents d
+      JOIN comp c ON c.doc_id = d.doc_id AND c.component = d.doc_id
+    ),
+    gated AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+      FROM kept
+    ),
+    sampled AS (
+      SELECT * FROM gated
+      WHERE n >= 5 AND mod({thresh}, 1000000) < {int(0.6 * 1_000_000)}
+    )
+    SELECT lang, count(*) AS n_docs, cast(sum(n) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_doc_id
+    FROM sampled GROUP BY lang
+    """
+
+
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 1.0}
 
 
@@ -1796,6 +1865,7 @@ ORACLES["ann_lsh"] = _ann_lsh_oracle_sql()
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
 ORACLES["dedup_components"] = _dedup_components_oracle_sql()
 ORACLES["stratified_sample"] = _stratified_sample_oracle_sql()
+ORACLES["curation_v2"] = _curation_v2_oracle_sql()
 ORACLES["simhash"] = _simhash_oracle_sql()
 ORACLES["language_id"] = _language_id_oracle_sql()
 
@@ -1853,4 +1923,5 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "stratified_sample": q_stratified_sample,
     "ann_lsh": q_ann_lsh,
+    "curation_v2": q_curation_v2,
 }
