@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_stats",
     "quality_signals",
+    "repetition_signals",
     "language_id",
     "fingerprint",
     "stratified_sample",
@@ -95,6 +96,97 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.lit(0.0)
             ),
         )
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public
+    paper) — the repetition family of training-data quality filters:
+
+    * ``n_lines``            — newline-delimited line count
+    * ``dup_line_frac``      — occurrences-after-the-first of each
+      line / total lines (0 when every line is unique)
+    * ``dup_line_char_frac`` — characters in those repeat occurrences
+      / total line characters (0 when no line chars)
+    * ``top_ngram_char_frac``— chars covered by the single most
+      frequent word *top_n*-gram (count × gram length) / normalized
+      text length; ties broken by lexicographically-smallest gram
+    * ``dup_ngram_frac``     — occurrences of word *dup_n*-grams that
+      appear more than once / total *dup_n*-gram occurrences
+
+    Plan shape (the one that scales): three codegen aggregations —
+    lines: explode → groupBy(id, line) → groupBy(id); grams: the
+    window-lead shingler (dedup._shingle_rows) → groupBy(id, gram) →
+    groupBy(id) — all shuffling on *id_col* only, joined back on
+    *id_col* (co-partitioned after the aggs; AQE broadcasts at small
+    scale). No interpreted higher-order functions in the count paths
+    (NOTES.md HOF lesson). Text is normalized with the fuzzy-dedup
+    normalizer for the gram signals, raw for the line signals.
+    """
+    from .dedup import _norm_text, _shingle_rows
+
+    # NULL text behaves as '' (one empty line, one empty gram) so every
+    # input row gets a signal row — no NULL/None mixing downstream
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(id_col), F.length(_norm_text(F.col(text_col))).alias("__nchars")
+    )
+
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("__line")
+    )
+    lc = lines.groupBy(id_col, "__line").agg(F.count("*").alias("__c"))
+    line_chars = F.length("__line") * F.col("__c")
+    dup_line_chars = F.length("__line") * (F.col("__c") - 1)
+    lstats = lc.groupBy(id_col).agg(
+        F.sum("__c").alias("n_lines"),
+        (F.sum(F.col("__c") - 1) / F.sum("__c")).alias("dup_line_frac"),
+        F.coalesce(
+            F.try_divide(F.sum(dup_line_chars), F.sum(line_chars)), F.lit(0.0)
+        ).alias("dup_line_char_frac"),
+    )
+
+    def _gram_counts(n: int) -> DataFrame:
+        g = _shingle_rows(df, text_col, n, id_col)
+        return g.groupBy(id_col, "shingle").agg(F.count("*").alias("__c"))
+
+    # most frequent top_n-gram: min over struct(-count, gram) picks the
+    # highest count, smallest gram on ties — deterministic both engines
+    best = F.min(
+        F.struct((-F.col("__c")).alias("nc"), F.col("shingle").alias("g"))
+    )
+    top = _gram_counts(top_n).groupBy(id_col).agg(
+        (-best["nc"]).alias("__topc"), F.length(best["g"]).alias("__topl")
+    )
+    dup = _gram_counts(dup_n).groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0)))
+            / F.sum("__c")
+        ).alias("dup_ngram_frac")
+    )
+
+    out = (
+        base.join(lstats, id_col, "left")
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+    )
+    return out.select(
+        F.col(id_col),
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce(
+            F.try_divide(F.col("__topc") * F.col("__topl"), F.col("__nchars")),
+            F.lit(0.0),
+        ).alias("top_ngram_char_frac"),
+        "dup_ngram_frac",
     )
 
 

@@ -372,6 +372,25 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_signals(docs).select("doc_id", "n_punct", "n_digits", "n_stopwords")
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (dup-line / dup-line-char
+    / top-bigram-char / dup-trigram fractions) per document — the
+    repetition family of training-data curation rules, value-checked
+    against an exact DuckDB twin (doubles rounded to 9 dp both sides)."""
+    from .operators.text import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_signals(docs, top_n=2, dup_n=3)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 9).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 9).alias("dup_line_char_frac"),
+        F.round("top_ngram_char_frac", 9).alias("top_ngram_char_frac"),
+        F.round("dup_ngram_frac", 9).alias("dup_ngram_frac"),
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-3 neighbors for 5 query vectors, ranked by an
     integer-scaled dot product (round(v*1000) per element) so the
@@ -1860,6 +1879,65 @@ ORACLES["ngram_jaccard"] = f"""
     FROM g ga JOIN g gb ON gb.doc_id = ga.doc_id + 1
 """
 
+ORACLES["repetition_signals"] = f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    base AS (SELECT doc_id, len({_NORM}) AS nchars FROM d),
+    lines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d
+    ),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+    lstats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_line_frac,
+             CASE WHEN sum(len(line) * c) > 0
+                  THEN CAST(sum(len(line) * (c - 1)) AS DOUBLE)
+                       / sum(len(line) * c)
+                  ELSE 0.0 END AS dup_line_char_frac
+      FROM lc GROUP BY doc_id
+    ),
+    norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM d),
+    g2 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2
+                    THEN [array_to_string(tk[i:i+1], ' ')
+                          for i in generate_series(1, len(tk) - 1)]
+                    ELSE [array_to_string(tk, ' ')] END) AS gram
+      FROM norm
+    ),
+    g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+    top AS (
+      SELECT doc_id, c AS topc, len(gram) AS topl FROM (
+        SELECT doc_id, gram, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram) AS rn
+        FROM g2c) WHERE rn = 1
+    ),
+    g3 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i:i+2], ' ')
+                          for i in generate_series(1, len(tk) - 2)]
+                    ELSE [array_to_string(tk, ' ')] END) AS gram
+      FROM norm
+    ),
+    g3c AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+    dup AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+             AS dup_ngram_frac
+      FROM g3c GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_lines,
+           round(dup_line_frac, 9) AS dup_line_frac,
+           round(dup_line_char_frac, 9) AS dup_line_char_frac,
+           CASE WHEN nchars > 0
+                THEN round(CAST(topc * topl AS DOUBLE) / nchars, 9)
+                ELSE 0.0 END AS top_ngram_char_frac,
+           round(dup_ngram_frac, 9) AS dup_ngram_frac
+    FROM base b
+    JOIN lstats USING (doc_id) JOIN top USING (doc_id) JOIN dup USING (doc_id)
+"""
+
 ORACLES["embedding_neardup"] = _embedding_neardup_oracle_sql()
 ORACLES["ann_lsh"] = _ann_lsh_oracle_sql()
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
@@ -1891,6 +1969,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "token_stats": q_token_stats,
     "quality_signals": q_quality_signals,
+    "repetition_signals": q_repetition_signals,
     "ann_topk": q_ann_topk,
     "grok": q_grok,
     "sessionize": q_sessionize,

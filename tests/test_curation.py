@@ -148,6 +148,38 @@ def test_token_stats_and_quality(spark):
     assert q[2].mean_word_len == 0.0
 
 
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c\nx\nx\nx"),
+            (2, "one two three four"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in text.repetition_signals(df).collect()}
+    # doc 1: lines [a b a b a b c, x, x, x] -> 2 repeat occurrences / 4
+    assert r[1].n_lines == 4
+    assert r[1].dup_line_frac == 0.5
+    # repeat chars 2*len('x') / (13 + 3*1) = 2/16
+    assert r[1].dup_line_char_frac == 0.125
+    # top bigram 'a b' x3, len 3; norm text len 19 -> 9/19
+    assert abs(r[1].top_ngram_char_frac - 9 / 19) < 1e-12
+    # trigrams: 'a b a' x2 + 'b a b' x2 duplicated of 8 total
+    assert r[1].dup_ngram_frac == 0.5
+    # doc 2: all bigrams count 1 -> tie broken by smallest gram
+    # ('one two', len 7) over norm length 18
+    assert r[2].dup_line_frac == 0.0
+    assert abs(r[2].top_ngram_char_frac - 7 / 18) < 1e-12
+    # empty and NULL text behave identically (all-zero signals)
+    for d in (3, 4):
+        assert r[d].n_lines == 1
+        assert r[d].dup_line_frac == 0.0
+        assert r[d].top_ngram_char_frac == 0.0
+        assert r[d].dup_ngram_frac == 0.0
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [
