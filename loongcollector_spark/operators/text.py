@@ -20,6 +20,9 @@ __all__ = [
     "language_id",
     "fingerprint",
     "stratified_sample",
+    "pii_scan",
+    "pii_redact",
+    "PII_PATTERNS",
 ]
 
 # tiny public stopword lists per language for the n-gram/stopword
@@ -97,6 +100,49 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+# PII detector patterns — deliberately restricted to syntax shared by
+# Java regex (Spark) and RE2 (DuckDB oracle): no lookaround, no
+# backrefs. Ordered dict = the fixed redaction order (most-specific
+# first so a card number is masked before the phone rule can eat it).
+PII_PATTERNS: dict[str, str] = {
+    "cc": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "phone": r"\+\d{1,3}[- ]?\d{3}[- ]?\d{3,4}[- ]?\d{3,4}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection counts per row: ``n_<kind>`` columns, one per
+    :data:`PII_PATTERNS` entry (credit-card-ish, intl phone, email,
+    IPv4). Counts are non-overlapping left-to-right matches of each
+    pattern against the ORIGINAL text, independently per kind (a token
+    matching two patterns counts in both — redaction order is where
+    precedence is resolved). Pure JVM regexp expressions, no shuffle,
+    NULL text counts 0."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(txt, F.lit(pat), 0))
+        )
+    return out
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", dest: str | None = None
+) -> DataFrame:
+    """PII redaction: sequentially replaces each :data:`PII_PATTERNS`
+    match with ``<KIND>`` in the dict's fixed order (cc before phone
+    before email before ipv4), so overlapping detectors resolve
+    deterministically. In-place when *dest* is None. NULL text stays
+    NULL (scan-side counts already treat it as empty)."""
+    c = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return df.withColumn(dest or text_col, c)
 
 
 def repetition_signals(

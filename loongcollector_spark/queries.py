@@ -391,6 +391,22 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over transcript text (emails / intl
+    phones / credit-card-ish numbers / IPv4s): per-turn match counts on
+    the raw text and the deterministically redacted text. The patterns
+    are restricted to the Java∩RE2 regex subset so the DuckDB twin is
+    exact; transcripts carry live IPv4s (nginx payload), the other
+    detector kinds are exercised by unit fixtures."""
+    from .operators.text import pii_redact, pii_scan
+
+    tx = load_transcripts(spark, sf_dir)
+    out = pii_redact(pii_scan(tx), "text", dest="redacted")
+    return out.select(
+        "conv_id", "turn_idx", "n_cc", "n_phone", "n_email", "n_ipv4", "redacted"
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-3 neighbors for 5 query vectors, ranked by an
     integer-scaled dot product (round(v*1000) per element) so the
@@ -1879,6 +1895,30 @@ ORACLES["ngram_jaccard"] = f"""
     FROM g ga JOIN g gb ON gb.doc_id = ga.doc_id + 1
 """
 
+def _pii_scan_oracle_sql() -> str:
+    """DuckDB twin of q_pii_scan, generated from the same PII_PATTERNS
+    dict (single source of truth; patterns are Java∩RE2-safe and
+    contain no quotes, so plain SQL-literal embedding is safe)."""
+    from .operators.text import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    return f"""
+    WITH transcripts AS ({_TX})
+    SELECT conv_id, turn_idx,
+           {counts},
+           {red} AS redacted
+    FROM transcripts
+    """
+
+
+ORACLES["pii_scan"] = _pii_scan_oracle_sql()
+
 ORACLES["repetition_signals"] = f"""
     WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
     base AS (SELECT doc_id, len({_NORM}) AS nchars FROM d),
@@ -1970,6 +2010,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_signals": q_quality_signals,
     "repetition_signals": q_repetition_signals,
+    "pii_scan": q_pii_scan,
     "ann_topk": q_ann_topk,
     "grok": q_grok,
     "sessionize": q_sessionize,

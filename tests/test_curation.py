@@ -180,6 +180,32 @@ def test_repetition_signals(spark):
         assert r[d].dup_ngram_frac == 0.0
 
 
+def test_pii_scan_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+x@example.co.uk from 10.0.0.1 now"),
+            (2, "card 4111 1111 1111 1111 call +1 555 867 5309"),
+            (3, "nothing here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in text.pii_scan(df).collect()}
+    assert (r[1].n_email, r[1].n_ipv4, r[1].n_cc, r[1].n_phone) == (1, 1, 0, 0)
+    assert (r[2].n_cc, r[2].n_phone, r[2].n_email, r[2].n_ipv4) == (1, 1, 0, 0)
+    assert (r[3].n_cc, r[3].n_phone, r[3].n_email, r[3].n_ipv4) == (0, 0, 0, 0)
+    assert (r[4].n_cc, r[4].n_phone, r[4].n_email, r[4].n_ipv4) == (0, 0, 0, 0)
+
+    red = {x.doc_id: x.text for x in text.pii_redact(df).collect()}
+    assert red[1] == "mail <EMAIL> from <IPV4> now"
+    assert red[2] == "card <CC> call <PHONE>"
+    assert red[3] == "nothing here"
+    assert red[4] is None
+    # dest= keeps the original column
+    both = text.pii_redact(df, dest="redacted").collect()[0]
+    assert both.text != both.redacted
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [
