@@ -26,6 +26,7 @@ __all__ = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_near_dups",
+    "semantic_dedup",
 ]
 
 
@@ -382,3 +383,57 @@ def embedding_near_dups(
         .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    paper): k-means clusters the embedding space, then inside each
+    cluster every vector whose cosine similarity to a LOWER-id vector
+    reaches *threshold* is dropped (min-id representative survives —
+    deterministic, rerun-stable). Returns the surviving rows of
+    *vectors* plus their ``cluster`` assignment.
+
+    Scale shape: the quantizer trains on a bounded sample (same
+    machinery as :func:`ivf_ann_topk`); assignment is one JVM pass;
+    the pair search is a per-cluster self-join — candidate volume is
+    sum of squared cluster sizes, so size ``n_clusters ~ corpus/10k``
+    to bound it, never all-pairs. Cross-cluster near-dups are missed
+    by construction (the SemDeDup trade-off); embedding_near_dups is
+    the recall-oriented alternative.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__arr"),
+    ).withColumn("__v", array_to_vector(F.col("__arr")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="cluster")
+    model = km.fit(vec.select("__v").limit(max_train_rows))
+    assigned = model.transform(vec).select(id_col, "__arr", "cluster")
+
+    a = assigned.select(
+        F.col(id_col).alias("__a"), F.col("__arr").alias("__va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__b"), F.col("__arr").alias("__vb"), "cluster"
+    )
+    losers = (
+        a.join(b, "cluster")
+        .filter(F.col("__a") < F.col("__b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+    return vectors.join(
+        assigned.select(id_col, "cluster"), id_col
+    ).join(losers, id_col, "left_anti")

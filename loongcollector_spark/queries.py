@@ -499,6 +499,80 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_centroids(k: int = 4, dim: int = 64) -> list[list[int]]:
+    """Deterministic integer centroids shared verbatim by the Spark
+    query and the DuckDB oracle — stands in for the trained k-means
+    quantizer of similarity.semantic_dedup (MLlib training is not
+    SQL-expressible; integer dots make cluster assignment exact in
+    both engines)."""
+    import random
+
+    rng = random.Random(20260817)
+    return [[rng.randint(-3, 3) for _ in range(dim)] for _ in range(k)]
+
+
+# the sf0.01 embeddings' within-cluster cosine tops out at ~0.51
+# (p99.9 ≈ 0.40), so 0.4 exercises the loser path with a real drop set
+# while staying far from float knife-edges on most pairs (both engines
+# compute identical IEEE doubles from identical integer inputs anyway)
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, oracle-checkable kernel: assign
+    each quantized embedding (round(v*1000) longs) to its max-dot
+    integer centroid (tie → smallest centroid index), then drop every
+    vector with a lower-id same-cluster neighbor at integer-cosine ≥
+    0.85. Survivors with their cluster ids are the output. Production
+    path = similarity.semantic_dedup (trained MLlib quantizer, NumPy
+    kernels); this query pins the per-cluster pair semantics.
+
+    Same interpreted-HOF caveat as q_embedding_neardup: the lambda
+    formulation is the one DuckDB can reproduce expression-for-
+    expression; it runs over the 500-row sf0.01 table only."""
+    cents = _semdedup_centroids()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    iv = F.transform(F.col("embedding"), lambda v: F.round(v * 1000).cast("long"))
+    vecs = emb.select(F.col("vec_id"), iv.alias("iv"))
+
+    def ldot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cells = [
+        F.struct(
+            (-ldot(F.col("iv"), F.array(*[F.lit(w).cast("long") for w in c]))).alias(
+                "nd"
+            ),
+            F.lit(i).alias("idx"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    best = F.sort_array(F.array(*cells)).getItem(0)
+    s = vecs.withColumn("cluster", best["idx"])
+
+    a = s.select(F.col("vec_id").alias("a"), F.col("iv").alias("va"), "cluster")
+    b = s.select(F.col("vec_id").alias("b"), F.col("iv").alias("vb"), "cluster")
+    cos = ldot(F.col("va"), F.col("vb")) / (
+        F.sqrt(ldot(F.col("va"), F.col("va")))
+        * F.sqrt(ldot(F.col("vb"), F.col("vb")))
+    )
+    losers = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos >= _SEMDEDUP_THRESHOLD)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        s.join(losers, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+    )
+
+
 _LSH_TABLES = 4
 _LSH_PER_TABLE = 3
 
@@ -1978,6 +2052,47 @@ ORACLES["repetition_signals"] = f"""
     JOIN lstats USING (doc_id) JOIN top USING (doc_id) JOIN dup USING (doc_id)
 """
 
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB twin of q_semantic_dedup: identical integer centroids,
+    quantization, max-dot assignment with smallest-index tie-break,
+    and per-cluster loser rule."""
+    cents = _semdedup_centroids()
+    dot_exprs = []
+    for i, c in enumerate(cents):
+        lst = "[" + ", ".join(str(w) for w in c) + "]"
+        dot_exprs.append(
+            "list_sum(list_transform(range(1, 65),"
+            f" i -> iv[i] * ({lst})[i])) AS d{i}"
+        )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
+    pick = " ".join(f"WHEN d{i} = best THEN {i}" for i in range(len(cents)))
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(round(v * 1000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    d AS (SELECT vec_id, iv, {", ".join(dot_exprs)} FROM q),
+    s AS (
+      SELECT vec_id, iv, CASE {pick} END AS cluster
+      FROM (SELECT *, {best} AS best FROM d)
+    ),
+    losers AS (
+      SELECT DISTINCT sb.vec_id
+      FROM s sa JOIN s sb
+        ON sa.cluster = sb.cluster AND sa.vec_id < sb.vec_id
+      WHERE list_sum(list_transform(range(1, 65), i -> sa.iv[i] * sb.iv[i])) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> sa.iv[i] * sa.iv[i]))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> sb.iv[i] * sb.iv[i]))))
+            >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT vec_id, cluster FROM s
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """
+
+
+ORACLES["semantic_dedup"] = _semantic_dedup_oracle_sql()
+
 ORACLES["embedding_neardup"] = _embedding_neardup_oracle_sql()
 ORACLES["ann_lsh"] = _ann_lsh_oracle_sql()
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
@@ -2011,6 +2126,7 @@ QUERIES = {
     "quality_signals": q_quality_signals,
     "repetition_signals": q_repetition_signals,
     "pii_scan": q_pii_scan,
+    "semantic_dedup": q_semantic_dedup,
     "ann_topk": q_ann_topk,
     "grok": q_grok,
     "sessionize": q_sessionize,

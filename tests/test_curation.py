@@ -299,6 +299,21 @@ def test_minhash_md5_mode_finds_same_planted_pairs(spark):
         assert est[(1, 2)] == 1.0
 
 
+def test_semantic_dedup_drops_planted_duplicates(spark, emb):
+    from pyspark.sql import functions as F
+
+    dup = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(dup)
+    out = similarity.semantic_dedup(both, threshold=0.999, n_clusters=8)
+    # identical vectors always share a k-means cell, so every planted
+    # copy loses to its lower-id original
+    assert out.count() == emb.count()
+    assert out.filter("vec_id >= 100000").count() == 0
+    assert "cluster" in out.columns
+    # survivors keep original columns intact
+    assert set(emb.columns) <= set(out.columns)
+
+
 def test_connected_components_chained_clusters(spark):
     """a~b and b~c must land in ONE component (the pairwise-winner
     trap this operator exists to fix); separate clusters and
