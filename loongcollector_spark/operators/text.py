@@ -10,7 +10,7 @@ column at 100 TB scale (per-row expressions, no shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -167,31 +167,39 @@ def repetition_signals(
     * ``dup_ngram_frac``     — occurrences of word *dup_n*-grams that
       appear more than once / total *dup_n*-gram occurrences
 
-    Plan shape (the one that scales): three codegen aggregations —
-    lines: explode → groupBy(id, line) → groupBy(id); grams: the
-    window-lead shingler (dedup._shingle_rows) → groupBy(id, gram) →
-    groupBy(id) — all shuffling on *id_col* only, joined back on
-    *id_col* (co-partitioned after the aggs; AQE broadcasts at small
-    scale). No interpreted higher-order functions in the count paths
-    (NOTES.md HOF lesson). Text is normalized with the fuzzy-dedup
-    normalizer for the gram signals, raw for the line signals.
+    Plan shape (the one that scales): TWO input scans total. Lines:
+    explode → groupBy(id, line) → groupBy(id), with the normalized
+    text length carried alongside (no separate base scan). Grams:
+    ONE token posexplode + one window computing lead(1..max_n-1), so
+    both the *top_n*- and *dup_n*-grams come from the same shuffle
+    (`concat_ws` skips NULL leads, which reproduces the whole-text
+    fallback of dedup._shingle_rows for short docs); a 2-element
+    conditional array explode makes the rows tall, then
+    groupBy(id, n, gram) → one groupBy(id) with conditional
+    aggregates. Everything shuffles on *id_col* (or (id, key) refined
+    from it) and both agg outputs arrive hash-partitioned on *id_col*,
+    so the final join adds no exchange. No interpreted higher-order
+    functions in the count paths (NOTES.md HOF lesson).
     """
-    from .dedup import _norm_text, _shingle_rows
+    from .dedup import _norm_text
 
     # NULL text behaves as '' (one empty line, one empty gram) so every
     # input row gets a signal row — no NULL/None mixing downstream
     df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
-    base = df.select(
-        F.col(id_col), F.length(_norm_text(F.col(text_col))).alias("__nchars")
-    )
 
+    nchars = F.length(_norm_text(F.col(text_col)))
     lines = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("__line")
+        F.col(id_col),
+        nchars.alias("__nchars"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
     )
-    lc = lines.groupBy(id_col, "__line").agg(F.count("*").alias("__c"))
+    lc = lines.groupBy(id_col, "__line").agg(
+        F.count("*").alias("__c"), F.first("__nchars").alias("__nchars")
+    )
     line_chars = F.length("__line") * F.col("__c")
     dup_line_chars = F.length("__line") * (F.col("__c") - 1)
     lstats = lc.groupBy(id_col).agg(
+        F.first("__nchars").alias("__nchars"),
         F.sum("__c").alias("n_lines"),
         (F.sum(F.col("__c") - 1) / F.sum("__c")).alias("dup_line_frac"),
         F.coalesce(
@@ -199,30 +207,53 @@ def repetition_signals(
         ).alias("dup_line_char_frac"),
     )
 
-    def _gram_counts(n: int) -> DataFrame:
-        g = _shingle_rows(df, text_col, n, id_col)
-        return g.groupBy(id_col, "shingle").agg(F.count("*").alias("__c"))
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(_norm_text(F.col(text_col)), " ")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy("__pos")
+    ks = sorted({top_n, dup_n})
+    max_k = ks[-1]
+    # window outputs must be materialized before they can feed a
+    # Generate (explode) — leads first, entry arrays in the next project
+    led = toks.withColumn("__n", F.count("*").over(W.partitionBy(id_col)))
+    for i in range(1, max_k):
+        led = led.withColumn(f"__l{i}", F.lead("__tok", i).over(w))
 
+    def _gram_entry(k: int):
+        parts = [F.col("__tok")] + [F.col(f"__l{i}") for i in range(1, k)]
+        valid = (F.col("__pos") + k <= F.col("__n")) | (
+            (F.col("__pos") == 0) & (F.col("__n") < k)
+        )
+        entry = F.struct(F.lit(k).alias("k"), F.concat_ws(" ", *parts).alias("g"))
+        return F.when(valid, F.array(entry)).otherwise(
+            F.array().cast("array<struct<k:int,g:string>>")
+        )
+
+    tall = led.select(
+        F.col(id_col),
+        F.explode(F.concat(*[_gram_entry(k) for k in ks])).alias("__e"),
+    ).select(F.col(id_col), F.col("__e.k").alias("__k"), F.col("__e.g").alias("__g"))
+    gc = tall.groupBy(id_col, "__k", "__g").agg(F.count("*").alias("__c"))
     # most frequent top_n-gram: min over struct(-count, gram) picks the
     # highest count, smallest gram on ties — deterministic both engines
+    is_top = F.col("__k") == top_n
+    is_dup = F.col("__k") == dup_n
     best = F.min(
-        F.struct((-F.col("__c")).alias("nc"), F.col("shingle").alias("g"))
+        F.when(is_top, F.struct((-F.col("__c")).alias("nc"), F.col("__g").alias("g")))
     )
-    top = _gram_counts(top_n).groupBy(id_col).agg(
-        (-best["nc"]).alias("__topc"), F.length(best["g"]).alias("__topl")
-    )
-    dup = _gram_counts(dup_n).groupBy(id_col).agg(
+    gstats = gc.groupBy(id_col).agg(
+        (-best["nc"]).alias("__topc"),
+        F.length(best["g"]).alias("__topl"),
         (
-            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0)))
-            / F.sum("__c")
-        ).alias("dup_ngram_frac")
+            F.sum(F.when(is_dup & (F.col("__c") > 1), F.col("__c")).otherwise(F.lit(0)))
+            / F.sum(F.when(is_dup, F.col("__c")).otherwise(F.lit(0)))
+        ).alias("dup_ngram_frac"),
     )
 
-    out = (
-        base.join(lstats, id_col, "left")
-        .join(top, id_col, "left")
-        .join(dup, id_col, "left")
-    )
+    out = lstats.join(gstats, id_col, "left")
     return out.select(
         F.col(id_col),
         "n_lines",

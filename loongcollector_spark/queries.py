@@ -391,6 +391,27 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service latency rollup over the kv-dialect payloads
+    (parse_keyvalue → exact p50/p90/p99/max of the ``dur=...ms``
+    field) — the log-analytics aggregate a flusher-side dashboard
+    computes. Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share linear interpolation, so values match to
+    the bit; rounded to 9 dp anyway."""
+    tx = load_transcripts(spark, sf_dir).filter(F.col("text").startswith("level="))
+    kv = parse.parse_keyvalue(tx, "text", keys=["svc", "dur"])
+    out = kv.withColumn(
+        "dur_ms", F.regexp_replace("dur", "ms$", "").cast("long")
+    )
+    return out.groupBy("svc").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("dur_ms", F.lit(0.5)), 9).alias("p50"),
+        F.round(F.percentile("dur_ms", F.lit(0.9)), 9).alias("p90"),
+        F.round(F.percentile("dur_ms", F.lit(0.99)), 9).alias("p99"),
+        F.max("dur_ms").alias("max_ms"),
+    )
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction over transcript text (emails / intl
     phones / credit-card-ish numbers / IPv4s): per-turn match counts on
@@ -1993,6 +2014,22 @@ def _pii_scan_oracle_sql() -> str:
 
 ORACLES["pii_scan"] = _pii_scan_oracle_sql()
 
+ORACLES["latency_percentiles"] = f"""
+    WITH transcripts AS ({_TX}),
+    kv AS (
+      SELECT regexp_extract(text, 'svc=([^ ]+)', 1) AS svc,
+             CAST(regexp_replace(regexp_extract(text, 'dur=([^ ]+)', 1),
+                                 'ms$', '') AS BIGINT) AS dur_ms
+      FROM transcripts WHERE text LIKE 'level=%'
+    )
+    SELECT svc, count(*) AS n,
+           round(quantile_cont(dur_ms, 0.5), 9) AS p50,
+           round(quantile_cont(dur_ms, 0.9), 9) AS p90,
+           round(quantile_cont(dur_ms, 0.99), 9) AS p99,
+           max(dur_ms) AS max_ms
+    FROM kv GROUP BY svc
+"""
+
 ORACLES["repetition_signals"] = f"""
     WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
     base AS (SELECT doc_id, len({_NORM}) AS nchars FROM d),
@@ -2127,6 +2164,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "pii_scan": q_pii_scan,
     "semantic_dedup": q_semantic_dedup,
+    "latency_percentiles": q_latency_percentiles,
     "ann_topk": q_ann_topk,
     "grok": q_grok,
     "sessionize": q_sessionize,
