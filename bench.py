@@ -87,6 +87,13 @@ HEADLINE = [
     "geoip",
     "dedup_components",
     "stratified_sample",
+    # round-3 late additions
+    "repetition_signals",
+    "pii_scan",
+    "latency_percentiles",
+    "semantic_dedup",
+    "ann_lsh",
+    "curation_v2",
 ]
 
 
@@ -112,11 +119,54 @@ def _bench_queries():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return dedup_components(docs, threshold=0.5, hash_mode="xxhash64")
 
+    def bench_curation_v2(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.operators.dedup import dedup_components
+        from loongcollector_spark.operators.text import (
+            stratified_sample,
+            token_stats,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        comp = dedup_components(docs, threshold=0.5, hash_mode="xxhash64")
+        kept = docs.join(
+            comp.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "left_semi"
+        )
+        gated = token_stats(kept).filter(F.col("n_ws_tokens") >= 5)
+        sampled = stratified_sample(
+            gated, "lang", {}, default_fraction=0.6, salt="cv2", hash_mode="xxhash64"
+        )
+        return sampled.groupBy("lang").agg(
+            F.count("*").alias("n_docs"), F.sum("n_ws_tokens").alias("total_tokens")
+        )
+
+    def bench_semantic_dedup(spark, sf_dir):
+        from loongcollector_spark.operators.similarity import semantic_dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return semantic_dedup(emb, threshold=0.85).select("vec_id", "cluster")
+
+    def bench_ann_lsh(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.operators.similarity import lsh_ann_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return lsh_ann_topk(emb, q, k=3)
+
     return {
         **QUERIES,
         "minhash_dedup": bench_minhash,
         "simhash": bench_simhash,
         "dedup_components": bench_components,
+        # production kernels for the oracle-kernel registry entries
+        "curation_v2": bench_curation_v2,
+        "semantic_dedup": bench_semantic_dedup,
+        "ann_lsh": bench_ann_lsh,
     }
 
 
