@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_components",
     "stratified_sample",
     # round-3 late additions
+    "segment_dedup",
     "repetition_signals",
     "pii_scan",
     "latency_percentiles",

@@ -11,9 +11,10 @@ specs with ``zlib``/``wave`` + NumPy:
 * WAV (RIFF): stdlib ``wave`` → int PCM samples + rate.
 
 A matching minimal PNG encoder (filter 0, fixed zlib level) makes
-resize pipelines and round-trip tests self-contained. JPEG/MP4 remain
-out of scope — a real deployment drops in Pillow/ffmpeg behind the
-same function signatures.
+resize pipelines and round-trip tests self-contained. Baseline JPEG
+decode/encode lives in the sibling ``jpeg.py`` (pure-NumPy T.81
+implementation); MP4 frame decode remains out of scope — a real
+deployment drops in ffmpeg behind the same function signatures.
 """
 
 from __future__ import annotations

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dedup_exact",
+    "segment_dedup",
     "shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -74,6 +75,85 @@ def dedup_exact(
         F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
     )
     return winners.select(id_col, "dup_count")
+
+
+def segment_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_segment: int = 10,
+    delim: str = " ",
+) -> DataFrame:
+    """Corpus-wide segment-level exact dedup (the MassiveText /
+    RefinedWeb "paragraph dedup" technique, chunk-granular): split each
+    document into consecutive ``tokens_per_segment``-token segments,
+    drop every segment whose exact text already occurred earlier in the
+    corpus (first occurrence = smallest ``(doc_id, seg_idx)``), and
+    reassemble the surviving segments in order. Unlike document-level
+    ``dedup_exact`` this removes boilerplate *within* otherwise-unique
+    documents.
+
+    Returns ``(id_col, text_dedup, n_segments, n_kept)`` — one row per
+    input document; a document whose every segment was seen before
+    comes back with ``text_dedup = ''`` and ``n_kept = 0``.
+
+    Scale design: segmentation is a pure per-row expression
+    (``transform`` over a ``sequence`` of chunk starts slicing one
+    token array — no shuffle, no Python). First-occurrence is an
+    AGGREGATION (``min(struct(doc_id, seg_idx))`` grouped by segment),
+    NOT a ``row_number`` window: map-side partial aggregation collapses
+    hot segments (empty/boilerplate text repeated billions of times)
+    before the shuffle, where a window would sort the whole hot key in
+    one partition. Reassembly is one groupBy on ``id_col``.
+    """
+    import re as _re
+
+    k = int(tokens_per_segment)
+    if k < 1:
+        raise ValueError("tokens_per_segment must be >= 1")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(delim), -1)
+    n_segs = F.ceil(F.size(toks) / F.lit(float(k))).cast("long")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+        lambda i: F.concat_ws(delim, F.slice(toks, i * k + 1, k)),
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(seg_arr).alias("seg_idx", "seg"),
+    )
+    first_occ = exploded.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("seg_idx").alias("s"))).alias(
+            "fo"
+        )
+    )
+    kept = (
+        exploded.join(first_occ, "seg")
+        .filter((F.col(id_col) == F.col("fo.d")) & (F.col("seg_idx") == F.col("fo.s")))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seg_idx"), F.col("seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+                delim,
+            ).alias("text_dedup"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), n_segs.alias("n_segments"))
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
 
 
 def shingles(

@@ -4,9 +4,10 @@ Training-data-pipeline addition: media travels as ``binary`` columns
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
-Decode is REAL for PNG and WAV — pure stdlib/NumPy codecs
-(functions/codecs.py) since the container ships no Pillow/soundfile —
-and stubbed for JPEG/MP4 (``mode='fake'`` produces sha256-seeded
+Decode is REAL for PNG, WAV, and baseline JPEG — pure stdlib/NumPy
+codecs (functions/codecs.py, functions/jpeg.py) since the container
+ships no Pillow/soundfile — and stubbed for MP4 frames and
+progressive JPEG (``mode='fake'`` produces sha256-seeded
 deterministic features; ``mode='strict'`` raises where a real codec
 call would go; the default ``mode='auto'`` decodes what it can and
 falls back to the deterministic fake).
@@ -237,15 +238,22 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return out
 
 
-def _real_feature(payload: bytes, dim: int) -> list[float] | None:
-    """Decode PNG/WAV and produce a dim-length signal vector:
-    images → block-mean grayscale thumbnail in [-1, 1);
-    audio  → per-window RMS energy in [0, 1]. None if undecodable."""
+def _real_feature(
+    payload: bytes, dim: int, audio_feature: str = "rms"
+) -> list[float] | None:
+    """Decode PNG/baseline-JPEG/WAV and produce a dim-length signal
+    vector: images → block-mean grayscale thumbnail in [-1, 1);
+    audio  → per-window RMS energy in [0, 1], or log band-energy
+    spectrum when ``audio_feature='spectral'``. None if undecodable."""
     from ..functions import codecs
+    from ..functions import jpeg as jpeg_codec
 
     try:
-        if payload.startswith(b"\x89PNG"):
-            img = codecs.decode_png(payload)
+        if payload.startswith(b"\x89PNG") or payload.startswith(b"\xff\xd8"):
+            if payload.startswith(b"\x89PNG"):
+                img = codecs.decode_png(payload)
+            else:  # baseline JPEG decodes natively (functions/jpeg.py)
+                img = jpeg_codec.decode_jpeg(payload)
             gray = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 else (
                 img[:, :, 0].astype(np.float64)
             )
@@ -258,10 +266,22 @@ def _real_feature(payload: bytes, dim: int) -> list[float] | None:
             mono = samples.astype(np.float64).mean(axis=1)
             if len(mono) == 0:
                 return [0.0] * dim
-            windows = np.array_split(mono, dim)
-            vec = np.array(
-                [np.sqrt(np.mean(w**2)) / 32768.0 if len(w) else 0.0 for w in windows]
-            )
+            if audio_feature == "spectral":
+                # log band-energy spectrum: rFFT magnitude split into
+                # dim equal bands, log-compressed, bounded to ~[0, 1]
+                spec = np.abs(np.fft.rfft(mono))
+                bands = np.array_split(spec, dim)
+                vec = np.array(
+                    [np.log1p(b.mean()) if len(b) else 0.0 for b in bands]
+                ) / np.log1p(32768.0 * max(len(mono), 1))
+            else:  # 'rms'
+                windows = np.array_split(mono, dim)
+                vec = np.array(
+                    [
+                        np.sqrt(np.mean(w**2)) / 32768.0 if len(w) else 0.0
+                        for w in windows
+                    ]
+                )
         else:
             return None
         out = np.zeros(dim)
@@ -278,13 +298,17 @@ def extract_features(
     dim: int = 16,
     deterministic_fake: bool | None = None,
     mode: str = "auto",
+    audio_feature: str = "rms",
 ) -> DataFrame:
     """Feature extraction over Arrow batches (mapInPandas).
 
-    ``mode``: 'auto' (real decode for PNG/WAV, deterministic fake for
-    formats without a codec here), 'real' (undecodable → NULL),
-    'fake' (always the sha256 fake), 'strict' (raise on undecodable —
-    the old NotImplementedError site).
+    ``mode``: 'auto' (real decode for PNG/baseline-JPEG/WAV,
+    deterministic fake for formats without a codec here), 'real'
+    (undecodable → NULL), 'fake' (always the sha256 fake), 'strict'
+    (raise on undecodable — the old NotImplementedError site).
+
+    ``audio_feature``: 'rms' (per-window RMS energy) or 'spectral'
+    (rFFT log band-energy spectrum) for WAV rows.
 
     ``deterministic_fake`` is the legacy flag: True → 'fake',
     False → 'strict'.
@@ -299,7 +323,7 @@ def extract_features(
         payload = bytes(b) if b is not None else b""
         if mode == "fake":
             return _fake_feature(payload, dim)
-        real = _real_feature(payload, dim)
+        real = _real_feature(payload, dim, audio_feature)
         if real is not None:
             return real
         if mode == "auto":
@@ -307,7 +331,8 @@ def extract_features(
         if mode == "strict":
             raise NotImplementedError(
                 "no codec for this media format in this environment "
-                "(PNG and WAV decode natively; JPEG/MP4 need Pillow/ffmpeg)"
+                "(PNG, baseline JPEG, and WAV decode natively; "
+                "progressive JPEG / MP4 need Pillow/ffmpeg)"
             )
         return None  # mode == 'real'
 
@@ -326,10 +351,11 @@ def resize_images(
     height: int = 64,
     width: int = 64,
 ) -> DataFrame:
-    """Decode PNG → block-mean resize → re-encode PNG, streamed over
-    Arrow batches. Non-PNG rows yield NULL (JPEG needs a codec this
-    container lacks)."""
+    """Decode PNG/baseline-JPEG → block-mean resize → re-encode PNG,
+    streamed over Arrow batches. Undecodable rows (other formats,
+    progressive JPEG, corrupt bytes) yield NULL, never job-fatal."""
     from ..functions import codecs
+    from ..functions import jpeg as jpeg_codec
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(dest, T.BinaryType())]
@@ -337,10 +363,13 @@ def resize_images(
 
     def one(b):
         payload = bytes(b) if b is not None else b""
-        if not payload.startswith(b"\x89PNG"):
-            return None
         try:
-            img = codecs.decode_png(payload)
+            if payload.startswith(b"\x89PNG"):
+                img = codecs.decode_png(payload)
+            elif payload.startswith(b"\xff\xd8"):
+                img = jpeg_codec.decode_jpeg(payload)
+            else:
+                return None
             return codecs.encode_png(codecs.resize_block_mean(img, height, width))
         except Exception:  # corrupt media row (zlib/struct/index errors
             return None  # included) → NULL, never job-fatal

@@ -346,6 +346,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(docs)
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment-level exact dedup (MassiveText-style
+    paragraph dedup at 10-token chunk granularity): drop every segment
+    already seen earlier in the corpus, reassemble survivors."""
+    from .operators.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return segment_dedup(docs, tokens_per_segment=10)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 document fingerprint over normalized text."""
     from .operators.text import fingerprint
@@ -1527,6 +1537,42 @@ ORACLES["dedup_exact"] = """
     SELECT min(doc_id) AS doc_id, count(*) AS dup_count
     FROM documents GROUP BY text
 """
+ORACLES["segment_dedup"] = """
+    WITH segs AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, cast(ceil(len(string_split(coalesce(text, ''), ' ')) / 10.0) AS BIGINT)),
+                   i -> array_to_string(
+                       list_slice(string_split(coalesce(text, ''), ' '), i * 10 + 1, i * 10 + 10),
+                       ' ')
+               ) AS seg_arr,
+               cast(ceil(len(string_split(coalesce(text, ''), ' ')) / 10.0) AS BIGINT) AS n_segments
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, n_segments,
+               generate_subscripts(seg_arr, 1) - 1 AS seg_idx,
+               unnest(seg_arr) AS seg
+        FROM segs
+    ),
+    keep AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        FROM ex
+    ),
+    re AS (
+        SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+               count(*) AS n_kept
+        FROM keep WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(r.text_dedup, '') AS text_dedup,
+           s.n_segments,
+           coalesce(r.n_kept, 0) AS n_kept
+    FROM (SELECT DISTINCT doc_id, n_segments FROM segs) s
+    LEFT JOIN re r USING (doc_id)
+"""
 ORACLES["fingerprint"] = """
     SELECT doc_id,
            md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
@@ -2158,6 +2204,7 @@ QUERIES = {
     "enrich_pipeline_fanout": q_enrich_pipeline_fanout,
     "merge_transcript": q_merge_transcript,
     "dedup_exact": q_dedup_exact,
+    "segment_dedup": q_segment_dedup,
     "fingerprint": q_fingerprint,
     "token_stats": q_token_stats,
     "quality_signals": q_quality_signals,

@@ -25,6 +25,46 @@ def test_dedup_exact(spark, docs):
     assert out.agg(F.sum("dup_count")).collect()[0][0] == n_docs
 
 
+def test_segment_dedup_semantics(spark):
+    # doc 1 is the first occurrence of every segment; doc 2 repeats
+    # doc 1's first segment (boilerplate) but has a unique tail; doc 3
+    # is an exact copy of doc 1 and must come back empty.
+    boiler = "a b c"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} d e f"),
+            (2, f"{boiler} x y z"),
+            (3, f"{boiler} d e f"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(df, tokens_per_segment=3).collect()
+    }
+    assert out[1]["text_dedup"] == "a b c d e f"
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 2)
+    # doc 2 loses the boilerplate chunk, keeps its unique tail
+    assert out[2]["text_dedup"] == "x y z"
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+    # exact copy fully deduped but still present in the output
+    assert out[3]["text_dedup"] == ""
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_segment_dedup_plan_has_no_window(spark, docs):
+    # first-occurrence must stay an aggregation (map-side partial agg
+    # collapses hot boilerplate segments) — never a row_number window
+    plan = (
+        dedup.segment_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Python" not in plan  # pure JVM expressions end to end
+
+
 def test_shingles_and_minhash(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r t")],
