@@ -92,6 +92,9 @@ HEADLINE = [
     "repetition_signals",
     "pii_scan",
     "latency_percentiles",
+    "contamination",
+    "lm_perplexity",
+    "mixture_report",
     "semantic_dedup",
     "ann_lsh",
     "curation_v2",

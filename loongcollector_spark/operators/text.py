@@ -22,6 +22,9 @@ __all__ = [
     "stratified_sample",
     "pii_scan",
     "pii_redact",
+    "benchmark_contamination",
+    "lm_perplexity",
+    "mixture_report",
     "PII_PATTERNS",
 ]
 
@@ -264,6 +267,141 @@ def repetition_signals(
             F.lit(0.0),
         ).alias("top_ngram_char_frac"),
         "dup_ngram_frac",
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination scan (the GPT-3 / PaLM technique,
+    public papers: Brown et al. 2020 Appendix C, Chowdhery et al. 2022
+    §6): flag every training document that shares at least one word
+    *n*-gram with an evaluation-benchmark corpus, so eval contamination
+    can be filtered before training. Default ``n=13`` is the GPT-3
+    convention; shorter corpora want smaller *n*.
+
+    Returns one row per *docs* row:
+    ``(id_col, n_grams, n_hit, contaminated)`` where ``n_grams`` is the
+    document's distinct-n-gram count, ``n_hit`` how many of those occur
+    anywhere in *bench*, and ``contaminated`` is ``1`` iff any did.
+
+    Scale design: n-grams come from :func:`dedup._shingle_rows`
+    (posexplode + window lead — whole-stage codegen, one shuffle on
+    *id_col*; docs shorter than *n* tokens contribute one whole-text
+    gram). The benchmark side is distinct-projected and BROADCAST —
+    eval benchmarks are MBs against a 100 TB corpus, so the
+    contamination probe is a map-side semi-join: no shuffle of the
+    corpus grams by gram value, no skew exposure on hot n-grams. Drop
+    the hint (join as-is) only if the benchmark outgrows executor
+    memory.
+    """
+    from .dedup import _shingle_rows
+
+    doc_grams = _shingle_rows(docs, text_col, n, id_col).distinct()
+    bench_grams = _shingle_rows(bench, text_col, n, id_col).select(
+        "shingle"
+    ).distinct()
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        n_hit.alias("n_hit"),
+        (n_hit > 0).cast("int").alias("contaminated"),
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM perplexity scoring (the CCNet-style quality filter,
+    Wenzek et al. 2020, with the LM reduced to the corpus's own unigram
+    distribution — a real deployment swaps in external LM scores
+    through the same column contract): two aggregation passes derive a
+    maximum-likelihood unigram model from the corpus itself, then score
+    every document with its cross-entropy under that model. Low
+    perplexity ≈ stereotypical/boilerplate text, high ≈ noise — the
+    standard head/middle/tail split keys off this column.
+
+    Returns ``(id_col, n_tokens, cross_entropy_bits, ppl)`` with
+    ``ppl = 2**cross_entropy_bits``.
+
+    Scale design: tokens are reduced to per-document counts FIRST
+    (``groupBy(id, token)``) so the model join carries one row per
+    distinct (doc, token) instead of one per occurrence — that single
+    move shrinks both the join input and the hot-token skew (the "the"
+    problem) by the in-document repetition factor; AQE skew-join
+    handles the residual head. The global token total is a one-row
+    aggregate broadcast back (no ``collect``), and the vocabulary
+    itself is derived from the same per-doc counts (the corpus is
+    scanned once). Cross-entropy is a weighted sum — plain codegen
+    aggregates, no higher-order functions.
+    """
+    from .dedup import _norm_text
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("__tok"),
+    )
+    doc_tok = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__dc"))
+    vocab = doc_tok.groupBy("__tok").agg(F.sum("__dc").alias("__vc"))
+    total = vocab.agg(F.sum("__vc").alias("__total"))
+    scored = doc_tok.join(vocab, "__tok").crossJoin(F.broadcast(total))
+    bits = -F.sum(
+        F.col("__dc") * F.log2(F.col("__vc") / F.col("__total"))
+    ) / F.sum("__dc")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__dc").alias("n_tokens"),
+            bits.alias("cross_entropy_bits"),
+        )
+        .withColumn("ppl", F.pow(F.lit(2.0), F.col("cross_entropy_bits")))
+    )
+
+
+def mixture_report(
+    docs: DataFrame,
+    *,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix report: per-stratum document and whitespace-token
+    counts plus each stratum's share of the corpus token budget — the
+    table every pretraining-data pipeline publishes before sampling
+    weights are chosen (pair with :func:`stratified_sample` to act on
+    it). One aggregation pass; the global totals are a one-row
+    broadcast back onto the per-stratum rows (no ``collect``)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_toks = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(txt), r"\s+"))
+    )
+    per = docs.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_toks).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("__td"), F.sum("n_tokens").alias("__tt")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs") / F.col("__td")).alias("doc_share"),
+        (F.col("n_tokens") / F.col("__tt")).alias("token_share"),
     )
 
 

@@ -401,6 +401,51 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination: docs with doc_id % 29
+    == 0 play the held-out eval benchmark; every other document is
+    flagged if it shares any word 4-gram with that benchmark (4 not 13
+    because the fixture documents are ~30 tokens)."""
+    from .operators.text import benchmark_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    scan = docs.filter(F.col("doc_id") % 29 != 0)
+    return benchmark_contamination(scan, bench, n=4)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM perplexity quality score per document
+    (model = the corpus's own unigram distribution), value-checked
+    against an exact DuckDB twin (bits 9 dp, ppl 6 dp)."""
+    from .operators.text import lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm_perplexity(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy_bits", 9).alias("cross_entropy_bits"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
+def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report: per-source doc/token counts and corpus
+    shares — the table sampling weights are chosen from."""
+    from .operators.text import mixture_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_report(docs)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("doc_share", 9).alias("doc_share"),
+        F.round("token_share", 9).alias("token_share"),
+    )
+
+
 def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service latency rollup over the kv-dialect payloads
     (parse_keyvalue → exact p50/p90/p99/max of the ``dur=...ms``
@@ -1573,6 +1618,72 @@ ORACLES["segment_dedup"] = """
     FROM (SELECT DISTINCT doc_id, n_segments FROM segs) s
     LEFT JOIN re r USING (doc_id)
 """
+# DuckDB twin of dedup._norm_text — shared by every fuzzy-text oracle
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+ORACLES["contamination"] = f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(tk) >= 4
+                    THEN [array_to_string(tk[i:i+3], ' ')
+                          for i in generate_series(1, len(tk) - 3)]
+                    ELSE [array_to_string(tk, ' ')] END) AS gr
+      FROM norm
+    ),
+    bench AS (SELECT DISTINCT unnest(gr) AS s FROM g WHERE doc_id % 29 = 0),
+    docg AS (SELECT doc_id, unnest(gr) AS s FROM g WHERE doc_id % 29 != 0)
+    SELECT d.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           CAST(max(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+               AS contaminated
+    FROM docg d LEFT JOIN bench b ON d.s = b.s
+    GROUP BY d.doc_id
+"""
+ORACLES["lm_perplexity"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    dc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS vc FROM dc GROUP BY 1),
+    tot AS (SELECT CAST(sum(vc) AS BIGINT) AS total FROM vocab)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(-sum(c * log2(CAST(vc AS DOUBLE) / total)) / sum(c), 9)
+               AS cross_entropy_bits,
+           round(pow(2.0, -sum(c * log2(CAST(vc AS DOUBLE) / total)) / sum(c)), 6)
+               AS ppl
+    FROM dc JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+ORACLES["mixture_report"] = """
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                                  '\\s+')) END) AS BIGINT)
+                 AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+             CAST(sum(n_tokens) AS BIGINT) AS tt
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_docs AS DOUBLE) / td, 9) AS doc_share,
+           round(CAST(n_tokens AS DOUBLE) / tt, 9) AS token_share
+    FROM per CROSS JOIN tot
+"""
 ORACLES["fingerprint"] = """
     SELECT doc_id,
            md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
@@ -1821,12 +1932,6 @@ ORACLES["timestamp_roundtrip"] = f"""
 # DuckDB twin of operators.dedup._md5_long (60-bit positive hash)
 _MD5L = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
 # DuckDB twin of operators.dedup._norm_text
-_NORM = (
-    "trim(regexp_replace(regexp_replace(lower(text),"
-    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
-)
-
-
 def _minhash_oracle_sql(
     k: int = 5, num_perm: int = 64, bands: int = 16, threshold: float = 0.5
 ) -> str:
@@ -2209,6 +2314,9 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_signals": q_quality_signals,
     "repetition_signals": q_repetition_signals,
+    "contamination": q_contamination,
+    "lm_perplexity": q_lm_perplexity,
+    "mixture_report": q_mixture_report,
     "pii_scan": q_pii_scan,
     "semantic_dedup": q_semantic_dedup,
     "latency_percentiles": q_latency_percentiles,

@@ -418,3 +418,66 @@ def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_benchmark_contamination_semantics(spark):
+    # doc 10 shares a 3-gram with the benchmark, doc 11 shares none,
+    # doc 12 is shorter than n (whole-text gram, no benchmark match)
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "zz alpha beta gamma yy"),
+            (11, "one two three four five"),
+            (12, "alpha beta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.benchmark_contamination(docs, bench, n=3).collect()
+    }
+    assert out[10]["contaminated"] == 1 and out[10]["n_hit"] == 1
+    assert out[10]["n_grams"] == 3
+    assert out[11]["contaminated"] == 0 and out[11]["n_hit"] == 0
+    assert out[12]["contaminated"] == 0 and out[12]["n_grams"] == 1
+
+
+def test_benchmark_contamination_broadcasts_bench(spark, docs):
+    # the benchmark probe must be a broadcast semi-join: no shuffle of
+    # the corpus grams by gram value at 100 TB
+    bench = docs.limit(5)
+    plan = (
+        text.benchmark_contamination(docs, bench, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_lm_perplexity_semantics(spark):
+    # corpus: 'a' x3, 'b' x1 -> p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in text.lm_perplexity(docs).collect()}
+    import math
+
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+    assert out[1]["cross_entropy_bits"] == pytest.approx(-math.log2(0.75))
+    assert out[2]["cross_entropy_bits"] == pytest.approx(2.0)
+    assert out[2]["ppl"] == pytest.approx(4.0)
+    # the all-majority-token doc scores LOWER perplexity than the rare one
+    assert out[1]["ppl"] < out[2]["ppl"]
+
+
+def test_mixture_report_shares_sum_to_one(spark, docs):
+    rows = text.mixture_report(docs).collect()
+    assert {r["source"] for r in rows} == {
+        r["source"] for r in docs.select("source").distinct().collect()
+    }
+    assert sum(r["doc_share"] for r in rows) == pytest.approx(1.0)
+    assert sum(r["token_share"] for r in rows) == pytest.approx(1.0)
+    assert sum(r["n_docs"] for r in rows) == docs.count()
