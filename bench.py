@@ -95,6 +95,7 @@ HEADLINE = [
     "contamination",
     "lm_perplexity",
     "mixture_report",
+    "asof_join",
     "semantic_dedup",
     "ann_lsh",
     "curation_v2",

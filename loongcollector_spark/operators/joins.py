@@ -1,0 +1,93 @@
+"""Temporal join operators.
+
+Training-data and telemetry pipelines constantly need "the most recent
+dimension row as of this event's timestamp" (slowly-changing feature
+lookups, error→last-deploy attribution, turn→latest-tool-version
+joins). Spark has no native as-of join; the scale-correct composition
+is the union trick below — NOT a range self-join (quadratic per key)
+and NOT a Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: list[str] | tuple[str, ...] = ("user_id",),
+    suffix: str = "_right",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every *left* row, attach the *right*
+    row with the greatest ``on`` value ``<=`` the left's ``on``, within
+    the same ``by`` key (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics, match inclusive of equal timestamps). Left rows with no
+    prior right row keep NULL right columns — left join semantics.
+
+    Right-side columns (except ``by``) come back suffixed with
+    *suffix*; the right's own ``on`` column is ``{on}{suffix}``.
+    ``tolerance_us`` optionally voids matches older than that many
+    microseconds (pandas ``tolerance`` analog); timestamps are compared
+    as exact integer microseconds.
+
+    Scale design: both inputs are tagged and unioned, then ONE window
+    (``partitionBy(by) orderBy(on, side)``) carries the latest right
+    payload forward with ``last(ignorenulls)`` — a running state pass,
+    one shuffle on *by*, linear per key. The equivalent range
+    self-join explodes quadratically on hot keys, and per-key
+    ``collect`` doesn't distribute at all. Right rows sort BEFORE left
+    rows at equal timestamps (side 0 < 1), which is exactly the
+    inclusive-match rule. Ties among right rows at identical
+    ``(by, on)`` are broken arbitrarily (same as DuckDB ASOF JOIN) —
+    disambiguate upstream if such duplicates exist.
+    """
+    by = list(by)
+    lcols = [c for c in left.columns if c not in by]
+    rcols = [c for c in right.columns if c not in by]
+    if on not in lcols or on not in rcols:
+        raise ValueError(f"'on' column {on!r} must exist in both sides")
+    r_struct = T.StructType([right.schema[c] for c in rcols])
+    l_struct = T.StructType([left.schema[c] for c in lcols])
+    l2 = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(r_struct).alias("__r"),
+    )
+    r2 = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_struct).alias("__l"),
+        F.struct(*rcols).alias("__r"),
+    )
+    w = (
+        W.partitionBy(*by)
+        .orderBy("__t", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = l2.unionByName(r2).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+    m = F.col("__m")
+    if tolerance_us is not None:
+        # exact integer-microsecond age; NTZ casts through TIMESTAMP
+        age = F.unix_micros(F.col("__t").cast("timestamp")) - F.unix_micros(
+            m[on].cast("timestamp")
+        )
+        m = F.when(age <= F.lit(int(tolerance_us)), F.col("__m"))
+    out = u.filter(F.col("__side") == 1).select(
+        *by,
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        *[m[c].alias(f"{c}{suffix}") for c in rcols],
+    )
+    return out

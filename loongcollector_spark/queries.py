@@ -446,6 +446,34 @@ def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: attach each error event's most recent
+    prior purchase by the same user (inclusive of equal timestamps),
+    with -1 sentinels where no purchase precedes. Timestamps exported
+    as exact integer microseconds so both engines compare longs."""
+    from .operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join(errors, purchases, on="ts", by=["user_id"], suffix="_p")
+    l_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    r_us = F.unix_micros(F.col("ts_p").cast("timestamp"))
+    return out.select(
+        "user_id",
+        "event_id",
+        l_us.alias("ts_us"),
+        F.coalesce("purchase_id_p", F.lit(-1)).alias("prev_purchase_id"),
+        F.coalesce((l_us - r_us) / F.lit(1000000.0), F.lit(-1.0)).alias(
+            "secs_since_purchase"
+        ),
+    )
+
+
 def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service latency rollup over the kv-dialect payloads
     (parse_keyvalue → exact p50/p90/p99/max of the ``dur=...ms``
@@ -1665,6 +1693,16 @@ ORACLES["lm_perplexity"] = f"""
     FROM dc JOIN vocab USING (tok) CROSS JOIN tot
     GROUP BY doc_id
 """
+ORACLES["asof_join"] = """
+    SELECT e.user_id, e.event_id,
+           epoch_us(e.ts) AS ts_us,
+           coalesce(p.event_id, -1) AS prev_purchase_id,
+           coalesce((epoch_us(e.ts) - epoch_us(p.ts)) / 1000000.0, -1.0)
+               AS secs_since_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
 ORACLES["mixture_report"] = """
     WITH per AS (
       SELECT source, count(*) AS n_docs,
@@ -2317,6 +2355,7 @@ QUERIES = {
     "contamination": q_contamination,
     "lm_perplexity": q_lm_perplexity,
     "mixture_report": q_mixture_report,
+    "asof_join": q_asof_join,
     "pii_scan": q_pii_scan,
     "semantic_dedup": q_semantic_dedup,
     "latency_percentiles": q_latency_percentiles,
