@@ -232,3 +232,68 @@ def find_hot_keys(
         .filter(F.col("__n") > threshold)
         .select(*keys)
     )
+
+
+def event_funnel(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict ordered funnel over an event stream: for each user, step
+    i+1 counts only if it occurs strictly after that user's EARLIEST
+    completion of step i (the classic product-analytics funnel, e.g.
+    view → click → purchase).
+
+    Returns one row per step: ``(step_idx, step, n_users, conv_rate)``
+    where ``conv_rate`` is n_users / previous step's n_users (1.0 for
+    step 0, 0.0 when the previous step is empty).
+
+    Scale design: all per-user step times come from a chain of windowed
+    conditional ``min`` s over the SAME partition key — Catalyst plans
+    one Exchange + one Sort for the whole chain (each step's window
+    reuses the established (user, ts) clustering), then a single
+    groupBy(user) reduction and a one-row final aggregate unpivoted
+    with ``stack``. No joins, no self-join per step (the naive
+    step-table join approach shuffles the event table once PER STEP and
+    breaks on hot users; this shape shuffles once total).
+    """
+    if not steps:
+        raise ValueError("event_funnel: steps must be non-empty")
+    w = W.partitionBy(user_col)
+    out = df
+    t_cols: list[str] = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if t_cols:
+            cond = cond & (F.col(ts_col) > F.col(t_cols[-1]))
+        c = f"__t{i}"
+        out = out.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
+        t_cols.append(c)
+    per_user = out.groupBy(user_col).agg(
+        *[F.first(c).alias(c) for c in t_cols]
+    )
+    counts = per_user.agg(
+        *[F.count(c).alias(f"__n{i}") for i, c in enumerate(t_cols)]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', __n{i}" for i, s in enumerate(steps)
+    )
+    tall = counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
+        ),
+        *[F.col(f"__n{i}") for i in range(len(steps))],
+    )
+    rate = F.lit(1.0)
+    for i in range(1, len(steps)):
+        rate = F.when(
+            F.col("step_idx") == i,
+            F.when(F.col(f"__n{i-1}") > 0,
+                   F.col(f"__n{i}") / F.col(f"__n{i-1}")).otherwise(0.0),
+        ).otherwise(rate)
+    return tall.select(
+        "step_idx", "step", "n_users", rate.alias("conv_rate")
+    )

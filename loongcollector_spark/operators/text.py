@@ -487,3 +487,44 @@ def stratified_sample(
         else F.lit(int(default_fraction * precision))
     )
     return df.filter(bucket < thresh)
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the counting step
+    of byte-pair-encoding tokenizer training (Sennrich et al. 2016:
+    each BPE merge round picks the most frequent adjacent pair; this
+    operator is that round's statistics over a whole corpus) and a
+    bigram collocation table for data analysis.
+
+    Returns ``(left, right, pair_count)`` for every adjacent pair of
+    normalized whitespace tokens occurring ≥ *min_count* times.
+
+    Scale design: pairs are built per-row with pure array expressions
+    (two ``slice`` + ``arrays_zip`` — no window, so no pre-shuffle on a
+    doc key), then exploded straight into ONE count aggregate whose
+    map-side partial aggregation collapses the Zipf head ("of the",
+    "in the") before the shuffle — the pair-count shuffle carries
+    distinct pairs per partition, not occurrences. An iterative BPE
+    trainer re-runs this on re-segmented text; each round is this same
+    single-shuffle shape.
+    """
+    from .dedup import _norm_text
+
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("left"),
+        F.slice(toks, 2, n - 1).alias("right"),
+    )
+    return (
+        df.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.left").alias("left"), F.col("__p.right").alias("right"))
+        .groupBy("left", "right")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )

@@ -2393,3 +2393,128 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "curation_v2": q_curation_v2,
 }
+
+
+# ---------------------------------------------------------------- round-3
+# continuation: retrieval / tokenizer-training / funnel additions
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: score every document matching ≥1 of the
+    literal query terms (Lucene idf variant), value-checked against an
+    exact DuckDB twin (score rounded 9 dp both sides)."""
+    from .operators.retrieval import bm25_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_score(docs, ["spark", "window", "hash"])
+    return out.select(
+        "doc_id", "n_terms_matched", F.round("score", 9).alias("score")
+    )
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training pair statistics: corpus-wide adjacent-token-pair
+    counts (the per-round statistic of byte-pair-encoding tokenizer
+    training), exact integer counts vs the DuckDB twin."""
+    from .operators.text import bpe_pair_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_stats(docs, min_count=2).select(
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "pair_count",
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel view → click → purchase per user over the
+    events table; per-step user counts + conversion rates vs a DuckDB
+    nested-window twin."""
+    from .operators.aggregate import event_funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = event_funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        "step_idx", "step", "n_users",
+        F.round("conv_rate", 9).alias("conv_rate"),
+    )
+
+
+ORACLES["bm25"] = f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split({_NORM}, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, dl, unnest(tk) AS term
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS tk,
+                   len(string_split({_NORM}, ' ')) AS dl
+            FROM documents)
+    ),
+    m AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      FROM toks WHERE term IN ('spark', 'window', 'hash')
+      GROUP BY 1, 2
+    ),
+    tdf AS (SELECT term, count(*) AS df FROM m GROUP BY 1)
+    SELECT m.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 9)
+               AS score
+    FROM m JOIN tdf USING (term) CROSS JOIN stats
+    GROUP BY m.doc_id
+"""
+
+ORACLES["bpe_pairs"] = f"""
+    WITH t AS (SELECT string_split({_NORM}, ' ') AS tk FROM documents),
+    p AS (
+      SELECT unnest([{{'l': tk[i], 'r': tk[i + 1]}}
+                     for i in generate_series(1, len(tk) - 1)]) AS s
+      FROM t
+    )
+    SELECT s.l AS lhs, s.r AS rhs, count(*) AS pair_count
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+ORACLES["event_funnel"] = """
+    WITH s0 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+                OVER (PARTITION BY user_id) AS t1
+      FROM s0
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+                OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    u AS (
+      SELECT user_id, any_value(t0) AS t0, any_value(t1) AS t1,
+             any_value(t2) AS t2
+      FROM s2 GROUP BY user_id
+    ),
+    c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u)
+    SELECT 0 AS step_idx, 'view' AS step, n0 AS n_users, 1.0 AS conv_rate
+    FROM c
+    UNION ALL
+    SELECT 1, 'click', n1,
+           round(CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / n0
+                      ELSE 0.0 END, 9)
+    FROM c
+    UNION ALL
+    SELECT 2, 'purchase', n2,
+           round(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1
+                      ELSE 0.0 END, 9)
+    FROM c
+"""
+
+QUERIES["bm25"] = q_bm25
+QUERIES["bpe_pairs"] = q_bpe_pairs
+QUERIES["event_funnel"] = q_event_funnel
