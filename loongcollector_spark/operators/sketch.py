@@ -1,0 +1,156 @@
+"""Mergeable sketches: HyperLogLog distinct-count and deterministic
+uniform sampling.
+
+At 10^12 rows, ``COUNT(DISTINCT x)`` is a full shuffle of every
+distinct value; the HLL sketch replaces it with ``2^p`` one-byte
+registers that merge with ``max`` — the shuffle carries *registers*,
+not values, and partial aggregation collapses each map task to one
+register set before anything moves.  Spark ships
+``approx_count_distinct`` (its own HLL++); this operator exists because
+the pipeline's correctness gate demands an ENGINE-PORTABLE sketch: both
+Spark and DuckDB compute bit-identical registers from the shared md5
+hash kernel (dedup.py), so the estimate itself — not just some
+tolerance band — is value-checkable cross-engine.  Flajolet et al.
+2007 (HyperLogLog) with the standard small-range linear-counting
+correction.
+
+``uniform_sample`` is the RNG-free companion: "give me n uniformly
+random rows" as *the n smallest hashes* — reproducible across reruns,
+resumes, and cluster sizes (same property as text.stratified_sample,
+which keeps a *fraction* per stratum; this keeps an exact *count*
+globally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long
+
+__all__ = ["hll_distinct", "uniform_sample"]
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    *,
+    p: int = 12,
+) -> DataFrame:
+    """HyperLogLog distinct estimate of *col* — returns ONE row
+    ``(n_est, n_registers_used)``.
+
+    The 60-bit md5 kernel hash splits into a low-``p``-bit bucket and a
+    ``60-p``-bit remainder; the register value is the remainder's
+    leading-zero count + 1, computed EXACTLY via the binary-string
+    length (``61 - p - length(bin(rem))``) — both engines produce the
+    same string, so no float ``log2`` edge cases.  Registers are a
+    ``groupBy(bucket).max`` — mergeable, partial-aggregated map-side;
+    the shuffle carries ≤ 2^p rows per map task regardless of input
+    size.  Standard bias correction: ``E = α·m²/Σ2^{-M_j}`` with empty
+    buckets contributing ``2^0``, switched to linear counting
+    ``m·ln(m/V)`` when ``E ≤ 2.5m`` and V (empty buckets) > 0.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError("hll_distinct: p must be in [4, 18]")
+    m = 1 << p
+    h = _md5_long(F.col(col).cast("string"))
+    bucket = (h % m).alias("__b")
+    rem = F.shiftright(h, p)
+    rho = F.when(rem > 0, F.lit(61 - p) - F.length(F.bin(rem))).otherwise(
+        F.lit(61 - p)
+    )
+    regs = (
+        df.select(bucket, rho.alias("__rho"))
+        .groupBy("__b")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    agg = regs.agg(
+        F.count("*").alias("__used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("__M"))).alias("__s"),
+    )
+    used = F.col("__used")
+    # empty buckets contribute 2^0 = 1 each to the harmonic sum
+    total = F.col("__s") + (F.lit(m) - used)
+    e_raw = F.lit(_alpha(m) * m * m) / total
+    v = F.lit(m) - used  # zero-valued registers
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(e_raw)
+    return agg.select(
+        est.alias("n_est"), used.cast("long").alias("n_registers_used")
+    )
+
+
+def hll_oracle_sql(table: str, col: str, *, p: int = 12) -> str:
+    """DuckDB twin of :func:`hll_distinct` — identical registers from
+    the same md5 kernel, same binary-string leading-zero trick, same
+    corrections."""
+    m = 1 << p
+    a = _alpha(m)
+    return f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM {table}
+    ),
+    r AS (
+      SELECT hv % {m} AS b,
+             max(CASE WHEN (hv >> {p}) > 0
+                      THEN {61 - p} - length(bin(hv >> {p}))
+                      ELSE {61 - p} END) AS M
+      FROM h GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS used, sum(pow(2.0, -M)) AS sm FROM r
+    )
+    SELECT CASE WHEN (CAST({a} AS DOUBLE) * {m} * {m})
+                     / (sm + ({m} - used)) <= 2.5 * {m}
+                 AND ({m} - used) > 0
+                THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - used))
+                ELSE (CAST({a} AS DOUBLE) * {m} * {m})
+                     / (sm + ({m} - used)) END AS n_est,
+           CAST(used AS BIGINT) AS n_registers_used
+    FROM s
+    """
+
+
+def uniform_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Exactly-*n* uniform sample without RNG: keep the *n* rows whose
+    ``hash(id || salt)`` is smallest (ties broken by id).  The same
+    rows are selected on every rerun, every resume, and every cluster
+    size; a different *salt* draws an independent sample.
+
+    Plan shape: ``TakeOrderedAndProject`` — each partition keeps a
+    local top-*n*, the driver merges ``n`` per partition; fine for the
+    sample sizes this is for (≤ millions).  ``hash_mode='md5'`` is the
+    engine-portable oracle kernel; ``'xxhash64'`` the one-JVM-hash
+    production path.
+    """
+    if n <= 0:
+        raise ValueError("uniform_sample: n must be positive")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    h = _md5_long(key) if hash_mode == "md5" else F.abs(F.xxhash64(key))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(n)
+        .drop("__h")
+    )

@@ -2518,3 +2518,67 @@ ORACLES["event_funnel"] = """
 QUERIES["bm25"] = q_bm25
 QUERIES["bpe_pairs"] = q_bpe_pairs
 QUERIES["event_funnel"] = q_event_funnel
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct counts over the events
+    table — high-cardinality column (event_id, raw-estimate branch)
+    and low-cardinality column (user_id, linear-counting branch) —
+    estimate AND exact count value-matched against the DuckDB twin
+    computing bit-identical registers from the shared md5 kernel."""
+    from .operators.sketch import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parts = []
+    for col in ("event_id", "user_id"):
+        est = hll_distinct(ev, col, p=10)
+        exact = ev.agg(F.countDistinct(col).alias("n_exact"))
+        parts.append(
+            est.crossJoin(exact).select(
+                F.lit(col).alias("column_name"),
+                F.round("n_est", 6).alias("n_est"),
+                "n_registers_used",
+                "n_exact",
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-n uniform sample (n smallest md5-kernel
+    hashes) of the documents table — same rows on every rerun and at
+    every parallelism; row-for-row match vs the DuckDB twin."""
+    from .operators.sketch import uniform_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return uniform_sample(docs, 20, salt="u1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _hll_oracle_sql() -> str:
+    from .operators.sketch import hll_oracle_sql
+
+    parts = []
+    for col in ("event_id", "user_id"):
+        inner = hll_oracle_sql("events", col, p=10)
+        parts.append(f"""
+        SELECT '{col}' AS column_name, round(n_est, 6) AS n_est,
+               n_registers_used,
+               (SELECT count(DISTINCT {col}) FROM events) AS n_exact
+        FROM ({inner})
+        """)
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["hll_distinct"] = _hll_oracle_sql()
+
+ORACLES["uniform_sample"] = f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    ORDER BY {_MD5L.format(x="concat(cast(doc_id AS STRING), 'u1')")}, doc_id
+    LIMIT 20
+"""
+
+QUERIES["hll_distinct"] = q_hll_distinct
+QUERIES["uniform_sample"] = q_uniform_sample
