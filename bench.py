@@ -99,6 +99,13 @@ HEADLINE = [
     "semantic_dedup",
     "ann_lsh",
     "curation_v2",
+    # round-3 continuation additions
+    "bm25",
+    "bpe_pairs",
+    "event_funnel",
+    "hll_distinct",
+    "uniform_sample",
+    "profile_table",
 ]
 
 
@@ -163,6 +170,24 @@ def _bench_queries():
         )
         return lsh_ann_topk(emb, q, k=3)
 
+    def bench_hll(spark, sf_dir):
+        from loongcollector_spark.operators.sketch import hll_distinct
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return hll_distinct(ev, "event_id", p=12, hash_mode="xxhash64")
+
+    def bench_uniform_sample(spark, sf_dir):
+        from loongcollector_spark.operators.sketch import uniform_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return uniform_sample(docs, 1000, hash_mode="xxhash64")
+
+    def bench_profile(spark, sf_dir):
+        from loongcollector_spark.operators.profile import profile_table
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return profile_table(ev, distinct_mode="approx")
+
     return {
         **QUERIES,
         "minhash_dedup": bench_minhash,
@@ -172,6 +197,9 @@ def _bench_queries():
         "curation_v2": bench_curation_v2,
         "semantic_dedup": bench_semantic_dedup,
         "ann_lsh": bench_ann_lsh,
+        "hll_distinct": bench_hll,
+        "uniform_sample": bench_uniform_sample,
+        "profile_table": bench_profile,
     }
 
 

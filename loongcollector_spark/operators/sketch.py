@@ -46,6 +46,7 @@ def hll_distinct(
     col: str,
     *,
     p: int = 12,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """HyperLogLog distinct estimate of *col* — returns ONE row
     ``(n_est, n_registers_used)``.
@@ -64,12 +65,22 @@ def hll_distinct(
     if not 4 <= p <= 18:
         raise ValueError("hll_distinct: p must be in [4, 18]")
     m = 1 << p
-    h = _md5_long(F.col(col).cast("string"))
-    bucket = (h % m).alias("__b")
-    rem = F.shiftright(h, p)
-    rho = F.when(rem > 0, F.lit(61 - p) - F.length(F.bin(rem))).otherwise(
-        F.lit(61 - p)
-    )
+    if hash_mode == "md5":
+        # 60-bit positive oracle kernel: modulo bucket, signed shift
+        h = _md5_long(F.col(col).cast("string"))
+        bucket = (h % m).alias("__b")
+        rem = F.shiftright(h, p)
+        width = 60 - p
+    else:
+        # production: one JVM xxhash64 over the full signed 64-bit
+        # range — mask the bucket, unsigned-shift the remainder
+        h = F.xxhash64(F.col(col).cast("string"))
+        bucket = h.bitwiseAND(F.lit(m - 1)).alias("__b")
+        rem = F.shiftrightunsigned(h, p)
+        width = 64 - p
+    rho = F.when(
+        rem > 0, F.lit(width + 1) - F.length(F.bin(rem))
+    ).otherwise(F.lit(width + 1))
     regs = (
         df.select(bucket, rho.alias("__rho"))
         .groupBy("__b")

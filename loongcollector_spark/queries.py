@@ -2582,3 +2582,55 @@ ORACLES["uniform_sample"] = f"""
 
 QUERIES["hll_distinct"] = q_hll_distinct
 QUERIES["uniform_sample"] = q_uniform_sample
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data-quality profile of the events table
+    (row/null/exact-distinct counts, numeric/timestamp/string ranges),
+    value-matched against a DuckDB twin computing the same statistics."""
+    from .operators.profile import profile_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile_table(ev)
+
+
+def _profile_oracle_sql() -> str:
+    cols = [
+        ("event_id", "bigint", "num"),
+        ("ts", "timestamp_ntz", "ts"),
+        ("user_id", "bigint", "num"),
+        ("event_type", "string", "str"),
+        ("value", "double", "num"),
+        ("props", "string", "str"),
+    ]
+    parts = []
+    for name, dtype, kind in cols:
+        if kind == "num":
+            mn = f"round(min(CAST({name} AS DOUBLE)), 9)"
+            mx = f"round(max(CAST({name} AS DOUBLE)), 9)"
+            ms = xs = "''"
+        elif kind == "ts":
+            mn = f"round(min(CAST(epoch_us({name}) AS DOUBLE)), 9)"
+            mx = f"round(max(CAST(epoch_us({name}) AS DOUBLE)), 9)"
+            ms = xs = "''"
+        else:
+            mn = mx = "0.0"
+            ms = f"coalesce(min({name}), '')"
+            xs = f"coalesce(max({name}), '')"
+        parts.append(f"""
+        SELECT '{name}' AS column_name, '{dtype}' AS dtype,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               round(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 9) AS null_frac,
+               count(DISTINCT {name}) AS n_distinct,
+               coalesce({mn}, 0.0) AS min_num, coalesce({mx}, 0.0) AS max_num,
+               {ms} AS min_str, {xs} AS max_str
+        FROM events
+        """)
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["profile_table"] = _profile_oracle_sql()
+QUERIES["profile_table"] = q_profile_table
