@@ -106,6 +106,9 @@ HEADLINE = [
     "hll_distinct",
     "uniform_sample",
     "profile_table",
+    "log_templates",
+    "trailing_zscore",
+    "rolling_count",
 ]
 
 

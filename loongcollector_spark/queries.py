@@ -2634,3 +2634,106 @@ def _profile_oracle_sql() -> str:
 
 ORACLES["profile_table"] = _profile_oracle_sql()
 QUERIES["profile_table"] = q_profile_table
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log template mining over the transcript corpus: mask variable
+    fields (IP/hex/number), one row per distinct template with count +
+    deterministic example line; exact string match vs the DuckDB twin
+    running the same masking chain."""
+    from .operators.loganalytics import log_templates
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return log_templates(tx, min_count=2)
+
+
+def q_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: z-score each event's value
+    against the previous 100 same-type events (frame excludes self),
+    return the rows with |z| > 3; windows value-matched against
+    DuckDB's window engine (6 dp)."""
+    from .operators.timeseries import trailing_zscore
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = trailing_zscore(ev, lookback_rows=100, min_history=20)
+    return (
+        out.withColumn("z_r", F.round("zscore", 6))
+        .filter(F.abs(F.col("z_r")) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value_r"),
+            F.round("trail_mean", 6).alias("trail_mean"),
+            F.col("z_r").alias("zscore"),
+        )
+    )
+
+
+def q_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 10-minute event counts (RANGE window over
+    epoch seconds, peers included) — summarized per user as the max
+    burst and final count to keep the oracle row set small."""
+    from .operators.timeseries import rolling_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rolling_count(ev, window_seconds=600)
+    return out.groupBy("user_id").agg(
+        F.max("rolling_n").alias("max_burst"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLES["log_templates"] = f"""
+    WITH transcripts AS ({_TX}),
+    masked AS (
+      SELECT trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+                   '\\b[0-9a-fA-F]{{8,}}\\b', '<HEX>', 'g'),
+                 '\\b\\d+(?:\\.\\d+)?', '<NUM>', 'g'),
+               '\\s+', ' ', 'g')) AS template,
+             text AS raw
+      FROM transcripts
+    )
+    SELECT template, count(*) AS n_logs, min(raw) AS example
+    FROM masked GROUP BY template HAVING count(*) >= 2
+"""
+
+ORACLES["trailing_zscore"] = """
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             avg(value) OVER f AS m,
+             stddev_samp(value) OVER f AS s,
+             count(value) OVER f AS c
+      FROM events
+      WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           round(value, 6) AS value_r,
+           round(m, 6) AS trail_mean,
+           round((value - m) / s, 6) AS zscore
+    FROM w
+    WHERE c >= 20 AND s > 0 AND abs(round((value - m) / s, 6)) > 3
+"""
+
+ORACLES["rolling_count"] = """
+    WITH r AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id
+                            ORDER BY (epoch_us(ts) // 1000000)
+                            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+               AS rolling_n
+      FROM events
+    )
+    SELECT user_id, max(rolling_n) AS max_burst,
+           count(*) AS n_events
+    FROM r GROUP BY user_id
+"""
+
+QUERIES["log_templates"] = q_log_templates
+QUERIES["trailing_zscore"] = q_trailing_zscore
+QUERIES["rolling_count"] = q_rolling_count

@@ -1,0 +1,113 @@
+"""trailing_zscore / rolling_count / log_templates semantics + plans."""
+
+import re
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.loganalytics import log_templates, mask_log_line
+from loongcollector_spark.operators.timeseries import rolling_count, trailing_zscore
+
+from test_plans import plan_of
+
+
+def _series(spark, values, typ="m"):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=i), typ, float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, event_type: string, value: double"
+    )
+
+
+def test_zscore_flags_spike_and_excludes_self(spark):
+    # 30 flat values then one spike: the spike must score against the
+    # flat history (frame excludes current row → std stays ~0.5-ish)
+    vals = [10.0, 11.0] * 15 + [50.0]
+    df = _series(spark, vals)
+    out = trailing_zscore(
+        df, lookback_rows=100, min_history=10
+    ).orderBy("event_id").collect()
+    spike = out[-1]
+    assert spike["zscore"] is not None and spike["zscore"] > 3
+    # early rows have < min_history predecessors → NULL
+    assert all(r["zscore"] is None for r in out[:10])
+    # flat rows are unremarkable
+    assert all(
+        r["zscore"] is None or abs(r["zscore"]) < 2 for r in out[:-1]
+    )
+
+
+def test_zscore_zero_std_guard(spark):
+    df = _series(spark, [5.0] * 40)
+    out = trailing_zscore(df, min_history=10).collect()
+    assert all(r["zscore"] is None for r in out)  # std == 0 everywhere
+
+
+def test_zscore_partitions_by_key(spark):
+    a = _series(spark, [1.0] * 25, "a")
+    b = _series(spark, [100.0] * 25, "b")
+    out = trailing_zscore(a.unionAll(b), min_history=10).collect()
+    # keys score independently: neither side sees the other's level
+    assert all(r["zscore"] is None for r in out)
+
+
+def test_rolling_count_range_semantics(spark):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7),
+        (2, base + timedelta(seconds=30), 7),
+        (3, base + timedelta(seconds=30), 7),  # tie: peer of row 2
+        (4, base + timedelta(seconds=100), 7),  # rows 1-3 expired (60s)
+        (5, base, 8),  # other key independent
+    ]
+    df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, user_id: long")
+    out = {
+        r["event_id"]: r["rolling_n"]
+        for r in rolling_count(df, window_seconds=60).collect()
+    }
+    assert out[1] == 1
+    # RANGE: tied timestamps are peers — both see both
+    assert out[2] == 3 and out[3] == 3
+    assert out[4] == 1
+    assert out[5] == 1
+
+
+def test_mask_log_line(spark):
+    df = spark.createDataFrame(
+        [
+            ("GET /api/v2/users/12345 from 10.0.42.7 took 3.5ms id=deadbeef99",),
+            ("GET /api/v2/users/999 from 192.168.0.1 took 0.2ms id=cafebabe01",),
+        ],
+        ["text"],
+    )
+    masked = df.select(mask_log_line(F.col("text")).alias("m")).collect()
+    # 'v2' survives (no boundary inside a word → a version string is a
+    # template constant); '3.5ms' fully masks
+    assert (
+        masked[0]["m"]
+        == "GET /api/v2/users/<NUM> from <IP> took <NUM>ms id=<HEX>"
+    )
+    assert masked[0]["m"] == masked[1]["m"]
+    t = log_templates(df).collect()
+    assert len(t) == 1 and t[0]["n_logs"] == 2
+    # deterministic example: lexicographically smallest raw line
+    assert t[0]["example"].startswith("GET /api/v2/users/12345")
+
+
+def test_timeseries_plans_single_exchange_no_python(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for df in (
+        trailing_zscore(ev),
+        rolling_count(ev),
+    ):
+        plan = plan_of(df)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "EvalPython" not in plan
+    tplan = plan_of(log_templates(ev.withColumnRenamed("props", "text"),
+                                  text_col="text"))
+    assert len(re.findall(r"\(\d+\) Exchange", tplan)) == 1
+    assert "Window" not in tplan
