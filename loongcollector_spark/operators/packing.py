@@ -1,0 +1,159 @@
+"""LM-pretraining sequence packing: concatenate a document corpus into
+one deterministic token stream and cut it into fixed-length training
+sequences (the GPT-style "pack then chunk" dataloader transform).
+
+This is the step between curation and training: after dedup/filtering,
+documents are tokenized, joined by an EOS marker in a deterministic
+corpus order, and the stream is sliced into ``seq_len``-token blocks so
+every training example is exactly full (no padding waste).  The op
+reports, per output sequence, its token count, how many documents it
+spans, and an engine-portable md5 fingerprint of the packed tokens so
+cross-engine value equality is checkable token-for-token.
+
+Scale design (the whole point at 100 TB):
+
+* Tokenisation and per-doc length are **per-row JVM expressions**
+  (``regexp_extract_all`` + ``size``) — no Python, no shuffle.
+* The global token offset of every document is an **exact distributed
+  prefix sum**: range-partition on ``doc_id``, per-partition running
+  sum (window partitioned by ``spark_partition_id()`` — bounded
+  state), plus a broadcast join against the tiny per-partition totals
+  table cum-summed on the driver side of the plan (N_partitions rows —
+  the only single-partition window touches that N-row table, never the
+  data).  This is the textbook scalable prefix-sum; a naive
+  ``Window.orderBy(doc_id)`` with no partitionBy would sort the whole
+  corpus into ONE task and is exactly what this implementation avoids.
+* Each document then knows which sequences it overlaps and emits one
+  *fragment* per overlapped sequence (``slice`` of its token array —
+  per-row, no re-tokenisation).  The single data shuffle is the
+  groupBy on ``seq_id`` that assembles fragments — any packer must
+  move each token across the wire once; this one moves it exactly
+  once.
+* Output is parallelism-invariant: offsets are exact, so the result is
+  byte-identical at any partition count (tested).
+
+Reference relation: LoongCollector has no trainer-facing packer; this
+extends the curation surface (SURVEY.md §2.11) the same way dedup/
+quality ops do.  Semantics follow the public GPT-2/3 data pipeline
+description (concatenate with EOS, chunk fixed-length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences", "TOKEN_REGEX", "EOS_TOKEN"]
+
+# same BPE-ish public segmentation used by text.token_stats
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+EOS_TOKEN = "<eos>"
+
+
+def _global_offsets(df: DataFrame, n_col: str, order_col: str, parts: int) -> DataFrame:
+    """Exact distributed prefix sum of *n_col* in *order_col* order.
+
+    Adds ``g_start`` = sum of *n_col* over all rows strictly before
+    this one in *order_col* order.  Range-partition + local window +
+    broadcast of per-partition totals; no global sort, no driver
+    collect.
+    """
+    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = W.partitionBy("_pid").orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+    ranged = ranged.withColumn("_local_off", F.coalesce(F.sum(n_col).over(local), F.lit(0)))
+
+    totals = ranged.groupBy("_pid").agg(F.sum(n_col).alias("_ptotal"))
+    # N_partitions rows: the single-partition window below touches only
+    # this tiny table, never the data
+    prefix = totals.withColumn(
+        "_prefix",
+        F.coalesce(
+            F.sum("_ptotal").over(
+                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_prefix")
+
+    return (
+        ranged.join(F.broadcast(prefix), "_pid")
+        .withColumn("g_start", (F.col("_prefix") + F.col("_local_off")).cast("long"))
+        .drop("_pid", "_local_off", "_prefix")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    eos: str = EOS_TOKEN,
+    parts: int = 32,
+) -> DataFrame:
+    """Pack the corpus into fixed-length token sequences.
+
+    Documents are tokenized with :data:`TOKEN_REGEX`, terminated with
+    *eos*, concatenated in ascending *id_col* order, and chunked into
+    *seq_len*-token sequences (the last one may be short).  Returns one
+    row per sequence::
+
+        seq_id:    long   -- 0-based chunk index in the global stream
+        n_tokens:  int    -- seq_len except possibly the last
+        n_docs:    int    -- documents contributing tokens
+        first_doc: <id>   -- smallest contributing doc id
+        fp:        string -- md5 of the space-joined packed tokens
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+
+    toks = F.array_append(
+        F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")), F.lit(TOKEN_REGEX), 0),
+        F.lit(eos),
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).withColumn(
+        "n", F.size("tk")
+    )
+    docs = _global_offsets(docs, "n", "doc_id", parts)
+
+    L = F.lit(seq_len)
+    first_seq = (F.col("g_start") / L).cast("long")
+    last_seq = ((F.col("g_start") + F.col("n") - 1) / L).cast("long")
+    frags = docs.select(
+        "doc_id",
+        "tk",
+        "n",
+        "g_start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    # fragment bounds inside this doc's token array (0-based)
+    fstart = F.greatest(F.col("seq_id") * L - F.col("g_start"), F.lit(0))
+    fend = F.least((F.col("seq_id") + 1) * L - F.col("g_start"), F.col("n"))
+    frags = frags.select(
+        "seq_id",
+        "doc_id",
+        (F.col("g_start") + fstart).alias("g_pos"),
+        F.slice(F.col("tk"), (fstart + 1).cast("int"), (fend - fstart).cast("int")).alias(
+            "frag"
+        ),
+    )
+
+    assembled = frags.groupBy("seq_id").agg(
+        F.sum(F.size("frag")).cast("int").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g_pos", "frag"))), lambda s: s["frag"]
+            )
+        ).alias("_toks"),
+    )
+    return assembled.select(
+        "seq_id",
+        "n_tokens",
+        "n_docs",
+        "first_doc",
+        F.md5(F.concat_ws(" ", "_toks")).alias("fp"),
+    )

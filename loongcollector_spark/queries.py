@@ -2737,3 +2737,46 @@ ORACLES["rolling_count"] = """
 QUERIES["log_templates"] = q_log_templates
 QUERIES["trailing_zscore"] = q_trailing_zscore
 QUERIES["rolling_count"] = q_rolling_count
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM sequence packing: concatenate the documents corpus in doc_id
+    order with <eos> separators and chunk into 512-token training
+    sequences; per-sequence token count, doc span, and md5 fingerprint
+    of the packed tokens are value-matched token-for-token against the
+    DuckDB twin (exact distributed prefix-sum, one data shuffle)."""
+    from .operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=512)
+
+
+ORACLES["pack_sequences"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_append(regexp_extract_all(coalesce(text, ''),
+                 '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'), '<eos>') AS tk
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, tk,
+             coalesce(sum(len(tk)) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS g_start
+      FROM d
+    ),
+    t AS (
+      SELECT unnest([{'g_pos': g_start + i - 1, 'tok': tk[i],
+                      'doc_id': doc_id}
+                     for i in generate_series(1, len(tk))]) AS s
+      FROM o
+    )
+    SELECT CAST(s.g_pos // 512 AS BIGINT) AS seq_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(count(DISTINCT s.doc_id) AS INT) AS n_docs,
+           min(s.doc_id) AS first_doc,
+           md5(string_agg(s.tok, ' ' ORDER BY s.g_pos)) AS fp
+    FROM t GROUP BY 1
+"""
+
+QUERIES["pack_sequences"] = q_pack_sequences
