@@ -165,44 +165,86 @@ def attach_media_metadata(
 
     _mp4_init = F.struct(
         F.lit(1).cast("long").alias("pos"),
-        F.lit(None).cast("long").alias("dur"),
+        F.lit(None).cast("long").alias("moov"),
     )
 
     def _mp4_step(acc, _i):
         p = acc["pos"]
         size = _be32_at(p)
         btype = F.substring(b, p + 4, 4).cast("string")
-        stop = p.isNull() | acc["dur"].isNotNull() | (p + 8 > F.length(b)) | (size < 8)
-        c = p + 8  # first child box
-        is_mvhd = F.substring(b, c + 4, 4).cast("string") == "mvhd"
-        v1 = _byte(c + 8) == 1
-        ts = F.when(v1, _be32_at(c + 28)).otherwise(_be32_at(c + 20))
-        dur_units = F.when(v1, _be64_at(c + 32)).otherwise(_be32_at(c + 24))
-        mvhd_dur = F.when(
-            is_mvhd & (ts > 0), (dur_units * 1000 / ts).cast("long")
-        )
-        found = F.struct(
-            F.lit(None).cast("long").alias("pos"), mvhd_dur.alias("dur")
-        )
-        advance = F.struct((p + size).alias("pos"), acc["dur"].alias("dur"))
+        stop = acc["moov"].isNotNull() | (p + 8 > F.length(b)) | (size < 8)
+        found = F.struct(p.alias("pos"), p.alias("moov"))
+        advance = F.struct((p + size).alias("pos"), acc["moov"].alias("moov"))
         return F.when(stop, acc).otherwise(
             F.when(btype == "moov", found).otherwise(advance)
         )
 
-    mp4_dur = F.aggregate(
+    moov_pos = F.aggregate(
         F.sequence(F.lit(1), F.lit(16)), _mp4_init, _mp4_step
-    )["dur"]
+    )["moov"]
+
+    _c = moov_pos + 8  # moov's first child (mvhd in canonical output)
+    _is_mvhd = F.substring(b, _c + 4, 4).cast("string") == "mvhd"
+    _mvhd_v1 = _byte(_c + 8) == 1
+    _ts = F.when(_mvhd_v1, _be32_at(_c + 28)).otherwise(_be32_at(_c + 20))
+    _dur_units = F.when(_mvhd_v1, _be64_at(_c + 32)).otherwise(_be32_at(_c + 24))
+    mp4_dur = F.when(
+        moov_pos.isNotNull() & _is_mvhd & (_ts > 0),
+        (_dur_units * 1000 / _ts).cast("long"),
+    )
+
+    # MP4 track dims from trak/tkhd (14496-12 §8.3.2): walk moov's
+    # children (bounded 8 boxes) to the first trak whose first child is
+    # tkhd with a non-zero width — audio traks carry width 0 and are
+    # skipped. width/height are 16.16 fixed point; the integer part is
+    # the leading be16 (v0 at box+84/+88; v1's 64-bit times shift it to
+    # +96/+100). Non-first-child tkhd → NULL, best-effort like mvhd.
+    _trak_init = F.struct(
+        _c.alias("pos"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+    )
+    _moov_end = moov_pos + _be32_at(moov_pos)
+
+    def _trak_step(acc, _i):
+        p = acc["pos"]
+        size = _be32_at(p)
+        btype = F.substring(b, p + 4, 4).cast("string")
+        stop = (
+            p.isNull()
+            | acc["w"].isNotNull()
+            | (p + 8 > _moov_end)
+            | (p + 8 > F.length(b))
+            | (size < 8)
+        )
+        t = p + 8  # trak's first child box
+        is_tkhd = F.substring(b, t + 4, 4).cast("string") == "tkhd"
+        tv1 = _byte(t + 8) == 1
+        w_ = F.when(tv1, _be16(t + 96)).otherwise(_be16(t + 84))
+        h_ = F.when(tv1, _be16(t + 100)).otherwise(_be16(t + 88))
+        hit = (btype == "trak") & is_tkhd & w_.isNotNull() & (w_ > 0)
+        found = F.struct(p.alias("pos"), w_.alias("w"), h_.alias("h"))
+        advance = F.struct(
+            (p + size).alias("pos"), acc["w"].alias("w"), acc["h"].alias("h")
+        )
+        return F.when(stop, acc).otherwise(F.when(hit, found).otherwise(advance))
+
+    trak_dims = F.aggregate(
+        F.sequence(F.lit(1), F.lit(8)), _trak_init, _trak_step
+    )
 
     is_png = head.startswith("89504E47") & (F.length(b) >= 24)
     is_jpg = head.startswith("FFD8")
     width = (
         F.when(is_png, _be32(17))
         .when(is_jpg, jpeg_dims["w"])
+        .when(fmt == "mp4", trak_dims["w"])
         .otherwise(F.lit(None).cast("int"))
     )
     height = (
         F.when(is_png, _be32(21))
         .when(is_jpg, jpeg_dims["h"])
+        .when(fmt == "mp4", trak_dims["h"])
         .otherwise(F.lit(None).cast("int"))
     )
     return df.withColumn(

@@ -162,13 +162,29 @@ def test_jpeg_sof_dimensions_jvm_side(spark):
     assert meta[3].width is None and meta[3].height is None
 
 
-def _mp4_stub(timescale: int, duration: int, version: int = 0) -> bytes:
-    """Hand-built minimal MP4: ftyp + moov(mvhd) boxes per the
-    ISO/IEC 14496-12 layout."""
+def _mp4_stub(
+    timescale: int,
+    duration: int,
+    version: int = 0,
+    traks: tuple = (),
+) -> bytes:
+    """Hand-built minimal MP4: ftyp + moov(mvhd [, trak(tkhd)...])
+    boxes per the ISO/IEC 14496-12 layout. *traks* is a tuple of
+    (width, height, tkhd_version) — width 0 models an audio track."""
     import struct
 
     def box(btype, payload):
         return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def tkhd(w, h, v):
+        if v == 0:
+            head = bytes([0, 0, 0, 7]) + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        else:
+            head = bytes([1, 0, 0, 7]) + struct.pack(">QQIIQ", 0, 0, 1, 0, duration)
+        # reserved(8)+layer(2)+alt(2)+volume(2)+reserved(2)+matrix(36)
+        return box(
+            b"tkhd", head + bytes(52) + struct.pack(">II", w << 16, h << 16)
+        )
 
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     if version == 0:
@@ -183,7 +199,10 @@ def _mp4_stub(timescale: int, duration: int, version: int = 0) -> bytes:
             + struct.pack(">QQIQ", 0, 0, timescale, duration)
             + bytes(80)
         )
-    moov = box(b"moov", box(b"mvhd", mvhd_payload))
+    children = box(b"mvhd", mvhd_payload)
+    for (w, h, v) in traks:
+        children += box(b"trak", tkhd(w, h, v))
+    moov = box(b"moov", children)
     return ftyp + moov
 
 
@@ -205,6 +224,30 @@ def test_wav_and_mp4_duration_ms(spark):
     assert meta[2].duration_ms == 2500
     assert meta[3].duration_ms == 250
     assert meta[4].duration_ms is None
+
+
+def test_mp4_track_dims(spark):
+    """width/height from trak/tkhd: v0 and v1 layouts, audio trak
+    (width 0) skipped, trak-less files yield NULL dims."""
+    from loongcollector_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(_mp4_stub(600, 1500, traks=((640, 360, 0),)))),
+        (2, bytearray(_mp4_stub(600, 1500, traks=((1920, 1080, 1),)))),
+        # audio-first: the walk must skip the w=0 trak
+        (3, bytearray(_mp4_stub(600, 1500, traks=((0, 0, 0), (1280, 720, 0))))),
+        (4, bytearray(_mp4_stub(600, 1500))),                          # no trak
+        (5, bytearray(_mp4_stub(600, 1500, traks=((640, 360, 0),))[:12])),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    meta = {r.id: r.media_meta for r in multimodal.attach_media_metadata(df).collect()}
+    assert (meta[1].width, meta[1].height) == (640, 360)
+    assert (meta[2].width, meta[2].height) == (1920, 1080)
+    assert (meta[3].width, meta[3].height) == (1280, 720)
+    assert meta[4].width is None and meta[4].height is None
+    assert meta[5].width is None
+    # duration still intact alongside dims
+    assert meta[1].duration_ms == 2500 and meta[1].media_type == "video"
 
 
 # ---------------------------------------------------------------------------
