@@ -437,3 +437,224 @@ def semantic_dedup(
     return vectors.join(
         assigned.select(id_col, "cluster"), id_col
     ).join(losers, id_col, "left_anti")
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    max_train_rows: int = 20_000,
+    iters: int = 12,
+):
+    """Train product-quantization codebooks: one Lloyd's k-means per
+    subspace over a bounded, driver-collected sample of L2-normalized
+    vectors (public PQ construction, Jégou et al. 2011).
+
+    Returns a ``(m, ksub, dsub)`` float64 ndarray. Training is
+    driver-side NumPy on ≤ *max_train_rows* rows — codebooks converge
+    on a sample long before the corpus is seen, the same bounded-fit
+    contract as :func:`ivf_ann_topk`'s quantizer. Deterministic for a
+    fixed seed and sample.
+    """
+    import numpy as np
+
+    rows = vectors.select(vec_col).limit(max_train_rows).collect()
+    if not rows:
+        raise ValueError("train_pq_codebooks: empty training set")
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    n, D = X.shape
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m} subspaces")
+    if n < ksub:
+        raise ValueError(f"need >= ksub={ksub} training rows, got {n}")
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    dsub = D // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        C = sub[rng.choice(n, ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    C[c] = sub[mask].mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each (normalized) vector as ``m`` codebook indices —
+    ``(id, codes: array<int>)``. One Arrow-batched pass, no shuffle.
+
+    THIS is the PQ scale win: the scored representation shrinks from
+    ``4*dim`` bytes to ``m`` small ints per vector (64 dims → 8 codes),
+    so the ANN scan at 10^9 vectors reads the codes table instead of
+    the raw embeddings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, ksub, dsub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.where(norms == 0, 1.0, norms)
+            codes = np.empty((len(Vn), m), dtype=np.int64)
+            for j in range(m):
+                sub = Vn[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"__id": pdf[id_col], "codes": list(codes)}
+            )
+
+    out = vectors.select(id_col, vec_col).mapInPandas(
+        encode, schema="__id long, codes array<int>"
+    )
+    return out.select(F.col("__id").alias(id_col), "codes")
+
+
+def pq_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    max_train_rows: int = 20_000,
+    codebooks=None,
+    refine: int = 4,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank — the canonical
+    compressed-domain ANN at 100 TB (IVF-PQ minus the coarse stage,
+    which :func:`ivf_ann_topk` already provides and composes with).
+
+    Corpus vectors are product-quantized to ``m`` codes; each query
+    precomputes a tiny ``(m, ksub)`` distance lookup table (ADC), so
+    scoring a vector is ``m`` table lookups instead of a ``dim``-wide
+    dot product. Per Arrow batch: vectorized LUT gather + local
+    top-``k*refine``; a global window keeps ``k*refine`` candidates per
+    query; the final exact cosine runs ONLY on those candidates (corpus
+    joined against the broadcast candidate set — no corpus shuffle).
+
+    Unit-norm identity used throughout: ``cos = 1 - d²/2`` for
+    normalized vectors, so ADC's squared-L2 ordering IS the cosine
+    ordering. Recall < 1 by construction (quantization error);
+    :func:`brute_force_topk` is the baseline, tested ≥ threshold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors,
+            vec_col=vec_col,
+            m=m,
+            ksub=ksub,
+            seed=seed,
+            max_train_rows=max_train_rows,
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    q_rows = _collect_queries(queries, query_id_col, vec_col, "pq_ann_topk")
+    if not q_rows:
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, neighbor_id long, rank int, cos_sim double",
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0, 1.0, qn)
+    # ADC lookup tables: (n_queries, m, ksub)
+    luts = (
+        (Qn.reshape(len(Qn), m, 1, dsub) - books[None, :, :, :]) ** 2
+    ).sum(-1)
+
+    codes_df = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
+    take = k * refine + 1  # +1: self-match filtered downstream
+    jj = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (batch, m)
+            ids = pdf[id_col].to_numpy()
+            t = min(take, len(ids))
+            out = []
+            for qi, qid in enumerate(q_ids):
+                d2 = luts[qi][jj[None, :], C].sum(1)  # (batch,)
+                part = np.argpartition(d2, t - 1)[:t]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qid,
+                            "neighbor_id": ids[part],
+                            "approx_sim": 1.0 - d2[part] / 2.0,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = codes_df.mapInPandas(
+        score, schema=f"{query_id_col} long, neighbor_id long, approx_sim double"
+    ).filter(F.col("neighbor_id") != F.col(query_id_col))
+
+    w_approx = W.partitionBy(query_id_col).orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w_approx))
+        .filter(F.col("__r") <= k * refine)
+        .select(query_id_col, "neighbor_id")
+    )
+
+    # exact re-rank on candidates only: corpus scanned once with the
+    # tiny candidate set broadcast — the cosine HOF touches only
+    # k*refine*n_queries rows
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    exact = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__nv"),
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("__nv"), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )

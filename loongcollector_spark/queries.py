@@ -2780,3 +2780,126 @@ ORACLES["pack_sequences"] = r"""
 """
 
 QUERIES["pack_sequences"] = q_pack_sequences
+
+
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 8, 8  # 64-dim corpus → 8 subspaces of 8
+
+
+def _pq_books() -> list[list[list[int]]]:
+    """Deterministic integer PQ codebooks shared verbatim by the Spark
+    query and the DuckDB oracle (same integer-kernel precedent as
+    _neardup_planes: exact argmin/ADC agreement across engines)."""
+    import random
+
+    rng = random.Random(20260817)
+    return [
+        [[rng.randint(-1000, 1000) for _ in range(_PQ_DSUB)] for _ in range(_PQ_KSUB)]
+        for _ in range(_PQ_M)
+    ]
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, oracle-checkable integer kernel (the
+    similarity.pq_ann_topk SHAPE): quantize embeddings to
+    round(v*1000) longs, encode each vector as 8 sub-space codebook
+    indices (argmin of integer squared-L2 to 8 literal centroids per
+    sub-space), then score query→corpus with ADC — the per-query
+    distance is 8 lookup-table adds, never a 64-dim dot. Top-3 per
+    query by exact integer ADC distance. All arithmetic is int64 →
+    bit-equal in DuckDB; argmin ties resolve to the first index in
+    both engines (array_position == list_position).
+
+    Production path (trained float codebooks, Arrow-batched encode,
+    exact cosine re-rank) is similarity.pq_ann_topk, recall-tested in
+    tests/test_similarity_impls.py. Pure element_at arithmetic, no
+    interpreted HOF lambdas."""
+    books = _pq_books()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    iv = F.transform(F.col("embedding"), lambda v: F.round(v * 1000).cast("long"))
+    v = emb.select(F.col("vec_id"), iv.alias("iv"))
+
+    def dist(arr, j, centroid):
+        e = None
+        for i, c in enumerate(centroid):
+            d = F.element_at(arr, j * _PQ_DSUB + i + 1) - F.lit(int(c))
+            t = d * d
+            e = t if e is None else e + t
+        return e
+
+    def darr(arr, j):
+        return F.array(*[dist(arr, j, books[j][c]) for c in range(_PQ_KSUB)])
+
+    enc = v.select(
+        "vec_id",
+        *[
+            F.array_position(darr(F.col("iv"), j), F.array_min(darr(F.col("iv"), j)))
+            .cast("int")
+            .alias(f"code_{j}")
+            for j in range(_PQ_M)
+        ],
+    )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("qv")
+    )
+    # ADC: the query's per-subspace LUT (8 integer dists) indexed by
+    # the neighbor's stored code — 8 adds per pair
+    pairs = enc.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    d2 = None
+    for j in range(_PQ_M):
+        term = F.element_at(darr(F.col("qv"), j), F.col(f"code_{j}"))
+        d2 = term if d2 is None else d2 + term
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )
+
+
+def _pq_oracle_sql() -> str:
+    books = _pq_books()
+
+    def dist_sql(arr, j, centroid):
+        return " + ".join(
+            f"({arr}[{j * _PQ_DSUB + i + 1}] - ({c}))"
+            f" * ({arr}[{j * _PQ_DSUB + i + 1}] - ({c}))"
+            for i, c in enumerate(centroid)
+        )
+
+    def darr_sql(arr, j):
+        return "[" + ", ".join(dist_sql(arr, j, books[j][c]) for c in range(_PQ_KSUB)) + "]"
+
+    codes = ",\n         ".join(
+        f"list_position({darr_sql('iv', j)}, list_min({darr_sql('iv', j)})) AS code_{j}"
+        for j in range(_PQ_M)
+    )
+    adc = " + ".join(f"({darr_sql('qv', j)})[code_{j}]" for j in range(_PQ_M))
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             [CAST(round(x * 1000) AS BIGINT) for x in embedding] AS iv
+      FROM embeddings
+    ),
+    enc AS (
+      SELECT vec_id,
+         {codes}
+      FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, iv AS qv FROM v WHERE vec_id < 5),
+    s AS (
+      SELECT query_id, vec_id AS neighbor_id, {adc} AS d2
+      FROM enc, q WHERE vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, rank, d2 FROM (
+      SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY d2, neighbor_id) AS INT) AS rank
+      FROM s)
+    WHERE rank <= 3
+    """
+
+
+ORACLES["pq_ann"] = _pq_oracle_sql()
+QUERIES["pq_ann"] = q_pq_ann

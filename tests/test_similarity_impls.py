@@ -68,3 +68,57 @@ def test_empty_query_side_returns_empty(spark, emb):
     )
     assert similarity.brute_force_topk(emb, empty, k=3).count() == 0
     assert similarity.ivf_ann_topk(emb, empty, k=3, n_cells=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization (pq_ann_topk)
+
+
+def test_pq_ann_recall(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    pq = similarity.pq_ann_topk(emb, queries, k=10, m=8, ksub=32, refine=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"PQ recall too low: {recall}"
+    # re-ranked cos_sim is exact cosine (JVM HOF) — matches the
+    # brute-force NumPy kernel to float-noise tolerance
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim for r in exact.collect()
+    }
+    for r in pq.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert r.cos_sim == pytest.approx(exact_scores[key], abs=1e-9)
+
+
+def test_pq_encode_shapes_and_determinism(spark, emb):
+    books = similarity.train_pq_codebooks(emb, m=8, ksub=16, seed=7)
+    assert books.shape == (8, 16, 8)  # 64-dim corpus
+    again = similarity.train_pq_codebooks(emb, m=8, ksub=16, seed=7)
+    assert (books == again).all()
+    codes = similarity.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.codes)
+
+
+def test_pq_train_guards(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(emb, m=7)
+    with pytest.raises(ValueError, match="training rows"):
+        similarity.train_pq_codebooks(emb.limit(3), m=8, ksub=16)
+    with pytest.raises(ValueError, match="empty training set"):
+        similarity.train_pq_codebooks(emb.filter(F.lit(False)), m=8)
+
+
+def test_pq_query_guard_and_empty(spark, emb, monkeypatch):
+    empty = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert similarity.pq_ann_topk(emb, empty, k=3, ksub=16).count() == 0
+    monkeypatch.setattr(similarity, "_MAX_DRIVER_QUERIES", 3)
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="pq_ann_topk query side exceeds"):
+        similarity.pq_ann_topk(emb, queries, k=2, ksub=16).collect()
