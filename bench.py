@@ -109,6 +109,8 @@ HEADLINE = [
     "log_templates",
     "trailing_zscore",
     "rolling_count",
+    "pack_sequences",
+    "pq_ann",
 ]
 
 
@@ -191,6 +193,17 @@ def _bench_queries():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return profile_table(ev, distinct_mode="approx")
 
+    def bench_pq_ann(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.operators.similarity import pq_ann_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return pq_ann_topk(emb, q, k=3, m=8, ksub=16, refine=8)
+
     return {
         **QUERIES,
         "minhash_dedup": bench_minhash,
@@ -203,6 +216,7 @@ def _bench_queries():
         "hll_distinct": bench_hll,
         "uniform_sample": bench_uniform_sample,
         "profile_table": bench_profile,
+        "pq_ann": bench_pq_ann,
     }
 
 
