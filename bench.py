@@ -111,6 +111,7 @@ HEADLINE = [
     "rolling_count",
     "pack_sequences",
     "pq_ann",
+    "exact_substring_dedup",
 ]
 
 
@@ -193,6 +194,12 @@ def _bench_queries():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return profile_table(ev, distinct_mode="approx")
 
+    def bench_exact_substring(spark, sf_dir):
+        from loongcollector_spark.operators.dedup import remove_duplicate_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_duplicate_spans(docs, k=15, hash_mode="xxhash64")
+
     def bench_pq_ann(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -217,6 +224,7 @@ def _bench_queries():
         "uniform_sample": bench_uniform_sample,
         "profile_table": bench_profile,
         "pq_ann": bench_pq_ann,
+        "exact_substring_dedup": bench_exact_substring,
     }
 
 

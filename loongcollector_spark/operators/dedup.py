@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
+    "duplicate_spans",
+    "remove_duplicate_spans",
     "dedup_exact",
     "segment_dedup",
     "shingles",
@@ -645,4 +647,172 @@ def dedup_components(
         id_col,
         "component",
         (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _window_rows(
+    df: DataFrame, text_col: str, k: int, id_col: str
+) -> DataFrame:
+    """(id, pos, window-text) for every SLIDING k-token window of the
+    normalized text — the positional sibling of :func:`_shingle_rows`
+    (same posexplode + ``lead`` codegen shape; keeps ``pos`` so span
+    arithmetic downstream can map windows back into the document).
+    Documents shorter than *k* tokens contribute no windows (they
+    cannot hold a k-token duplicate)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(_norm_text(F.col(text_col)), " ")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, k)]
+    n = F.count("*").over(W.partitionBy(id_col))
+    return (
+        toks.withColumn("__n", n)
+        .withColumn("__win", F.concat_ws(" ", *parts))
+        .filter(F.col("__pos") + k <= F.col("__n"))
+        .select(F.col(id_col), F.col("__pos").alias("pos"), "__win")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring duplicate spans (the public ExactSubstr dedup of
+    Lee et al. 2021, re-expressed relationally): find every k-token
+    window of the normalized corpus that occurs more than once, keep
+    the globally-first occurrence (smallest ``(doc_id, pos)``), and
+    merge the remaining occurrences into maximal per-document token
+    intervals ``[span_start, span_end)`` (0-based, end-exclusive).
+
+    The suffix-array of the paper is a single-machine construction;
+    the relational equivalent is: window rows → hash → first-occurrence
+    aggregation → interval merge. Matching semantics: any duplicated
+    substring of length ≥ k is covered by duplicated k-windows, and
+    merging overlapping windows reconstructs the maximal span.
+
+    Scale shape: window rows shuffle ONCE by window hash (8 bytes per
+    window, never text) into a groupBy whose map-side partial agg
+    collapses hot boilerplate windows before the wire; duplicated
+    hashes join back (inner — unique windows never cross), where AQE's
+    skew-join split handles billion-fold boilerplate keys (a window
+    function over the hash would sort each hot key in one task).
+    Interval merge is one shuffle on *id_col*: running-max-end boundary
+    flags → running-sum group ids → per-group min/max.
+
+    ``hash_mode='md5'`` swaps xxhash64 for the engine-portable 60-bit
+    md5 kernel so DuckDB oracles can value-match the whole pipeline.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 tokens")
+    hasher = _md5_long if hash_mode == "md5" else F.xxhash64
+    wins = _window_rows(docs, text_col, k, id_col).select(
+        F.col(id_col), "pos", hasher(F.col("__win")).alias("__wh")
+    )
+    dup = (
+        wins.groupBy("__wh")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+        )
+        .filter(F.col("__cnt") > 1)
+        .select("__wh", "__first")
+    )
+    to_remove = (
+        wins.join(dup, "__wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__first.{id_col}"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+        .select(F.col(id_col), F.col("pos").alias("__s"), (F.col("pos") + k).alias("__e"))
+    )
+    wd = W.partitionBy(id_col).orderBy("__s")
+    prev_max_e = F.max("__e").over(wd.rowsBetween(W.unboundedPreceding, -1))
+    flagged = to_remove.withColumn(
+        "__grp",
+        F.sum(
+            F.when(F.col("__s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0)
+        ).over(wd.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__s").cast("long").alias("span_start"),
+            F.max("__e").cast("long").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans`: cut every duplicated span out of
+    the (normalized) text, keeping the corpus-first occurrence intact.
+
+    Returns one row per input document:
+    ``(id_col, text_dedup, n_tokens, n_kept, n_removed)`` where
+    ``text_dedup`` is the surviving tokens of the NORMALIZED text
+    re-joined by single spaces (same contract as segment_dedup).
+
+    The cut is a codegen'd anti-join: spans explode to their token
+    positions and remove matching ``(id, pos)`` token rows — no
+    per-token interpreted lambda over span arrays. Reassembly is one
+    groupBy on *id_col*; fully-removed and window-less documents both
+    come back (right-join against the input ids).
+    """
+    spans = duplicate_spans(
+        docs, k=k, id_col=id_col, text_col=text_col, hash_mode=hash_mode
+    )
+    removed_pos = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end") - 1)).alias(
+            "__pos"
+        ),
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(_norm_text(F.col(text_col)), " ")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    totals = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("n_tokens"))
+    kept = (
+        toks.join(removed_pos, [id_col, "__pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("text_dedup"),
+        )
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )

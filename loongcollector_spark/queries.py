@@ -2903,3 +2903,91 @@ def _pq_oracle_sql() -> str:
 
 ORACLES["pq_ann"] = _pq_oracle_sql()
 QUERIES["pq_ann"] = q_pq_ann
+
+
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021) over the documents corpus:
+    every 15-token window occurring more than once is cut from all but
+    its corpus-first occurrence; per doc the surviving normalized text
+    (as md5 fingerprint) plus kept/removed token counts, value-matched
+    against a full DuckDB twin (md5 hash kernel, same window→
+    first-occurrence→interval-merge→anti-join chain)."""
+    from .operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_duplicate_spans(docs, k=15, hash_mode="md5")
+    return out.select(
+        "doc_id",
+        F.md5("text_dedup").alias("fp"),
+        "n_tokens",
+        "n_kept",
+        "n_removed",
+    )
+
+
+ORACLES["exact_substring_dedup"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest([{{'pos': i - 1, 'tok': tk[i]}}
+                     for i in generate_series(1, len(tk))]) AS s
+      FROM t
+    ),
+    tokr AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tok),
+    w AS (
+      SELECT doc_id,
+             unnest([{{'pos': i - 1,
+                      'wh': CAST(('0x' || substr(md5(
+                              array_to_string(tk[i:i+14], ' ')), 1, 15))
+                            AS BIGINT)}}
+                     for i in generate_series(1, len(tk) - 14)]) AS s
+      FROM t WHERE len(tk) >= 15
+    ),
+    wr AS (SELECT doc_id, s.pos AS pos, s.wh AS wh FROM w),
+    dup AS (
+      SELECT wh, min({{'doc_id': doc_id, 'pos': pos}}) AS fo
+      FROM wr GROUP BY wh HAVING count(*) > 1
+    ),
+    rm AS (
+      SELECT wr.doc_id, wr.pos AS s, wr.pos + 15 AS e
+      FROM wr JOIN dup USING (wh)
+      WHERE NOT (wr.doc_id = dup.fo.doc_id AND wr.pos = dup.fo.pos)
+    ),
+    flg AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS f
+      FROM rm
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(f) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flg
+    ),
+    spans AS (
+      SELECT doc_id, min(s) AS ss, max(e) AS se FROM grp GROUP BY doc_id, g
+    ),
+    rmpos AS (
+      SELECT doc_id, unnest(generate_series(ss, se - 1)) AS pos FROM spans
+    ),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+      FROM tokr ANTI JOIN rmpos USING (doc_id, pos)
+      GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_tokens FROM tokr GROUP BY doc_id)
+    SELECT tot.doc_id,
+           md5(coalesce(kept.text_dedup, '')) AS fp,
+           CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(tot.n_tokens - coalesce(kept.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot LEFT JOIN kept USING (doc_id)
+"""
+
+QUERIES["exact_substring_dedup"] = q_exact_substring_dedup
