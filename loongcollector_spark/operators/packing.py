@@ -113,10 +113,17 @@ def pack_sequences(
         F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")), F.lit(TOKEN_REGEX), 0),
         F.lit(eos),
     )
-    docs = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).withColumn(
+    with_tk = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk")).withColumn(
         "n", F.size("tk")
     )
-    docs = _global_offsets(docs, "n", "doc_id", parts)
+    # prefix-sum over the SKINNY (doc_id, n) projection: the offset
+    # machinery's two shuffles carry 16 bytes/doc, never token arrays
+    # (tokenizing twice is CPU; shuffling tokens twice is the wire).
+    # Token payload then moves exactly twice: the offset join here and
+    # the fragment groupBy below.
+    lens = with_tk.select("doc_id", "n")
+    offs = _global_offsets(lens, "n", "doc_id", parts).select("doc_id", "g_start")
+    docs = with_tk.join(offs, "doc_id")
 
     L = F.lit(seq_len)
     first_seq = (F.col("g_start") / L).cast("long")

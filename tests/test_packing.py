@@ -82,3 +82,18 @@ def test_pack_token_conservation(spark):
     )
     assert total_seq == total_doc
     assert EOS_TOKEN == "<eos>"
+
+
+def test_pack_plan_shape(spark, sf_dir_med):
+    """Scale pin: the single-partition exchange exists ONLY for the
+    N_partitions-row prefix table, and token fragments shuffle once —
+    on seq_id (the assembly groupBy)."""
+    docs = spark.read.parquet(f"{sf_dir_med}/documents.parquet")
+    plan = (
+        pack_sequences(docs, seq_len=512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(seq_id" in plan
