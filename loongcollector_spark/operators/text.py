@@ -23,6 +23,10 @@ __all__ = [
     "pii_scan",
     "pii_redact",
     "benchmark_contamination",
+    "quality_features",
+    "quality_classifier_score",
+    "train_quality_classifier",
+    "QUALITY_FEATURES",
     "lm_perplexity",
     "mixture_report",
     "PII_PATTERNS",
@@ -528,3 +532,116 @@ def bpe_pair_stats(
         .agg(F.count("*").alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
+
+
+# model-based quality filtering (the public CCNet / fastText-classifier
+# technique: score documents with a tiny linear model over cheap
+# surface features, keep the high-scoring ones). The scorer is a pure
+# JVM expression so it runs inside codegen at corpus scale and is
+# reproducible in SQL engines; training is an MLlib helper that emits
+# plain-float weights for it.
+
+QUALITY_FEATURES = [
+    "f_log_chars",
+    "f_mean_word_len",
+    "f_uniq_ratio",
+    "f_stopword_ratio",
+    "f_punct_ratio",
+    "f_digit_ratio",
+]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The classifier's feature vector as six double columns —
+    per-row expressions only (no shuffle, no Python):
+
+    * ``f_log_chars``       — ln(1 + char length)
+    * ``f_mean_word_len``   — avg whitespace-token length
+    * ``f_uniq_ratio``      — distinct/total whitespace tokens
+    * ``f_stopword_ratio``  — EN stopword tokens / tokens
+    * ``f_punct_ratio``     — non-word chars / chars
+    * ``f_digit_ratio``     — digits / chars
+    """
+    sig = quality_signals(df, text_col)
+    txt = F.col(text_col)
+    toks = F.split(F.trim(F.lower(txt)), r"\s+")
+    n_toks = F.when(F.length(F.trim(txt)) == 0, 0).otherwise(F.size(toks))
+    n_chars = F.length(txt)
+    safe_t = F.when(n_toks > 0, n_toks.cast("double")).otherwise(F.lit(1.0))
+    safe_c = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    return (
+        sig.withColumn("f_log_chars", F.log1p(n_chars.cast("double")))
+        .withColumn("f_mean_word_len", F.col("mean_word_len").cast("double"))
+        .withColumn("f_uniq_ratio", F.col("uniq_token_ratio").cast("double"))
+        .withColumn("f_stopword_ratio", F.col("n_stopwords") / safe_t)
+        .withColumn("f_punct_ratio", F.col("n_punct") / safe_c)
+        .withColumn("f_digit_ratio", F.col("n_digits") / safe_c)
+        .drop("n_punct", "n_digits", "n_stopwords", "mean_word_len", "uniq_token_ratio")
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    *,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score each document with a linear quality model:
+    ``quality_score = sigmoid(bias + w · features)``; adds
+    ``quality_score`` (double) and ``quality_keep`` (boolean ≥
+    *threshold*). Weights come from :func:`train_quality_classifier`
+    or any external training run — they are plain floats, so the
+    scorer stays a codegen'd expression with zero ML runtime
+    dependency at inference time (score 10^12 docs = one projection).
+    """
+    if len(weights) != len(QUALITY_FEATURES):
+        raise ValueError(
+            f"expected {len(QUALITY_FEATURES)} weights "
+            f"({QUALITY_FEATURES}), got {len(weights)}"
+        )
+    feat = quality_features(df, text_col)
+    z = F.lit(float(bias))
+    for w, name in zip(weights, QUALITY_FEATURES):
+        z = z + F.lit(float(w)) * F.col(name)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.withColumn("quality_score", score).withColumn(
+        "quality_keep", F.col("quality_score") >= F.lit(float(threshold))
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    *,
+    text_col: str = "text",
+    max_iter: int = 64,
+    reg_param: float = 0.001,
+    max_train_rows: int = 1_000_000,
+) -> tuple[list[float], float]:
+    """Fit the linear quality model (MLlib LogisticRegression over
+    :func:`quality_features`) on a labeled frame and return
+    ``(weights, bias)`` for :func:`quality_classifier_score`.
+
+    Training is bounded to *max_train_rows* (a quality classifier
+    converges on a sample; the corpus-scale pass is the scoring
+    projection, not the fit). The returned floats reproduce MLlib's
+    own probabilities exactly — pinned by test."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feat = quality_features(df, text_col).limit(max_train_rows)
+    vec = feat.withColumn(
+        "__features",
+        array_to_vector(F.array(*[F.col(c) for c in QUALITY_FEATURES])),
+    ).select(F.col(label_col).cast("double").alias("__label"), "__features")
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol="__label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=True,
+    )
+    model = lr.fit(vec)
+    return [float(c) for c in model.coefficients], float(model.intercept)

@@ -2991,3 +2991,82 @@ ORACLES["exact_substring_dedup"] = f"""
 """
 
 QUERIES["exact_substring_dedup"] = q_exact_substring_dedup
+
+
+# hand-set English-quality weights for the correctness query (a real
+# deployment trains these via text.train_quality_classifier; literal
+# weights keep the oracle a pure-arithmetic twin)
+_QC_WEIGHTS = [0.3, 0.1, 1.5, 6.0, -8.0, -4.0]
+_QC_BIAS = -2.0
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (CCNet/fastText-classifier style):
+    sigmoid linear model over six surface features (log-length, mean
+    word length, unique-token ratio, stopword ratio, punct ratio,
+    digit ratio) — scoring is ONE codegen projection, no ML runtime.
+    Scores (6 dp) + keep decisions value-matched against the DuckDB
+    arithmetic twin. Training path: text.train_quality_classifier
+    (MLlib LR), probability-parity pinned in tests."""
+    from .operators.text import quality_classifier_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_classifier_score(docs, _QC_WEIGHTS, _QC_BIAS, threshold=0.5)
+    return out.select(
+        "doc_id",
+        F.round("quality_score", 6).alias("score_r"),
+        F.col("quality_keep").alias("keep"),
+    )
+
+
+_QC_FEAT_SQL = """
+      SELECT doc_id,
+             ln(1 + length(text)) AS f1,
+             CASE WHEN length(trim(text)) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> length(t))) AS DOUBLE)
+                       / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             END AS f2,
+             CASE WHEN length(trim(text)) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(
+                         regexp_split_to_array(trim(lower(text)), '\\s+')))
+                       AS DOUBLE)
+                       / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             END AS f3,
+             CAST(len(list_filter(
+                    regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    t -> list_contains(['the','and','of','to','in','is','that',
+                                        'with','a','an','it','on','for','as',
+                                        'are'], t))) AS DOUBLE)
+               / (CASE WHEN length(trim(text)) = 0 THEN 1.0
+                       ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  END) AS f4,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS DOUBLE)
+               / (CASE WHEN length(text) = 0 THEN 1.0
+                       ELSE length(text) END) AS f5,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS DOUBLE)
+               / (CASE WHEN length(text) = 0 THEN 1.0
+                       ELSE length(text) END) AS f6
+      FROM documents
+"""
+
+ORACLES["quality_classifier"] = f"""
+    WITH feat AS ({_QC_FEAT_SQL}),
+    z AS (
+      SELECT doc_id,
+             ({_QC_BIAS}) + ({_QC_WEIGHTS[0]}) * f1 + ({_QC_WEIGHTS[1]}) * f2
+               + ({_QC_WEIGHTS[2]}) * f3 + ({_QC_WEIGHTS[3]}) * f4
+               + ({_QC_WEIGHTS[4]}) * f5 + ({_QC_WEIGHTS[5]}) * f6 AS z
+      FROM feat
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 6) AS score_r,
+           (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+    FROM z
+"""
+
+QUERIES["quality_classifier"] = q_quality_classifier
