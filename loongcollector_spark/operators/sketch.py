@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _md5_long
 
-__all__ = ["hll_distinct", "uniform_sample"]
+__all__ = ["hll_distinct", "uniform_sample", "cms_build", "cms_estimate"]
 
 
 def _alpha(m: int) -> float:
@@ -164,4 +164,103 @@ def uniform_sample(
         .orderBy("__h", id_col)
         .limit(n)
         .drop("__h")
+    )
+
+
+def _cms_bucket(col, d: int, width: int, hash_mode: str):
+    """Depth-*d* CMS bucket of *col* — seeded engine-portable kernel
+    (md5 of ``value#depth``) or production xxhash64(value, seed)."""
+    s = F.coalesce(col.cast("string"), F.lit(""))
+    if hash_mode == "md5":
+        return _md5_long(F.concat(s, F.lit("#"), F.lit(str(d)))) % width
+    return F.pmod(F.xxhash64(s, F.lit(d)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Count-Min sketch of *col* (Cormode & Muthukrishnan 2005):
+    ``depth`` hash rows × ``width`` buckets, returned as the sparse
+    cell table ``(depth, bucket, cnt)`` — at most ``depth·width`` rows
+    however large the input.
+
+    Scale/merge shape: each input row expands to ``depth`` (depth,
+    bucket) cells IN THE SAME STAGE as the partial hash aggregation,
+    so the shuffle carries ≤ depth·width rows per map task regardless
+    of input size (the same partial-agg argument as hll_distinct).
+    Two sketches merge by summing cells — union + re-groupBy — which
+    is how per-day or per-stream sketches roll up without rescanning.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("cms_build: need width >= 2 and depth >= 1")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    _cms_bucket(F.col(col), d, width, hash_mode)
+                    .cast("long")
+                    .alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(cells.alias("__c"))
+        .select("__c.depth", "__c.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Point-query the sketch: per probe item, ``est = min over the
+    depth rows of its bucket counts`` (missing cell = 0). Guarantees
+    ``est ≥ true count``; overestimate bounded by εN with
+    ε = e/width at the standard depth = ln(1/δ).
+
+    The sketch is ≤ depth·width rows — broadcast to the probe side, so
+    estimating any number of items is one broadcast join + groupBy.
+    """
+    pb = (
+        probes.select(F.col(col).alias("item"))
+        .select(
+            "item",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("__d"),
+                            _cms_bucket(F.col("item"), d, width, hash_mode)
+                            .cast("long")
+                            .alias("bucket"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("__c"),
+        )
+        .select("item", "__c.__d", "__c.bucket")
+    )
+    joined = pb.join(
+        F.broadcast(sketch.withColumnRenamed("depth", "__d")),
+        ["__d", "bucket"],
+        "left",
+    )
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
     )

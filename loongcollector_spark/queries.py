@@ -3070,3 +3070,62 @@ ORACLES["quality_classifier"] = f"""
 """
 
 QUERIES["quality_classifier"] = q_quality_classifier
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries over events.event_type: build a
+    4×256 sketch (engine-portable seeded-md5 kernel), estimate every
+    distinct event type plus one never-seen probe, and report the
+    estimate beside the exact count — registers AND estimates are
+    bit-identical in the DuckDB twin, and est ≥ exact by construction
+    (the CMS guarantee, assertable from the output itself)."""
+    from .operators.sketch import cms_build, cms_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = cms_build(ev, "event_type", width=256, depth=4, hash_mode="md5")
+    probes = (
+        ev.select(F.col("event_type").cast("string").alias("event_type"))
+        .distinct()
+        .unionAll(
+            ev.sparkSession.createDataFrame(
+                [("___never_seen___",)], "event_type string"
+            )
+        )
+    )
+    est = cms_estimate(sk, probes, "event_type", width=256, depth=4, hash_mode="md5")
+    exact = ev.groupBy(F.col("event_type").cast("string").alias("item")).agg(
+        F.count("*").alias("exact_cnt")
+    )
+    return est.join(exact, "item", "left").select(
+        "item", "est", F.coalesce("exact_cnt", F.lit(0)).cast("long").alias("exact_cnt")
+    )
+
+
+ORACLES["cms_counts"] = """
+    WITH src AS (SELECT coalesce(CAST(event_type AS VARCHAR), '') AS x FROM events),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(x || '#' || d), 1, 15)) AS BIGINT) % 256 AS b,
+             count(*) AS cnt
+      FROM src, ds GROUP BY d, b
+    ),
+    probes AS (
+      SELECT DISTINCT x AS item FROM src
+      UNION ALL SELECT '___never_seen___'
+    ),
+    pb AS (
+      SELECT item, d,
+             CAST(('0x' || substr(md5(item || '#' || d), 1, 15)) AS BIGINT) % 256 AS b
+      FROM probes, ds
+    ),
+    est AS (
+      SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+      FROM pb LEFT JOIN cells USING (d, b) GROUP BY item
+    ),
+    exact AS (SELECT x AS item, count(*) AS c FROM src GROUP BY x)
+    SELECT item, est, CAST(coalesce(c, 0) AS BIGINT) AS exact_cnt
+    FROM est LEFT JOIN exact USING (item)
+"""
+
+QUERIES["cms_counts"] = q_cms_counts

@@ -79,3 +79,51 @@ def test_uniform_sample_plan_take_ordered(spark, sf_dir):
     # global sort+limit must plan as TakeOrderedAndProject (per-
     # partition local top-n), NOT a full Sort + Exchange
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def test_cms_estimate_upper_bounds_exact(spark, sf_dir):
+    from loongcollector_spark.operators.sketch import cms_build, cms_estimate
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = cms_build(ev, "user_id", width=64, depth=4, hash_mode="xxhash64")
+    assert sk.count() <= 64 * 4
+    probes = ev.select(F.col("user_id")).distinct().limit(50)
+    n_probes = probes.count()
+    est = cms_estimate(sk, probes, "user_id", width=64, depth=4, hash_mode="xxhash64")
+    exact = ev.groupBy(F.col("user_id").cast("string").alias("item")).count()
+    joined = est.join(exact, "item").select("est", "count").collect()
+    assert len(joined) == n_probes > 0
+    assert all(r.est >= r["count"] for r in joined)  # CMS never undercounts
+
+
+def test_cms_merge_equals_single_build(spark, sf_dir):
+    """Two half-corpus sketches summed cell-wise == the full-corpus
+    sketch (the mergeability contract)."""
+    from loongcollector_spark.operators.sketch import cms_build
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    full = cms_build(ev, "event_type", width=32, depth=3)
+    a = cms_build(ev.filter("event_id % 2 = 0"), "event_type", width=32, depth=3)
+    b = cms_build(ev.filter("event_id % 2 = 1"), "event_type", width=32, depth=3)
+    merged = (
+        a.unionAll(b)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_cms_guards(spark, sf_dir):
+    import pytest as _pt
+
+    from loongcollector_spark.operators.sketch import cms_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with _pt.raises(ValueError, match="width"):
+        cms_build(ev, "event_type", width=1)
