@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 from .dedup import _md5_long
 
-__all__ = ["hll_distinct", "uniform_sample", "cms_build", "cms_estimate"]
+__all__ = [
+    "hll_distinct",
+    "uniform_sample",
+    "cms_build",
+    "cms_estimate",
+    "stratified_topn_sample",
+]
 
 
 def _alpha(m: int) -> float:
@@ -263,4 +269,39 @@ def cms_estimate(
     )
     return joined.groupBy("item").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def stratified_topn_sample(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Exactly-*n*-per-stratum deterministic sample — the eval-set
+    builder ("give me 1000 random docs per language"), RNG-free like
+    :func:`uniform_sample`: within each stratum keep the *n* rows with
+    the smallest ``hash(id || salt)``. Rerun-, resume- and
+    parallelism-invariant; a different *salt* draws an independent
+    sample. Strata smaller than *n* come back whole.
+
+    Scale shape: ``row_number() <= n`` over (stratum, hash) triggers
+    Spark's WindowGroupLimit pushdown — each map task keeps only its
+    local top-n per stratum BEFORE the shuffle (plan-pinned), so a
+    billion-row stratum moves ~n rows per task, not the stratum.
+    """
+    from pyspark.sql import Window as W
+
+    if n < 1:
+        raise ValueError("stratified_topn_sample: n must be >= 1")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    h = _md5_long(key) if hash_mode == "md5" else F.abs(F.xxhash64(key))
+    w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
     )

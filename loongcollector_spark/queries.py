@@ -3129,3 +3129,86 @@ ORACLES["cms_counts"] = """
 """
 
 QUERIES["cms_counts"] = q_cms_counts
+
+
+_MD5K = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample (eval-set builder):
+    20 docs per language = the 20 smallest keyed hashes per stratum.
+    WindowGroupLimit pushdown keeps per-map state at n rows per
+    stratum (plan-pinned in tests); row set value-matched vs the
+    DuckDB row_number twin."""
+    from .operators.sketch import stratified_topn_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_topn_sample(docs, "lang", 20, salt="r3", hash_mode="md5")
+    return out.select("doc_id", "lang")
+
+
+ORACLES["stratified_topn"] = f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_MD5K.format(x="CAST(doc_id AS VARCHAR) || 'r3'")},
+                        doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+"""
+
+QUERIES["stratified_topn"] = q_stratified_topn
+
+
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion snapshot diff: a deterministic 'v2' of the
+    documents corpus (doc_id%7 removed, %5 text-amended, %11 re-added
+    under shifted ids) diffed against v1 — per-id added/removed/
+    changed/unchanged via a fingerprint full-outer join that shuffles
+    (id, 8-byte hash), never text. Value-matched per id vs the DuckDB
+    twin."""
+    from .operators.delta import corpus_delta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return corpus_delta(docs, new.unionAll(added), hash_mode="md5")
+
+
+ORACLES["corpus_delta"] = f"""
+    WITH o AS (
+      SELECT doc_id, {_MD5K.format(x="coalesce(text, '')")} AS fp
+      FROM documents
+    ),
+    nw AS (
+      SELECT doc_id,
+             {_MD5K.format(x="coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END, '')")} AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 100000, {_MD5K.format(x="coalesce(text, '')")}
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+      SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+             o.fp AS ofp, nw.fp AS nfp
+      FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN ofp IS NULL THEN 'added'
+                WHEN nfp IS NULL THEN 'removed'
+                WHEN ofp = nfp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM j
+"""
+
+QUERIES["corpus_delta"] = q_corpus_delta
