@@ -112,6 +112,10 @@ HEADLINE = [
     "pack_sequences",
     "pq_ann",
     "exact_substring_dedup",
+    "quality_classifier",
+    "cms_counts",
+    "stratified_topn",
+    "corpus_delta",
 ]
 
 
@@ -194,6 +198,29 @@ def _bench_queries():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return profile_table(ev, distinct_mode="approx")
 
+    def bench_cms(spark, sf_dir):
+        from loongcollector_spark.operators.sketch import cms_build
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return cms_build(ev, "event_type", width=1024, depth=4, hash_mode="xxhash64")
+
+    def bench_stratified_topn(spark, sf_dir):
+        from loongcollector_spark.operators.sketch import stratified_topn_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return stratified_topn_sample(docs, "lang", 20, hash_mode="xxhash64")
+
+    def bench_corpus_delta(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.operators.delta import delta_summary
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        new = docs.filter(F.col("doc_id") % 7 != 0)
+        return delta_summary(docs, new, hash_mode="xxhash64")
+
     def bench_exact_substring(spark, sf_dir):
         from loongcollector_spark.operators.dedup import remove_duplicate_spans
 
@@ -225,6 +252,9 @@ def _bench_queries():
         "profile_table": bench_profile,
         "pq_ann": bench_pq_ann,
         "exact_substring_dedup": bench_exact_substring,
+        "cms_counts": bench_cms,
+        "stratified_topn": bench_stratified_topn,
+        "corpus_delta": bench_corpus_delta,
     }
 
 
