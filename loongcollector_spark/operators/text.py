@@ -28,6 +28,7 @@ __all__ = [
     "train_quality_classifier",
     "QUALITY_FEATURES",
     "lm_perplexity",
+    "bigram_lm_perplexity",
     "mixture_report",
     "PII_PATTERNS",
 ]
@@ -645,3 +646,66 @@ def train_quality_classifier(
     )
     model = lr.fit(vec)
     return [float(c) for c in model.coefficients], float(model.intercept)
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram-LM perplexity scoring — the order-2 sibling of
+    :func:`lm_perplexity`: derive an add-α (Laplace) smoothed bigram
+    model from the corpus itself and score every document's
+    cross-entropy under it. Catches word-salad that unigram perplexity
+    misses (right words, wrong order). ``P(w2|w1) = (c(w1,w2) + α) /
+    (c(w1·) + α·V)`` with V = |prediction vocabulary| and a ``<s>``
+    sentinel starting every document.
+
+    Returns ``(id_col, n_bigrams, cross_entropy_bits, ppl)``.
+
+    Scale design mirrors lm_perplexity: bigrams are built per-row
+    (slice + arrays_zip, no window), reduced to per-document counts
+    FIRST so the model joins carry distinct (doc, bigram) rows — the
+    Zipf head ("of the") collapses map-side by the in-doc repetition
+    factor; residual hot bigrams are AQE skew-join territory. The
+    model itself is re-aggregated from the same per-doc counts (one
+    corpus scan), context totals join on w1, and V is a one-row
+    broadcast. All codegen aggregates, no HOF lambdas.
+    """
+    from .dedup import _norm_text
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed bigrams divide by zero)")
+    tk = F.concat(
+        F.array(F.lit("<s>")), F.split(_norm_text(F.col(text_col)), " ")
+    )
+    n = F.size(tk)
+    pairs = F.arrays_zip(
+        F.slice(tk, 1, n - 1).alias("w1"), F.slice(tk, 2, n - 1).alias("w2")
+    )
+    pr = docs.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
+        F.col(id_col), F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
+    )
+    doc_big = pr.groupBy(id_col, "__w1", "__w2").agg(F.count("*").alias("__dc"))
+    model = doc_big.groupBy("__w1", "__w2").agg(F.sum("__dc").alias("__bc"))
+    ctx = model.groupBy("__w1").agg(F.sum("__bc").alias("__cc"))
+    vsize = model.agg(F.countDistinct("__w2").alias("__vs"))
+    scored = (
+        doc_big.join(model, ["__w1", "__w2"])
+        .join(ctx, "__w1")
+        .crossJoin(F.broadcast(vsize))
+    )
+    p = (F.col("__bc") + F.lit(alpha)) / (
+        F.col("__cc") + F.lit(alpha) * F.col("__vs")
+    )
+    bits = -F.sum(F.col("__dc") * F.log2(p)) / F.sum("__dc")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__dc").cast("long").alias("n_bigrams"),
+            bits.alias("cross_entropy_bits"),
+        )
+        .withColumn("ppl", F.pow(F.lit(2.0), F.col("cross_entropy_bits")))
+    )

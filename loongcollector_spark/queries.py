@@ -3212,3 +3212,50 @@ ORACLES["corpus_delta"] = f"""
 """
 
 QUERIES["corpus_delta"] = q_corpus_delta
+
+
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM (add-1 smoothed) perplexity per document — the
+    order-2 CCNet-style quality signal; per-doc cross-entropy bits
+    (6 dp) value-matched against the DuckDB twin."""
+    from .operators.text import bigram_lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_lm_perplexity(docs, alpha=1.0)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("cross_entropy_bits", 6).alias("ce_bits_r"),
+    )
+
+
+ORACLES["bigram_perplexity"] = f"""
+    WITH t AS (
+      SELECT doc_id, list_prepend('<s>', string_split({_NORM}, ' ')) AS tk
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id,
+             unnest([{{'w1': tk[i], 'w2': tk[i + 1]}}
+                     for i in generate_series(1, len(tk) - 1)]) AS s
+      FROM t
+    ),
+    db AS (
+      SELECT doc_id, s.w1 AS w1, s.w2 AS w2, count(*) AS dc
+      FROM pr GROUP BY 1, 2, 3
+    ),
+    mb AS (SELECT w1, w2, sum(dc) AS bc FROM db GROUP BY 1, 2),
+    cx AS (SELECT w1, sum(bc) AS cc FROM mb GROUP BY 1),
+    v AS (SELECT count(DISTINCT w2) AS vs FROM mb),
+    sc AS (
+      SELECT db.doc_id, db.dc, mb.bc, cx.cc, v.vs
+      FROM db JOIN mb USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(sum(dc) AS BIGINT) AS n_bigrams,
+           round(-sum(dc * log2((bc + 1.0) / (cc + 1.0 * vs))) / sum(dc), 6)
+             AS ce_bits_r
+    FROM sc GROUP BY doc_id
+"""
+
+QUERIES["bigram_perplexity"] = q_bigram_perplexity

@@ -91,3 +91,33 @@ def test_weight_count_guard(spark):
     df = _labeled_corpus(spark)
     with pytest.raises(ValueError, match="expected 6 weights"):
         quality_classifier_score(df, [1.0, 2.0], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM (order-2 sibling of lm_perplexity — lives here with the
+# other model-based quality signals)
+
+
+def test_bigram_ppl_flags_word_salad(spark):
+    from loongcollector_spark.operators.text import bigram_lm_perplexity
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    salad = "mat the on dog sat rug the and cat the on sat the"
+    rows = [(i, fluent) for i in range(20)] + [(100, salad)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.ppl for r in bigram_lm_perplexity(df).collect()}
+    assert out[100] > out[0]  # scrambled word order scores worse
+    assert all(v > 0 for v in out.values())
+
+
+def test_bigram_ppl_alpha_guard_and_empty_text(spark):
+    import pytest as _pt
+
+    from loongcollector_spark.operators.text import bigram_lm_perplexity
+
+    df = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_perplexity(df).collect()}
+    assert out[1].n_bigrams == 1  # <s> -> '' sentinel bigram
+    assert out[2].n_bigrams == 2
+    with _pt.raises(ValueError, match="alpha"):
+        bigram_lm_perplexity(df, alpha=0.0)
