@@ -116,6 +116,7 @@ HEADLINE = [
     "cms_counts",
     "stratified_topn",
     "corpus_delta",
+    "bigram_perplexity",
 ]
 
 
