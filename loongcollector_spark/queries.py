@@ -3259,3 +3259,59 @@ ORACLES["bigram_perplexity"] = f"""
 """
 
 QUERIES["bigram_perplexity"] = q_bigram_perplexity
+
+
+def q_conversation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-example assembly from agent transcripts: each
+    conversation rendered as 'role: text' lines and greedily cut into
+    ≤120-token examples at turn boundaries (ONE conv_id shuffle; the
+    greedy fold and example materialization are per-row array
+    expressions). Example fingerprints, turn and token counts
+    value-matched against a DuckDB recursive-CTE twin running the same
+    greedy recurrence."""
+    from .operators.assemble import conversation_examples
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    out = conversation_examples(tx, max_tokens=120)
+    return out.select(
+        "conv_id",
+        "example_idx",
+        "n_turns",
+        "n_tokens",
+        F.md5("example_text").alias("fp"),
+    )
+
+
+ORACLES["conversation_examples"] = f"""
+    WITH RECURSIVE transcripts AS ({_TX}),
+    t AS (
+      SELECT conv_id, turn_idx,
+             concat(role, ': ', text) AS line,
+             CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) + 1
+               AS BIGINT) AS n_tok,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+      FROM transcripts
+    ),
+    rec AS (
+      SELECT conv_id, rn, turn_idx, line, n_tok,
+             0 AS chunk, n_tok AS run
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.conv_id, t.rn, t.turn_idx, t.line, t.n_tok,
+             CASE WHEN rec.run + t.n_tok > 120 AND rec.run > 0
+                  THEN rec.chunk + 1 ELSE rec.chunk END,
+             CASE WHEN rec.run + t.n_tok > 120 AND rec.run > 0
+                  THEN t.n_tok ELSE rec.run + t.n_tok END
+      FROM rec JOIN t ON t.conv_id = rec.conv_id AND t.rn = rec.rn + 1
+    )
+    SELECT conv_id,
+           CAST(chunk AS INT) AS example_idx,
+           CAST(count(*) AS INT) AS n_turns,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           md5(string_agg(line, chr(10) ORDER BY turn_idx)) AS fp
+    FROM rec GROUP BY 1, 2
+"""
+
+QUERIES["conversation_examples"] = q_conversation_examples

@@ -1,0 +1,81 @@
+"""Training-example assembly (operators/assemble.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.assemble import conversation_examples
+
+
+def _tx(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_greedy_turn_boundary_cuts(spark):
+    tx = _tx(
+        spark,
+        [
+            ("c1", 0, "user", "hello there friend"),    # 4 tokens w/ role
+            ("c1", 1, "assistant", "hi how are you"),   # 5
+            ("c1", 2, "user", "fine thanks"),           # 3
+            ("c1", 3, "assistant", "great"),            # 2
+        ],
+    )
+    out = conversation_examples(tx, max_tokens=8).orderBy("example_idx").collect()
+    assert [(r.example_idx, r.n_turns, r.n_tokens) for r in out] == [
+        (0, 1, 4),
+        (1, 2, 8),  # 5 + 3 fits exactly
+        (2, 1, 2),
+    ]
+    assert out[1].example_text == "assistant: hi how are you\nuser: fine thanks"
+
+
+def test_oversized_turn_gets_own_example(spark):
+    tx = _tx(spark, [("c", 0, "user", " ".join(["w"] * 50)), ("c", 1, "user", "ok")])
+    out = conversation_examples(tx, max_tokens=10).orderBy("example_idx").collect()
+    assert len(out) == 2
+    assert out[0].n_tokens == 51 and out[0].n_turns == 1
+    assert out[1].n_tokens == 2  # "ok" + role tag
+
+
+def test_conversations_never_mix(spark):
+    tx = _tx(
+        spark,
+        [("a", 0, "user", "x"), ("b", 0, "user", "y"), ("a", 1, "tool", "z")],
+    )
+    out = conversation_examples(tx, max_tokens=1000).collect()
+    by_conv = {r.conv_id: r for r in out}
+    assert by_conv["a"].n_turns == 2 and by_conv["b"].n_turns == 1
+    assert by_conv["a"].example_text == "user: x\ntool: z"
+
+
+def test_turn_order_follows_idx_not_input_order(spark):
+    tx = _tx(spark, [("c", 2, "user", "third"), ("c", 0, "user", "first"), ("c", 1, "user", "second")])
+    out = conversation_examples(tx.repartition(8), max_tokens=1000).collect()[0]
+    assert out.example_text == "user: first\nuser: second\nuser: third"
+
+
+def test_token_conservation_and_bound(spark, sf_dir):
+    from loongcollector_spark.sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    out = conversation_examples(tx, max_tokens=120)
+    # every turn lands in exactly one example
+    per_turn = tx.select(
+        (
+            F.when(F.length(F.trim("text")) == 0, 0)
+            .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+            + 1
+        ).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert out.agg(F.sum("n_tokens")).first()[0] == per_turn
+    # bound respected except single-oversized-turn examples
+    viol = out.filter((F.col("n_tokens") > 120) & (F.col("n_turns") > 1)).count()
+    assert viol == 0
+
+
+def test_max_tokens_guard(spark):
+    tx = _tx(spark, [("c", 0, "user", "x")])
+    with pytest.raises(ValueError, match="max_tokens"):
+        conversation_examples(tx, max_tokens=0)
