@@ -117,6 +117,7 @@ HEADLINE = [
     "stratified_topn",
     "corpus_delta",
     "bigram_perplexity",
+    "conversation_examples",
 ]
 
 
