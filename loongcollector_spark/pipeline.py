@@ -92,6 +92,27 @@ PROCESSORS: dict[str, ProcessorFn] = {
     "shard_repartition": agg_ops.shard_repartition,
 }
 
+# curation-stage processors (SURVEY §2.11 additions): the text-quality
+# ops whose signatures are (df, **params) compose into specs the same
+# way the log processors do — a config-driven pipeline can score,
+# redact, and tag documents inline with parsing/routing.
+def _register_curation() -> None:
+    from .operators import text as _text
+
+    PROCESSORS.update(
+        {
+            "token_stats": _text.token_stats,
+            "quality_signals": _text.quality_signals,
+            "quality_score": _text.quality_classifier_score,
+            "language_id": _text.language_id,
+            "fingerprint": _text.fingerprint,
+            "pii_redact": _text.pii_redact,
+        }
+    )
+
+
+_register_curation()
+
 
 def register_processor(name: str, fn: ProcessorFn) -> None:
     """Extension point (the reference's plugin registration)."""

@@ -231,9 +231,43 @@ def test_registry_reaches_all_survey_operators():
         "filter_regex", "filter_key_regex", "filter_expression",
         "fields_with_condition", "rate_limit", "stable_order",
         "pack_groups", "shard_repartition",
+        # curation-stage processors (SURVEY §2.11 additions)
+        "token_stats", "quality_signals", "quality_score",
+        "language_id", "fingerprint", "pii_redact",
     }
     missing = required - set(PROCESSORS)
     assert missing == set()
+
+
+def test_spec_driven_curation_stage(spark):
+    """A config-driven spec can score + redact documents inline: the
+    curation processors compose through Pipeline.apply_processors the
+    same way the log processors do."""
+    from loongcollector_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is fine here today"),
+            (2, "mail me at bob@example.com !!! 1234 5678 9012 3456"),
+        ],
+        "doc_id long, text string",
+    )
+    spec = {
+        "processors": [
+            {"type": "pii_redact", "text_col": "text"},
+            {
+                "type": "quality_score",
+                "weights": [0.3, 0.1, 1.5, 6.0, -8.0, -4.0],
+                "bias": -2.0,
+                "threshold": 0.5,
+            },
+            {"type": "fingerprint", "text_col": "text"},
+        ]
+    }
+    out = {r.doc_id: r for r in Pipeline(spec).apply_processors(df).collect()}
+    assert "<EMAIL>" in out[2].text and "<CC>" in out[2].text
+    assert out[1].quality_keep is True and out[2].quality_keep is False
+    assert len(out[1].fingerprint) == 32
 
 
 def test_encrypt_cbc_reference_layout_roundtrip(spark):
