@@ -315,3 +315,59 @@ def stream_dedup_exact(
     return with_fp.dropDuplicatesWithinWatermark([fingerprint_col]).drop(
         fingerprint_col, evt
     )
+
+
+def stream_sketch_rollup(
+    stream_df: DataFrame,
+    col: str,
+    base_path: str,
+    checkpoint_dir: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    hash_mode: str = "xxhash64",
+    available_now: bool = True,
+):
+    """Continuously maintained Count-Min sketch over a stream: each
+    micro-batch writes ITS OWN sketch (≤ depth·width rows) under a
+    ``__batch_id`` partition with dynamic overwrite — the same
+    idempotent-replay contract as stream_pipeline_to_sinks, so a
+    retried batch replaces rather than double-counts itself. The live
+    rollup is :func:`read_sketch_rollup`: union all batch partitions
+    and sum cells (the CMS merge law) — a query over at most
+    ``batches·depth·width`` rows however large the stream history.
+    This is the streaming shape of "top talkers over all time" that a
+    windowed aggregate can't hold: state is sketch-sized, not
+    key-cardinality-sized.
+    """
+    from ..operators.sketch import cms_build
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cms_build(
+            batch_df, col, width=width, depth=depth, hash_mode=hash_mode
+        )
+        (
+            sk.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(base_path)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sketch_rollup(spark: SparkSession, base_path: str) -> DataFrame:
+    """Merged view of a :func:`stream_sketch_rollup` directory:
+    ``(depth, bucket, cnt)`` summed across batch partitions — feed it
+    to ``sketch.cms_estimate`` unchanged."""
+    return (
+        spark.read.parquet(base_path)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -311,3 +311,51 @@ def test_stream_dedup_exact_accepts_ntz_event_time(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1
     assert back.columns == ["text", "ts"]
+
+
+def test_stream_sketch_rollup_equals_batch_cms(spark, tx_path, tmp_path):
+    """Per-batch CMS partitions summed == one batch CMS over the whole
+    input (the merge law end-to-end through foreachBatch), and the
+    merged rollup feeds cms_estimate unchanged."""
+    from loongcollector_spark.operators.sketch import cms_build, cms_estimate
+    from loongcollector_spark.streaming.stream import (
+        read_sketch_rollup,
+        stream_sketch_rollup,
+    )
+
+    stream = read_transcript_stream(spark, tx_path, max_files_per_trigger=2)
+    out = str(tmp_path / "sketch")
+    q = stream_sketch_rollup(
+        stream,
+        "role",
+        out,
+        str(tmp_path / "ckpt"),
+        width=64,
+        depth=3,
+    )
+    q.awaitTermination(120)
+
+    merged = read_sketch_rollup(spark, out)
+    whole = cms_build(
+        spark.read.parquet(tx_path), "role", width=64, depth=3,
+        hash_mode="xxhash64",
+    )
+    assert sorted(map(tuple, merged.select("depth", "bucket", "cnt").collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+    probes = spark.createDataFrame([("assistant",), ("tool",)], "role string")
+    est = {
+        r.item: r.est
+        for r in cms_estimate(
+            merged, probes, "role", width=64, depth=3, hash_mode="xxhash64"
+        ).collect()
+    }
+    exact = {
+        r.role: r.cnt
+        for r in spark.read.parquet(tx_path)
+        .groupBy("role")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert est["assistant"] >= exact["assistant"]
+    assert est["tool"] >= exact["tool"]
