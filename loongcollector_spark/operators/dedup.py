@@ -712,8 +712,15 @@ def duplicate_spans(
     if k < 2:
         raise ValueError("k must be >= 2 tokens")
     hasher = _md5_long if hash_mode == "md5" else F.xxhash64
-    wins = _window_rows(docs, text_col, k, id_col).select(
-        F.col(id_col), "pos", hasher(F.col("__win")).alias("__wh")
+    # persisted: consumed TWICE below (the dup aggregation and the
+    # join-back probe) — without the cache the posexplode + lead-window
+    # tokenize pass runs twice over the corpus. Lifetime: until the
+    # caller's action completes and Spark evicts LRU; same contract as
+    # the minhash signature cache (minhash_dedup_pairs).
+    wins = (
+        _window_rows(docs, text_col, k, id_col)
+        .select(F.col(id_col), "pos", hasher(F.col("__win")).alias("__wh"))
+        .persist()
     )
     dup = (
         wins.groupBy("__wh")
