@@ -37,7 +37,9 @@ def corpus_delta(
     """One row per id present in either snapshot:
     ``(id_col, status)`` with status ∈ {'added','removed','changed',
     'unchanged'}. NULL text hashes as empty string (a doc whose text
-    became NULL reads as changed, not as a join miss)."""
+    became NULL reads as changed, not as a join miss). *id_col* must
+    be unique within each snapshot (the full-outer join multiplies
+    duplicate keys)."""
     o = old.select(F.col(id_col), _fp(text_col, hash_mode).alias("__old_fp"))
     n = new.select(F.col(id_col), _fp(text_col, hash_mode).alias("__new_fp"))
     j = o.join(n, id_col, "full_outer")

@@ -97,7 +97,9 @@ def pack_sequences(
 
     Documents are tokenized with :data:`TOKEN_REGEX`, terminated with
     *eos*, concatenated in ascending *id_col* order, and chunked into
-    *seq_len*-token sequences (the last one may be short).  Returns one
+    *seq_len*-token sequences (the last one may be short). *id_col*
+    must be a corpus primary key — duplicate ids would make the corpus
+    order (and the offset join) ambiguous.  Returns one
     row per sequence::
 
         seq_id:    long   -- 0-based chunk index in the global stream
