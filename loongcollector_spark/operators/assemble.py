@@ -45,11 +45,13 @@ def conversation_examples(
     role tag. A turn longer than *max_tokens* still becomes its own
     example (greedy always makes progress). Turn order inside an
     example and example order inside a conversation follow *idx_col*.
+    NULL turn text is treated as empty (1 token for the role tag) — a
+    NULL must not poison the greedy fold's running sum.
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
 
-    txt = F.col(text_col)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     n_tok = (
         F.when(F.length(F.trim(txt)) == 0, 0)
         .otherwise(F.size(F.split(F.trim(txt), r"\s+")))

@@ -661,9 +661,9 @@ def _window_rows(
     cannot hold a k-token duplicate)."""
     toks = df.select(
         F.col(id_col),
-        F.posexplode(F.split(_norm_text(F.col(text_col)), " ")).alias(
-            "__pos", "__tok"
-        ),
+        F.posexplode(
+            F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("__pos", "__tok"),
     )
     w = W.partitionBy(id_col).orderBy("__pos")
     parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, k)]
@@ -790,11 +790,14 @@ def remove_duplicate_spans(
             "__pos"
         ),
     )
+    # NULL text coalesces to '' so every input doc emits its one empty
+    # token and survives to the output (the documented one-row-per-doc
+    # contract)
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(_norm_text(F.col(text_col)), " ")).alias(
-            "__pos", "__tok"
-        ),
+        F.posexplode(
+            F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("__pos", "__tok"),
     )
     totals = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("n_tokens"))
     kept = (

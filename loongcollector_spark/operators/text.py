@@ -359,7 +359,9 @@ def lm_perplexity(
 
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("__tok"),
+        F.explode(
+            F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("__tok"),
     )
     doc_tok = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__dc"))
     vocab = doc_tok.groupBy("__tok").agg(F.sum("__dc").alias("__vc"))
@@ -563,8 +565,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     * ``f_punct_ratio``     — non-word chars / chars
     * ``f_digit_ratio``     — digits / chars
     """
-    sig = quality_signals(df, text_col)
-    txt = F.col(text_col)
+    # NULL text == empty text: features (and the downstream score /
+    # keep flag) must never go NULL, or keep-filters drop the doc from
+    # BOTH sides of the split. Computed on a temp column so the
+    # caller's text column comes back untouched.
+    tmp = "__q_text"
+    sig = quality_signals(
+        df.withColumn(tmp, F.coalesce(F.col(text_col), F.lit(""))), tmp
+    )
+    txt = F.col(tmp)
     toks = F.split(F.trim(F.lower(txt)), r"\s+")
     n_toks = F.when(F.length(F.trim(txt)) == 0, 0).otherwise(F.size(toks))
     n_chars = F.length(txt)
@@ -577,7 +586,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("f_stopword_ratio", F.col("n_stopwords") / safe_t)
         .withColumn("f_punct_ratio", F.col("n_punct") / safe_c)
         .withColumn("f_digit_ratio", F.col("n_digits") / safe_c)
-        .drop("n_punct", "n_digits", "n_stopwords", "mean_word_len", "uniq_token_ratio")
+        .drop(
+            "n_punct",
+            "n_digits",
+            "n_stopwords",
+            "mean_word_len",
+            "uniq_token_ratio",
+            tmp,
+        )
     )
 
 
@@ -679,7 +695,8 @@ def bigram_lm_perplexity(
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (unsmoothed bigrams divide by zero)")
     tk = F.concat(
-        F.array(F.lit("<s>")), F.split(_norm_text(F.col(text_col)), " ")
+        F.array(F.lit("<s>")),
+        F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
     )
     n = F.size(tk)
     pairs = F.arrays_zip(

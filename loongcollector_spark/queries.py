@@ -3084,7 +3084,11 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     sk = cms_build(ev, "event_type", width=256, depth=4, hash_mode="md5")
     probes = (
-        ev.select(F.col("event_type").cast("string").alias("event_type"))
+        ev.select(
+            F.coalesce(F.col("event_type").cast("string"), F.lit("")).alias(
+                "event_type"
+            )
+        )
         .distinct()
         .unionAll(
             ev.sparkSession.createDataFrame(
@@ -3093,9 +3097,9 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est = cms_estimate(sk, probes, "event_type", width=256, depth=4, hash_mode="md5")
-    exact = ev.groupBy(F.col("event_type").cast("string").alias("item")).agg(
-        F.count("*").alias("exact_cnt")
-    )
+    exact = ev.groupBy(
+        F.coalesce(F.col("event_type").cast("string"), F.lit("")).alias("item")
+    ).agg(F.count("*").alias("exact_cnt"))
     return est.join(exact, "item", "left").select(
         "item", "est", F.coalesce("exact_cnt", F.lit(0)).cast("long").alias("exact_cnt")
     )

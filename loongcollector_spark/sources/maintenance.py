@@ -13,9 +13,12 @@ min/max row-group stats prune scans.
 On an Iceberg runtime this job is ``rewrite_data_files`` (snapshot-
 atomic); this module is the parquet-directory equivalent for the
 fallback layout sinks.py writes, with the same contract surfaced:
-stage → validate → swap.  The directory swap is atomic on HDFS/POSIX
-renames and NOT on object stores — production on S3 uses the Iceberg
-path; the gate test in tests/ proves the fallback preserves rows.
+stage → validate → swap.  Each RENAME is atomic on HDFS/POSIX but the
+two-rename swap as a whole is not: a crash between them leaves *path*
+absent with the data intact at ``<path>__old`` (recover by renaming it
+back) — data is never destroyed before the swap completes.  Object
+stores lack atomic rename entirely; production on S3 uses the Iceberg
+path.  The gate test in tests/ proves the fallback preserves rows.
 """
 
 from __future__ import annotations
@@ -103,12 +106,15 @@ def compact_parquet(
     w.parquet(staged)
 
     got = spark.read.parquet(staged).count()
-    if got != n_rows:
-        raise RuntimeError(
-            f"compact_parquet: staged rewrite has {got} rows, "
-            f"expected {n_rows}; original left untouched at {path}"
-        )
     fs, hpath, jvm = _fs_and_path(spark, path)
+    if got != n_rows:
+        # drop the bad staging dir so a retry doesn't trip over it
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+        raise RuntimeError(
+            f"compact_parquet: staged rewrite had {got} rows, "
+            f"expected {n_rows}; original left untouched at {path}, "
+            "staging removed"
+        )
     backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
     staged_p = jvm.org.apache.hadoop.fs.Path(staged)
     if not fs.rename(hpath, backup):

@@ -118,7 +118,8 @@ def test_compact_validation_failure_leaves_original(spark, tmp_path, monkeypatch
         return df.limit(10)  # drops rows -> staged count != original
 
     monkeypatch.setattr(mt, "optimize_layout", fake_layout)
-    with pytest.raises(RuntimeError, match="staged rewrite has"):
+    with pytest.raises(RuntimeError, match="staged rewrite had"):
         mt.compact_parquet(spark, path, target_mb=128)
-    # original untouched and fully readable
+    # original untouched and fully readable; staging residue removed
     assert real_read(path).count() == 100
+    assert not os.path.exists(path + "__staged")

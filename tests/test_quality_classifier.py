@@ -50,12 +50,15 @@ def test_train_then_score_separates(spark):
     assert acc >= 0.95, f"classifier failed to separate: acc={acc}"
 
 
-def test_scorer_matches_mllib_probabilities(spark):
+def test_scorer_matches_mllib_probabilities(spark, tmp_path):
     """The codegen scorer must reproduce THE model MLlib fit: take one
     fitted model's own coefficients and compare sigmoid(w·x+b) against
     that same model's probability column. (One fit only — two separate
     LBFGS fits can drift past any tight tolerance.)"""
-    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.classification import (
+        LogisticRegression,
+        LogisticRegressionModel,
+    )
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     df = _labeled_corpus(spark)
@@ -71,6 +74,13 @@ def test_scorer_matches_mllib_probabilities(spark):
         standardization=True,
     )
     model = lr.fit(feat.withColumn("label", F.col("label").cast("double")))
+    # drop the training summary before transform: it pins the live
+    # SparkSession (ObservationManager, non-serializable in Spark 4.1),
+    # and once any prior test has used Observation the closure cleaner
+    # refuses to ship the model. Save/load persists a summary-free copy.
+    mpath = str(tmp_path / "lrm")
+    model.write().save(mpath)
+    model = LogisticRegressionModel.load(mpath)
     weights, bias = [float(c) for c in model.coefficients], float(model.intercept)
     mllib_p = {
         r.doc_id: float(r.p[1])

@@ -272,3 +272,70 @@ def test_desensitize_md5_zero_width_pattern_dispatches_to_pandas(spark):
         df, "text", r"x*", method="md5", engine="pandas"
     ).first().text
     assert nat == pdn
+
+
+# ---------------------------------------------------------------------------
+# session-3 review findings: NULL text must never poison or drop rows
+
+
+def test_assemble_null_turn_does_not_poison_fold(spark):
+    from loongcollector_spark.operators.assemble import conversation_examples
+
+    tx = spark.createDataFrame(
+        [
+            ("c", 0, "user", "one two three"),
+            ("c", 1, "tool", None),
+            ("c", 2, "user", "four five six seven eight"),
+            ("c", 3, "user", "nine ten eleven twelve"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = conversation_examples(tx, max_tokens=6).orderBy("example_idx").collect()
+    # NULL turn counts 1 token (role tag) and the bound keeps holding
+    assert all(r.n_tokens is not None for r in out)
+    assert all(r.n_tokens <= 6 for r in out)
+    assert sum(r.n_turns for r in out) == 4
+    assert sum(r.n_tokens for r in out) == 4 + 1 + 6 + 5
+
+
+def test_exact_substring_keeps_null_text_docs(spark):
+    from loongcollector_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f"), (3, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=6).collect()}
+    assert set(out) == {1, 2, 3}  # NULL-text doc comes back
+    assert out[1].text_dedup == "" and out[1].n_removed == 0
+    assert out[3].text_dedup == ""  # the dup still deduped
+
+
+def test_bigram_and_unigram_score_null_text_docs(spark):
+    from loongcollector_spark.operators.text import (
+        bigram_lm_perplexity,
+        lm_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b a b")], "doc_id long, text string"
+    )
+    bg = {r.doc_id for r in bigram_lm_perplexity(docs).collect()}
+    ug = {r.doc_id for r in lm_perplexity(docs).collect()}
+    assert bg == ug == {1, 2}
+
+
+def test_quality_score_never_null_and_text_untouched(spark):
+    from loongcollector_spark.operators.text import quality_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in
+           quality_classifier_score(docs, [0.3, 0.1, 1.5, 6.0, -8.0, -4.0], -2.0).collect()}
+    assert out[1].quality_score is not None
+    assert out[1].quality_keep is not None
+    assert out[1].text is None  # caller's column untouched
+    # doc 1 now lands on exactly one side of any keep-split
+    kept = out[1].quality_keep
+    assert kept in (True, False)
