@@ -27,6 +27,9 @@ __all__ = [
     "quality_classifier_score",
     "train_quality_classifier",
     "QUALITY_FEATURES",
+    "url_stats",
+    "domain_blocklist_filter",
+    "URL_REGEX",
     "lm_perplexity",
     "bigram_lm_perplexity",
     "mixture_report",
@@ -726,3 +729,74 @@ def bigram_lm_perplexity(
         )
         .withColumn("ppl", F.pow(F.lit(2.0), F.col("cross_entropy_bits")))
     )
+
+
+# URL / domain hygiene (the C4 / RefinedWeb-style source filters).
+# Regex kept RE2-compatible (no lookaround) so the DuckDB oracle runs
+# the identical pattern — same constraint as PII_PATTERNS.
+URL_REGEX = r"https?://[A-Za-z0-9._~:/?#\[\]@!$&'()*+,;=%-]+"
+_DOMAIN_REGEX = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document URL signals: ``n_urls`` (occurrences), ``domains``
+    (sorted distinct lowercased hostnames), ``n_domains``. Pure JVM
+    expressions — extraction never leaves codegen, no shuffle."""
+    urls = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(URL_REGEX), 0
+    )
+    # trailing dots stripped: sentence punctuation swallowed by the
+    # URL regex ("see https://evil.com.") must not hide the hostname
+    # from blocklist equality
+    domains = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                urls,
+                lambda u: F.regexp_replace(
+                    F.lower(F.regexp_extract(u, _DOMAIN_REGEX, 1)),
+                    r"\.+$",
+                    "",
+                ),
+            )
+        )
+    )
+    return (
+        df.withColumn("n_urls", F.size(urls))
+        .withColumn("domains", domains)
+        .withColumn("n_domains", F.size("domains"))
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    *,
+    text_col: str = "text",
+    keep_flag: str | None = None,
+) -> DataFrame:
+    """Drop (or flag) documents containing a URL whose hostname is on
+    *blocklist* or any of its subdomains (``evil.com`` blocks
+    ``a.b.evil.com`` — suffix match at a label boundary, the standard
+    domain-blocklist rule). With *keep_flag* set, adds a boolean
+    column instead of filtering — the audit mode.
+
+    The blocklist ships as a literal array (config-sized, like the
+    router's rules); matching is a per-row expression over the
+    extracted domains — no join, no shuffle, filter pushes down."""
+    if not blocklist:
+        raise ValueError("domain_blocklist_filter: empty blocklist")
+    with_d = url_stats(df, text_col)
+    blocked_arr = F.array(*[F.lit(b.lower()) for b in blocklist])
+    hit = F.exists(
+        F.col("domains"),
+        lambda d: F.exists(
+            blocked_arr,
+            lambda b: (d == b) | d.endswith(F.concat(F.lit("."), b)),
+        ),
+    )
+    flagged = with_d.withColumn("__blocked", hit).drop(
+        "n_urls", "domains", "n_domains"
+    )
+    if keep_flag is not None:
+        return flagged.withColumnRenamed("__blocked", keep_flag)
+    return flagged.filter(~F.col("__blocked")).drop("__blocked")

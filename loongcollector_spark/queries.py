@@ -3319,3 +3319,76 @@ ORACLES["conversation_examples"] = f"""
 """
 
 QUERIES["conversation_examples"] = q_conversation_examples
+
+
+def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style URL hygiene: extract URLs + hostnames and
+    apply a domain blocklist (suffix match at label boundaries). The
+    corpus carries no URLs, so the query augments each document with
+    deterministic doc_id-derived links (one per doc + a tracker URL on
+    every third doc) — both engines build the same text, then run the
+    same extraction/blocklist arithmetic. Per-doc URL count, distinct
+    domains, and the blocked flag value-matched against DuckDB."""
+    from .operators.text import domain_blocklist_filter, url_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" visit https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" see http://tracker.bad-ads.net/pix?u=1."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    stats = url_stats(aug)
+    flagged = domain_blocklist_filter(aug, ["bad-ads.net"], keep_flag="blocked")
+    return stats.select(
+        "doc_id",
+        "n_urls",
+        "n_domains",
+        F.concat_ws(",", "domains").alias("domains_csv"),
+    ).join(flagged.select("doc_id", "blocked"), "doc_id")
+
+
+def _url_oracle_sql() -> str:
+    from .operators.text import URL_REGEX
+
+    pat = URL_REGEX.replace("'", "''")
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' visit https://site' || (doc_id % 7)
+                  || '.example.com/p/' || doc_id
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' see http://tracker.bad-ads.net/pix?u=1.'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    u AS (SELECT doc_id, regexp_extract_all(text, '{pat}') AS urls FROM aug),
+    d AS (
+      SELECT doc_id, len(urls) AS n_urls,
+             list_sort(list_distinct(
+               [regexp_replace(lower(regexp_extract(x,
+                   'https?://([A-Za-z0-9.-]+)', 1)), '\\.+$', '')
+                for x in urls])) AS domains
+      FROM u
+    )
+    SELECT doc_id,
+           CAST(n_urls AS INT) AS n_urls,
+           CAST(len(domains) AS INT) AS n_domains,
+           array_to_string(domains, ',') AS domains_csv,
+           len([x for x in domains
+                if x = 'bad-ads.net' OR suffix(x, '.bad-ads.net')]) > 0
+             AS blocked
+    FROM d
+    """
+
+
+ORACLES["url_hygiene"] = _url_oracle_sql()
+QUERIES["url_hygiene"] = q_url_hygiene

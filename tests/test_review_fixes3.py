@@ -339,3 +339,41 @@ def test_quality_score_never_null_and_text_untouched(spark):
     # doc 1 now lands on exactly one side of any keep-split
     kept = out[1].quality_keep
     assert kept in (True, False)
+
+
+def test_url_stats_and_blocklist(spark):
+    from loongcollector_spark.operators.text import (
+        domain_blocklist_filter,
+        url_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://good.org/x and http://a.evil.com/p?q=1 plus https://EVIL.com."),
+            (2, "no links here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    st = {r.doc_id: r for r in url_stats(df).collect()}
+    assert st[1].n_urls == 3
+    # trailing sentence dot stripped; subdomain + case folded
+    assert st[1].domains == ["a.evil.com", "evil.com", "good.org"]
+    assert st[2].n_urls == 0 and st[3].n_urls == 0
+
+    kept = [r.doc_id for r in domain_blocklist_filter(df, ["evil.com"]).collect()]
+    assert sorted(kept) == [2, 3]
+    flagged = {
+        r.doc_id: r.blocked
+        for r in domain_blocklist_filter(df, ["evil.com"], keep_flag="blocked").collect()
+    }
+    assert flagged == {1: True, 2: False, 3: False}
+    # goodevil.com must NOT match the evil.com blocklist (label boundary)
+    df2 = spark.createDataFrame(
+        [(9, "https://goodevil.com/x")], "doc_id long, text string"
+    )
+    assert [r.doc_id for r in domain_blocklist_filter(df2, ["evil.com"]).collect()] == [9]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty blocklist"):
+        domain_blocklist_filter(df, [])
