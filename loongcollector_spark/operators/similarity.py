@@ -25,6 +25,10 @@ __all__ = [
     "brute_force_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "ivfpq_ann_topk",
+    "pq_ann_topk",
+    "pq_encode",
+    "train_pq_codebooks",
     "embedding_near_dups",
     "semantic_dedup",
 ]
@@ -465,13 +469,21 @@ def train_pq_codebooks(
     if not rows:
         raise ValueError("train_pq_codebooks: empty training set")
     X = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    return _fit_subspace_codebooks(X, m=m, ksub=ksub, seed=seed, iters=iters)
+
+
+def _fit_subspace_codebooks(X, *, m: int, ksub: int, seed: int, iters: int):
+    """Per-subspace Lloyd's over a driver-side sample matrix — shared
+    by raw-vector PQ (train_pq_codebooks) and residual PQ (ivfpq)."""
+    import numpy as np
+
     n, D = X.shape
     if D % m:
         raise ValueError(f"dim {D} not divisible by m={m} subspaces")
     if n < ksub:
         raise ValueError(f"need >= ksub={ksub} training rows, got {n}")
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
-    X = X / np.where(norms == 0, 1.0, norms)
     dsub = D // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, ksub, dsub), dtype=np.float64)
@@ -633,9 +645,26 @@ def pq_ann_topk(
         .select(query_id_col, "neighbor_id")
     )
 
-    # exact re-rank on candidates only: corpus scanned once with the
-    # tiny candidate set broadcast — the cosine HOF touches only
-    # k*refine*n_queries rows
+    return _exact_rerank(
+        vectors, queries, cand, k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def _exact_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a small candidate set: corpus scanned
+    once with the candidates broadcast — the cosine HOF touches only
+    ``k*refine*n_queries`` rows. Shared tail of the compressed-domain
+    ANN paths (PQ, IVF-PQ)."""
     qv = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
@@ -657,4 +686,176 @@ def pq_ann_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivfpq_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 20_000,
+    refine: int = 8,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011) — the composition the two
+    halves exist for: a coarse k-means quantizer limits each query to
+    ``n_probe`` inverted lists, and inside those lists distances are
+    ADC lookups over PQ codes of the RESIDUAL (x − cell center). At
+    10^9+ vectors this is the canonical shape: the scan touches
+    ``n_probe/n_cells`` of the corpus and reads ``m`` bytes per vector
+    instead of the embedding.
+
+    Training: MLlib KMeans (bounded fit) for the coarse stage; the
+    residuals of the same driver-side sample fit the per-subspace
+    codebooks (:func:`_fit_subspace_codebooks`). Encoding is one
+    Arrow-batched pass emitting ``(id, cell, codes)``. Queries probe
+    their ``n_probe`` nearest cells, precompute one ``(m, ksub)``
+    residual LUT per (query, cell), score joined candidates with
+    vectorized gathers, and the global top ``k·refine`` re-rank
+    exactly (:func:`_exact_rerank` — scores are true cosines).
+
+    Recall < 1 twice over (cell pruning + quantization);
+    :func:`brute_force_topk` is the baseline, recall-tested.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # --- coarse quantizer on normalized vectors -----------------------
+    norm_expr = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: v
+        / F.sqrt(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+            + F.lit(1e-300)
+        ),
+    )
+    vec = vectors.select(
+        F.col(id_col).alias("__vid"), norm_expr.alias("__nv")
+    ).withColumn("__v", array_to_vector(F.col("__nv")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(vec.select("__v").limit(max_train_rows))
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    # --- residual PQ codebooks from a bounded sample -------------------
+    sample = np.array(
+        [r[0] for r in vec.select("__nv").limit(max_train_rows).collect()],
+        dtype=np.float64,
+    )
+    if not len(sample):
+        raise ValueError("ivfpq_ann_topk: empty corpus")
+    s_cells = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
+    books = _fit_subspace_codebooks(
+        sample - centers[s_cells], m=m, ksub=ksub, seed=seed, iters=12
+    )
+    mm, _, dsub = books.shape
+
+    # --- encode: (id, cell, codes) in one Arrow pass --------------------
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["__nv"]), dtype=np.float64)
+            cells = ((V[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
+            R = V - centers[cells]
+            codes = np.empty((len(V), mm), dtype=np.int64)
+            for j in range(mm):
+                sub = R[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (
+                    ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1).argmin(1)
+                )
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["__vid"],
+                    "__cell": cells,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = vec.select("__vid", "__nv").mapInPandas(
+        encode, schema="neighbor_id long, __cell int, codes array<int>"
+    )
+
+    # --- queries: probe cells + residual LUTs ---------------------------
+    q_rows = _collect_queries(queries, query_id_col, vec_col, "ivfpq_ann_topk")
+    if not q_rows:
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, neighbor_id long, rank int, cos_sim double",
+        )
+    q_ids = [int(r[0]) for r in q_rows]
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0, 1.0, qn)
+    qd2 = ((Qn[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(qd2, axis=1)[:, :n_probe]
+    luts = {}
+    jj = np.arange(mm)
+    for qi, qid in enumerate(q_ids):
+        for cell in probes[qi]:
+            qr = Qn[qi] - centers[cell]
+            luts[(qid, int(cell))] = (
+                (qr.reshape(mm, 1, dsub) - books) ** 2
+            ).sum(-1)
+
+    probe_df = vectors.sparkSession.createDataFrame(
+        [(qid, int(c)) for qi, qid in enumerate(q_ids) for c in probes[qi]],
+        f"{query_id_col} long, __cell int",
+    )
+    joined = encoded.join(F.broadcast(probe_df), "__cell").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    take = k * refine
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for (qid, cell), grp in pdf.groupby([query_id_col, "__cell"]):
+                lut = luts[(int(qid), int(cell))]
+                C = np.array(list(grp["codes"]), dtype=np.int64)
+                d2 = lut[jj[None, :], C].sum(1)
+                t = min(take, len(d2))
+                part = np.argpartition(d2, t - 1)[:t]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: int(qid),
+                            "neighbor_id": grp["neighbor_id"].to_numpy()[part],
+                            "approx_sim": 1.0 - d2[part] / 2.0,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = joined.mapInPandas(
+        score, schema=f"{query_id_col} long, neighbor_id long, approx_sim double"
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= take)
+        .select(query_id_col, "neighbor_id")
+    )
+    return _exact_rerank(
+        vectors, queries, cand, k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
     )

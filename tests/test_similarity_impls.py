@@ -122,3 +122,43 @@ def test_pq_query_guard_and_empty(spark, emb, monkeypatch):
     queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="pq_ann_topk query side exceeds"):
         similarity.pq_ann_topk(emb, queries, k=2, ksub=16).collect()
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (coarse cells + residual PQ + ADC)
+
+
+def test_ivfpq_recall_and_exact_scores(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    got = similarity.ivfpq_ann_topk(
+        emb, queries, k=10, n_cells=16, n_probe=8, m=8, ksub=16, refine=8
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows = got.collect()
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+    # returned scores are exact cosine (re-ranked), well-formed ranks
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim for r in exact.collect()
+    }
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert r.cos_sim == pytest.approx(exact_scores[key], abs=1e-9)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_ivfpq_guards(spark, emb, monkeypatch):
+    empty = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert similarity.ivfpq_ann_topk(emb, empty, k=3, n_cells=4).count() == 0
+    monkeypatch.setattr(similarity, "_MAX_DRIVER_QUERIES", 3)
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="ivfpq_ann_topk query side exceeds"):
+        similarity.ivfpq_ann_topk(emb, queries, k=2, n_cells=4).collect()
