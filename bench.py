@@ -118,6 +118,7 @@ HEADLINE = [
     "corpus_delta",
     "bigram_perplexity",
     "conversation_examples",
+    "url_hygiene",
 ]
 
 

@@ -4,15 +4,20 @@ Training-data-pipeline addition (not in the reference — SURVEY.md
 §2.11): approximate nearest neighbor over the ``embeddings`` table
 (vec_id:bigint, embedding:array<float>, label:int).
 
-Two paths:
-* brute-force cosine top-k — the correctness baseline. Dot products
-  via JVM ``F.zip_with`` + ``F.aggregate`` (codegen'd, no Python);
-  top-k via window over the query id.
-* LSH-bucketed ANN — the scale path: random-hyperplane signatures
-  (deterministic seeded planes), candidates = same bucket in ≥1 table,
-  exact re-rank inside buckets only. At 10^9 vectors the bucket join
-  shuffles candidates, never the cross product.
-* embedding-cosine near-dup — same kernel, thresholded self-join.
+The ladder, cheapest-exact to biggest-scale:
+* brute-force cosine top-k — the correctness baseline (NumPy batch
+  kernel per Arrow batch + tiny global re-rank; an interpreted-HOF SQL
+  twin kept as the semantic reference).
+* LSH-bucketed ANN — candidates = same hyperplane bucket in ≥1 table;
+  the bucket join shuffles candidates, never the cross product.
+* IVF — k-means inverted lists, each query probes n_probe cells.
+* PQ/ADC — corpus compressed to m codes/vector; scoring is m table
+  lookups; exact cosine re-rank on k·refine broadcast candidates.
+* IVF-PQ (IVFADC) — both: probe n_probe cells, ADC over residual
+  codes inside them; the 10^9-vector shape (n_probe/n_cells of the
+  corpus × m bytes per vector per query).
+* embedding-cosine near-dup + SemDeDup semantic dedup — thresholded
+  self-joins bucketed by signature / cluster.
 """
 
 from __future__ import annotations
