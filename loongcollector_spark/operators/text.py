@@ -30,6 +30,8 @@ __all__ = [
     "url_stats",
     "domain_blocklist_filter",
     "URL_REGEX",
+    "vocab_report",
+    "oov_rate",
     "lm_perplexity",
     "bigram_lm_perplexity",
     "mixture_report",
@@ -800,3 +802,80 @@ def domain_blocklist_filter(
     if keep_flag is not None:
         return flagged.withColumnRenamed("__blocked", keep_flag)
     return flagged.filter(~F.col("__blocked")).drop("__blocked")
+
+
+def vocab_report(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary report — the one-row table a tokenizer-design
+    pass starts from: total token occurrences, vocabulary size, hapax
+    count (tokens seen once), and the corpus share covered by the
+    *top_n* most frequent tokens (Zipf head coverage).
+
+    Scale shape: ONE token-count aggregation (map-side partial agg
+    collapses the Zipf head before the shuffle — same argument as
+    bpe_pair_stats), then two tiny reductions over the vocab table;
+    the head share is a TakeOrdered of *top_n* rows, never a full
+    sort. Ties at the head boundary break by (count desc, token asc)
+    so both engines pick the same *top_n* set.
+    """
+    from .dedup import _norm_text
+
+    toks = docs.select(
+        F.explode(
+            F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("__tok")
+    )
+    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+    head = (
+        vocab.orderBy(F.desc("__c"), F.asc("__tok"))
+        .limit(top_n)
+        .agg(F.sum("__c").alias("__head"))
+    )
+    report = vocab.agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return report.crossJoin(F.broadcast(head)).select(
+        "n_tokens",
+        "vocab_size",
+        "n_hapax",
+        (F.col("__head") / F.col("n_tokens")).alias("head_share"),
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a literal *vocab*
+    (config-sized, like a tokenizer's special/function-word list):
+    ``(id_col, n_tokens, n_oov, oov_frac)``. Pure per-row expressions
+    — the vocab ships as a literal array, no join, no shuffle. Empty/
+    NULL text scores 0 tokens and oov_frac 0.0."""
+    from .dedup import _norm_text
+
+    if not vocab:
+        raise ValueError("oov_rate: empty vocab")
+    norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(norm, " ")
+    n = F.when(F.length(norm) == 0, 0).otherwise(F.size(toks))
+    varr = F.array(*[F.lit(v) for v in vocab])
+    oov = F.when(
+        F.length(norm) == 0, 0
+    ).otherwise(F.size(F.filter(toks, lambda t: ~F.array_contains(varr, t))))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        oov.cast("long").alias("n_oov"),
+        F.when(n > 0, oov / n).otherwise(F.lit(0.0)).alias("oov_frac"),
+    )

@@ -3392,3 +3392,89 @@ def _url_oracle_sql() -> str:
 
 ORACLES["url_hygiene"] = _url_oracle_sql()
 QUERIES["url_hygiene"] = q_url_hygiene
+
+
+def q_vocab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary report (tokenizer-design pass): total token
+    occurrences, vocab size, hapax count, Zipf-head (top-100) share —
+    one aggregation + a 100-row TakeOrdered, value-matched against the
+    DuckDB twin (head ties broken (count desc, token asc) in both)."""
+    from .operators.text import vocab_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = vocab_report(docs, top_n=100)
+    return out.select(
+        "n_tokens",
+        "vocab_size",
+        "n_hapax",
+        F.round("head_share", 9).alias("head_share_r"),
+    )
+
+
+ORACLES["vocab_report"] = f"""
+    WITH t AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    head AS (
+      SELECT sum(c) AS hc FROM (
+        SELECT c FROM v ORDER BY c DESC, tok ASC LIMIT 100)
+    ),
+    r AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM v
+    )
+    SELECT n_tokens, vocab_size, n_hapax,
+           round(CAST(hc AS DOUBLE) / n_tokens, 9) AS head_share_r
+    FROM r, head
+"""
+
+QUERIES["vocab_report"] = q_vocab_report
+
+
+_OOV_VOCAB = [
+    "the", "and", "of", "to", "in", "is", "that", "with",
+    "a", "an", "it", "on", "for", "as", "are",
+]
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a literal function-
+    word vocabulary (the content-word fraction signal); counts and
+    9 dp fractions value-matched against the DuckDB list twin."""
+    from .operators.text import oov_rate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = oov_rate(docs, _OOV_VOCAB)
+    return out.select(
+        "doc_id", "n_tokens", "n_oov", F.round("oov_frac", 9).alias("oov_frac_r")
+    )
+
+
+ORACLES["oov_rate"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk,
+             length({_NORM}) AS nl
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CASE WHEN nl = 0 THEN 0 ELSE len(tk) END AS n_tokens,
+             CASE WHEN nl = 0 THEN 0 ELSE
+               len(list_filter(tk, x -> NOT list_contains(
+                 ['the','and','of','to','in','is','that','with',
+                  'a','an','it','on','for','as','are'], x)))
+             END AS n_oov
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           round(CASE WHEN n_tokens > 0
+                      THEN CAST(n_oov AS DOUBLE) / n_tokens
+                      ELSE 0.0 END, 9) AS oov_frac_r
+    FROM c
+"""
+
+QUERIES["oov_rate"] = q_oov_rate

@@ -377,3 +377,27 @@ def test_url_stats_and_blocklist(spark):
 
     with _pt.raises(ValueError, match="empty blocklist"):
         domain_blocklist_filter(df, [])
+
+
+def test_vocab_report_and_oov(spark):
+    from loongcollector_spark.operators.text import oov_rate, vocab_report
+
+    df = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, "the cat zzz"), (3, None)],
+        "doc_id long, text string",
+    )
+    r = vocab_report(df, top_n=2).collect()[0]
+    # tokens: the×3 cat×2 dog zzz + '' (null doc) = 8 occurrences
+    assert r.n_tokens == 8
+    assert r.vocab_size == 5  # the, cat, dog, zzz, ''
+    assert r.n_hapax == 3  # dog, zzz, ''
+    assert r.head_share == (3 + 2) / 8  # top-2 = the(3), cat(2)
+
+    o = {x.doc_id: x for x in oov_rate(df, ["the", "cat"]).collect()}
+    assert (o[1].n_tokens, o[1].n_oov) == (4, 1)  # dog
+    assert (o[2].n_tokens, o[2].n_oov) == (3, 1)  # zzz
+    assert (o[3].n_tokens, o[3].n_oov, o[3].oov_frac) == (0, 0, 0.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty vocab"):
+        oov_rate(df, [])
