@@ -297,3 +297,45 @@ def event_funnel(
     return tall.select(
         "step_idx", "step", "n_users", rate.alias("conv_rate")
     )
+
+
+def conversation_latency(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    responder: str = "assistant",
+) -> DataFrame:
+    """Per-conversation responder-latency rollup — the agent-telemetry
+    question "how fast does the assistant answer": a response is a
+    *responder* turn whose previous turn (by *idx_col*) has a different
+    role; its latency is the timestamp delta in microseconds. Returns
+    ``(conv_col, n_responses, p50_delay_us, max_delay_us)`` — exact
+    median via ``percentile`` (linear interpolation, bit-equal to
+    DuckDB's quantile_cont; same precedent as latency_percentiles).
+
+    One shuffle on *conv_col* shared by the lag window and the final
+    aggregate (the window's partitioning is reused — no second
+    exchange). Conversations with no responses are omitted.
+    """
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lagged = tx.select(
+        F.col(conv_col),
+        F.col(role_col),
+        us.alias("__us"),
+        F.lag(role_col).over(w).alias("__prev_role"),
+        F.lag(us).over(w).alias("__prev_us"),
+    )
+    resp = lagged.filter(
+        (F.col(role_col) == responder)
+        & F.col("__prev_role").isNotNull()
+        & (F.col("__prev_role") != responder)
+    ).select(conv_col, (F.col("__us") - F.col("__prev_us")).alias("__delay"))
+    return resp.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.percentile("__delay", F.lit(0.5)).alias("p50_delay_us"),
+        F.max("__delay").cast("long").alias("max_delay_us"),
+    )

@@ -3478,3 +3478,46 @@ ORACLES["oov_rate"] = f"""
 """
 
 QUERIES["oov_rate"] = q_oov_rate
+
+
+def q_conversation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant response latency per conversation: lag window over
+    (conv, turn_idx) finds responder turns following a different role;
+    exact integer-microsecond deltas aggregated to count / exact p50 /
+    max, value-matched against the DuckDB window+quantile_cont twin."""
+    from .operators.aggregate import conversation_latency
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    out = conversation_latency(tx)
+    return out.select(
+        "conv_id",
+        "n_responses",
+        F.round("p50_delay_us", 6).alias("p50_delay_us_r"),
+        "max_delay_us",
+    )
+
+
+ORACLES["conversation_latency"] = f"""
+    WITH transcripts AS ({_TX}),
+    l AS (
+      SELECT conv_id, role, epoch_us(ts) AS us,
+             lag(role) OVER w AS prev_role,
+             lag(epoch_us(ts)) OVER w AS prev_us
+      FROM transcripts
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    r AS (
+      SELECT conv_id, us - prev_us AS delay
+      FROM l
+      WHERE role = 'assistant' AND prev_role IS NOT NULL
+        AND prev_role <> 'assistant'
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_responses,
+           round(quantile_cont(delay, 0.5), 6) AS p50_delay_us_r,
+           CAST(max(delay) AS BIGINT) AS max_delay_us
+    FROM r GROUP BY conv_id
+"""
+
+QUERIES["conversation_latency"] = q_conversation_latency

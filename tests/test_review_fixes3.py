@@ -401,3 +401,24 @@ def test_vocab_report_and_oov(spark):
 
     with _pt.raises(ValueError, match="empty vocab"):
         oov_rate(df, [])
+
+
+def test_conversation_latency_semantics(spark):
+    from loongcollector_spark.operators.aggregate import conversation_latency
+
+    rows = [
+        ("c", 0, "user", "2024-01-01 00:00:00"),
+        ("c", 1, "assistant", "2024-01-01 00:00:02"),   # 2s response
+        ("c", 2, "assistant", "2024-01-01 00:00:03"),   # continuation: NOT a response
+        ("c", 3, "tool", "2024-01-01 00:00:04"),
+        ("c", 4, "assistant", "2024-01-01 00:00:10"),   # 6s response
+        ("d", 0, "assistant", "2024-01-01 00:00:00"),   # first turn: no response
+    ]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.conv_id: r for r in conversation_latency(tx).collect()}
+    assert set(out) == {"c"}  # d has no responses
+    assert out["c"].n_responses == 2
+    assert out["c"].max_delay_us == 6_000_000
+    assert out["c"].p50_delay_us == 4_000_000.0  # interpolated median of {2s, 6s}
