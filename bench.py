@@ -119,6 +119,9 @@ HEADLINE = [
     "bigram_perplexity",
     "conversation_examples",
     "url_hygiene",
+    "vocab_report",
+    "oov_rate",
+    "conversation_latency",
 ]
 
 
