@@ -192,3 +192,24 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_lhs")
         spark.sql("DROP TABLE IF EXISTS b_rhs")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+def test_session3_query_plan_pins(spark, sf_dir_med):
+    """Scale pins for the session-3 additions: per-doc/per-conv ops
+    never move data to one partition; the one-row report queries own
+    exactly the single final-aggregate SinglePartition (tiny input —
+    vocab table / one-row broadcast), nothing else."""
+    from loongcollector_spark.queries import QUERIES
+
+    def plan(name):
+        return (
+            QUERIES[name](spark, sf_dir_med)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert plan("conversation_latency").count("Exchange SinglePartition") == 0
+    assert plan("exact_substring_dedup").count("Exchange SinglePartition") == 0
+    assert plan("bigram_perplexity").count("Exchange SinglePartition") == 1
+    assert plan("vocab_report").count("Exchange SinglePartition") == 1
