@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""spark-submit entry point for SFT training-data export.
+
+Turns a transcript table (conv_id, turn_idx, role, text, ...) into
+training examples and packed LM sequences:
+
+    transcripts
+      → conversation_examples (greedy ≤max-token cuts at turn
+        boundaries, conversations never mix)
+      → [optional] pack_sequences over the example texts (fixed-length
+        LM pretraining blocks with <eos> separators)
+      → write examples (+ sequences) as parquet
+
+Usage::
+
+    zip -r lc.zip loongcollector_spark
+    spark-submit --py-files lc.zip jobs/run_sft_export.py \
+        --input  <transcripts parquet> \
+        --output <examples path> \
+        [--max-tokens 1024] \
+        [--pack-output <sequences path>] [--seq-len 512] \
+        [--shards 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--max-tokens", type=int, default=1024)
+    ap.add_argument("--pack-output")
+    ap.add_argument("--seq-len", type=int, default=512)
+    ap.add_argument("--shards", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.operators.assemble import conversation_examples
+    from loongcollector_spark.operators.packing import pack_sequences
+    from loongcollector_spark.session import get_spark
+
+    spark = get_spark("sft-export")
+    t0 = time.time()
+    tx = spark.read.parquet(args.input)
+    ex = conversation_examples(tx, max_tokens=args.max_tokens)
+    # stable example key for downstream joins/dedup
+    ex = ex.withColumn(
+        "example_id",
+        F.xxhash64(F.col("conv_id"), F.col("example_idx")),
+    )
+    ex.repartition(args.shards).write.mode("overwrite").parquet(args.output)
+
+    report = {
+        "n_examples": spark.read.parquet(args.output).count(),
+        "examples_path": args.output,
+    }
+    if args.pack_output:
+        packed = pack_sequences(
+            spark.read.parquet(args.output),
+            text_col="example_text",
+            id_col="example_id",
+            seq_len=args.seq_len,
+        )
+        packed.write.mode("overwrite").parquet(args.pack_output)
+        report["n_sequences"] = spark.read.parquet(args.pack_output).count()
+        report["seq_len"] = args.seq_len
+        report["pack_path"] = args.pack_output
+    report["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
