@@ -43,20 +43,31 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--shards", type=int, default=64)
     args = ap.parse_args(argv)
 
-    from pyspark.sql import functions as F
+    from pyspark.sql import SparkSession, functions as F
 
     from loongcollector_spark.operators.assemble import conversation_examples
     from loongcollector_spark.operators.packing import pack_sequences
-    from loongcollector_spark.session import get_spark
+    from loongcollector_spark.session import apply_runtime_confs
 
-    spark = get_spark("sft-export")
+    # spark-submit owns the master/resources; only layer the runtime
+    # confs on top (same contract as the other jobs/ entry points —
+    # get_spark() would force local[...] and override the cluster)
+    spark = SparkSession.builder.appName("sft-export").getOrCreate()
+    apply_runtime_confs(spark)
     t0 = time.time()
     tx = spark.read.parquet(args.input)
     ex = conversation_examples(tx, max_tokens=args.max_tokens)
-    # stable example key for downstream joins/dedup
+    # stable example key for downstream joins/dedup AND the packing id:
+    # collision-free composite (pack_sequences requires a true primary
+    # key — a 64-bit hash collision would corrupt offsets), zero-padded
+    # so ascending-key pack order == conversation order
     ex = ex.withColumn(
         "example_id",
-        F.xxhash64(F.col("conv_id"), F.col("example_idx")),
+        F.concat(
+            F.col("conv_id"),
+            F.lit("#"),
+            F.lpad(F.col("example_idx").cast("string"), 6, "0"),
+        ),
     )
     ex.repartition(args.shards).write.mode("overwrite").parquet(args.output)
 

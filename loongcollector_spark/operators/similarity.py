@@ -736,48 +736,47 @@ def ivfpq_ann_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # --- coarse quantizer on normalized vectors -----------------------
-    norm_expr = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda v: v
-        / F.sqrt(
-            F.aggregate(
-                F.col(vec_col).cast("array<double>"),
-                F.lit(0.0),
-                lambda a, x: a + x * x,
-            )
-            + F.lit(1e-300)
-        ),
-    )
-    vec = vectors.select(
-        F.col(id_col).alias("__vid"), norm_expr.alias("__nv")
-    ).withColumn("__v", array_to_vector(F.col("__nv")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
-    model = km.fit(vec.select("__v").limit(max_train_rows))
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-
-    # --- residual PQ codebooks from a bounded sample -------------------
-    sample = np.array(
-        [r[0] for r in vec.select("__nv").limit(max_train_rows).collect()],
+    # --- bounded training sample, normalized in NumPy -------------------
+    # (normalization lives in NumPy everywhere — a JVM HOF normalize
+    # would run interpreted per element, README design rule 8)
+    raw = np.array(
+        [
+            r[0]
+            for r in vectors.select(vec_col).limit(max_train_rows).collect()
+        ],
         dtype=np.float64,
     )
-    if not len(sample):
+    if not len(raw):
         raise ValueError("ivfpq_ann_topk: empty corpus")
+    rn = np.linalg.norm(raw, axis=1, keepdims=True)
+    sample = raw / np.where(rn == 0, 1.0, rn)
+
+    # --- coarse quantizer fit on the (tiny) normalized sample -----------
+    fit_df = vectors.sparkSession.createDataFrame(
+        [(list(map(float, v)),) for v in sample], "__nv array<double>"
+    ).withColumn("__v", array_to_vector(F.col("__nv")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(fit_df.select("__v"))
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    # --- residual PQ codebooks from the same sample ----------------------
     s_cells = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
     books = _fit_subspace_codebooks(
         sample - centers[s_cells], m=m, ksub=ksub, seed=seed, iters=12
     )
     mm, _, dsub = books.shape
 
-    # --- encode: (id, cell, codes) in one Arrow pass --------------------
+    # --- encode: raw corpus → (id, cell, codes) in one Arrow pass --------
     def encode(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(list(pdf["__nv"]), dtype=np.float64)
-            cells = ((V[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
-            R = V - centers[cells]
-            codes = np.empty((len(V), mm), dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.where(norms == 0, 1.0, norms)
+            cells = ((Vn[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
+            R = Vn - centers[cells]
+            codes = np.empty((len(Vn), mm), dtype=np.int64)
             for j in range(mm):
                 sub = R[:, j * dsub : (j + 1) * dsub]
                 codes[:, j] = (
@@ -785,13 +784,13 @@ def ivfpq_ann_topk(
                 )
             yield pd.DataFrame(
                 {
-                    "neighbor_id": pdf["__vid"],
+                    "neighbor_id": pdf[id_col],
                     "__cell": cells,
                     "codes": list(codes),
                 }
             )
 
-    encoded = vec.select("__vid", "__nv").mapInPandas(
+    encoded = vectors.select(id_col, vec_col).mapInPandas(
         encode, schema="neighbor_id long, __cell int, codes array<int>"
     )
 

@@ -737,7 +737,10 @@ def bigram_lm_perplexity(
 # Regex kept RE2-compatible (no lookaround) so the DuckDB oracle runs
 # the identical pattern — same constraint as PII_PATTERNS.
 URL_REGEX = r"https?://[A-Za-z0-9._~:/?#\[\]@!$&'()*+,;=%-]+"
-_DOMAIN_REGEX = r"https?://([A-Za-z0-9.-]+)"
+# optional userinfo skipped ([^/@]* cannot cross the first slash), so
+# https://u@evil.com extracts evil.com, not the evasion-friendly "u";
+# RE2-safe (non-capturing group, no lookaround)
+_DOMAIN_REGEX = r"https?://(?:[^/@]*@)?([A-Za-z0-9.-]+)"
 
 
 def url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -752,13 +755,16 @@ def url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # from blocklist equality
     domains = F.array_sort(
         F.array_distinct(
-            F.transform(
-                urls,
-                lambda u: F.regexp_replace(
-                    F.lower(F.regexp_extract(u, _DOMAIN_REGEX, 1)),
-                    r"\.+$",
-                    "",
+            F.filter(
+                F.transform(
+                    urls,
+                    lambda u: F.regexp_replace(
+                        F.lower(F.regexp_extract(u, _DOMAIN_REGEX, 1)),
+                        r"\.+$",
+                        "",
+                    ),
                 ),
+                lambda d: F.length(d) > 0,
             )
         )
     )

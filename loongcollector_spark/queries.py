@@ -1652,6 +1652,14 @@ _NORM = (
     " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
 
+# NULL-coalescing twin of _NORM for operators that treat NULL text as
+# empty (vocab_report, oov_rate) — keeps the oracles semantic twins on
+# corpora that carry NULLs
+_NORM_C = (
+    "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),"
+    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
 ORACLES["contamination"] = f"""
     WITH norm AS (
       SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
@@ -3335,7 +3343,7 @@ def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" visit https://site"),
             (F.col("doc_id") % 7).cast("string"),
             F.lit(".example.com/p/"),
@@ -3346,14 +3354,23 @@ def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
+    # ONE extraction pass: the blocked flag is the same label-boundary
+    # expression domain_blocklist_filter uses, evaluated over the
+    # already-extracted domains (the operator itself is covered by
+    # tests/test_review_fixes3.py) — no second regex pass, no join
     stats = url_stats(aug)
-    flagged = domain_blocklist_filter(aug, ["bad-ads.net"], keep_flag="blocked")
+    blocked = F.exists(
+        F.col("domains"),
+        lambda d: (d == F.lit("bad-ads.net"))
+        | d.endswith(F.lit(".bad-ads.net")),
+    )
     return stats.select(
         "doc_id",
         "n_urls",
         "n_domains",
         F.concat_ws(",", "domains").alias("domains_csv"),
-    ).join(flagged.select("doc_id", "blocked"), "doc_id")
+        blocked.alias("blocked"),
+    )
 
 
 def _url_oracle_sql() -> str:
@@ -3363,7 +3380,7 @@ def _url_oracle_sql() -> str:
     return f"""
     WITH aug AS (
       SELECT doc_id,
-             text || ' visit https://site' || (doc_id % 7)
+             coalesce(text, '') || ' visit https://site' || (doc_id % 7)
                   || '.example.com/p/' || doc_id
                   || CASE WHEN doc_id % 3 = 0
                           THEN ' see http://tracker.bad-ads.net/pix?u=1.'
@@ -3413,7 +3430,7 @@ def q_vocab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["vocab_report"] = f"""
     WITH t AS (
-      SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+      SELECT unnest(string_split({_NORM_C}, ' ')) AS tok FROM documents
     ),
     v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
     head AS (
@@ -3455,8 +3472,8 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["oov_rate"] = f"""
     WITH t AS (
-      SELECT doc_id, string_split({_NORM}, ' ') AS tk,
-             length({_NORM}) AS nl
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS tk,
+             length({_NORM_C}) AS nl
       FROM documents
     ),
     c AS (

@@ -373,6 +373,15 @@ def test_url_stats_and_blocklist(spark):
         [(9, "https://goodevil.com/x")], "doc_id long, text string"
     )
     assert [r.doc_id for r in domain_blocklist_filter(df2, ["evil.com"]).collect()] == [9]
+    # userinfo evasion: https://u@evil.com must still extract evil.com
+    df3 = spark.createDataFrame(
+        [(7, "go https://user@evil.com/x now"), (8, "https://:8080/nohost")],
+        "doc_id long, text string",
+    )
+    st3 = {r.doc_id: r for r in url_stats(df3).collect()}
+    assert st3[7].domains == ["evil.com"]
+    assert st3[8].domains == [] and st3[8].n_domains == 0  # no '' domains
+    assert [r.doc_id for r in domain_blocklist_filter(df3, ["evil.com"]).collect()] == [8]
     import pytest as _pt
 
     with _pt.raises(ValueError, match="empty blocklist"):
