@@ -423,3 +423,34 @@ def test_desensitize_md5_native_agrees_with_pandas_twin(spark):
 
     h = hashlib.md5(b"pw=a").hexdigest()
     assert nat[0] == f"{h} tail"
+
+
+def test_example_curation_stage_spec_runs(spark):
+    """examples/curation_stage_pipeline.json is a valid spec: redact →
+    score → langid → fingerprint → route on the keep flag."""
+    import json
+    import os
+
+    from loongcollector_spark.pipeline import Pipeline
+
+    spec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "curation_stage_pipeline.json",
+    )
+    spec = json.load(open(spec_path))
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a fine day today"),
+            (2, "mail bob@example.com !!! 0000 1111 2222 3333 ####"),
+        ],
+        "doc_id long, text string",
+    )
+    pipe = Pipeline(spec)
+    routed = pipe.route(pipe.apply_processors(df))
+    out = {r.doc_id: r for r in routed.collect()}
+    assert out[1].sink == "sink_kept"
+    assert out[2].sink == "sink_dropped"
+    assert "<EMAIL>" in out[2].text and "<CC>" in out[2].text
+    assert out[1].lang_pred == "en"
+    assert len(out[1].fingerprint) == 32
