@@ -9,21 +9,34 @@ corpus and cuts mid-document at exact ``seq_len``; this operator
 respects conversation and turn boundaries, so examples are ragged
 (≤ max_tokens) but never split a turn or mix conversations.
 
-Scale shape: ONE shuffle — the groupBy on ``conv_id`` that collects
-each conversation's turns into an array (bounded: conversations are
-hundreds of turns, not millions — the same per-conversation-array
-contract as aggregator_context ordering). Everything after is per-row
-array expressions: a greedy fold assigns a chunk id per turn, a
-``transform``/``filter`` pair materializes one struct per example, and
-a single ``explode`` emits them — no second shuffle, no Python. The
-fold is an interpreted HOF by design-rule #8's short-array exception
-(README): it runs once per conversation over ~10²-element arrays, off
-the per-token hot path.
+Scale shape — hot-conversation-safe by construction:
+
+* The greedy cut is inherently sequential per conversation, and a
+  Zipf-hot conversation (the 24M-turn generated table carries a 1M-turn
+  conversation) can neither be ``collect_list``-ed into one row (arrays
+  don't spill → measured executor OOM) nor folded with
+  ``F.aggregate``+``array_append`` (the accumulator rebuild is
+  quadratic → measured 305 s for 24M turns). So conversations are
+  pre-split into *blocks* of ~``block_tokens`` via a windowed running
+  sum (window sorts SPILL — the hot key costs disk, not heap), and the
+  greedy cut runs per (conversation, block) group in an Arrow-batched
+  ``applyInPandas`` — the design-rule-#4 case of Python where the
+  semantics demand imperative state, O(block) per group.
+* Two shuffles on the conversation key (the window and the
+  applyInPandas grouping — same hash partitioning), plus one window
+  over EXAMPLE rows (max_tokens-bounded) for the dense per-conversation
+  example index.
+
+Block-boundary semantics: greedy restarts at each block edge, so one
+example per ~``block_tokens`` tokens may end short — identical output
+to an unblocked fold for every conversation smaller than one block
+(the common case; default 65 536 tokens), deviation bounded and
+documented for the hot tail.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["conversation_examples"]
@@ -37,6 +50,7 @@ def conversation_examples(
     idx_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    block_tokens: int = 65_536,
 ) -> DataFrame:
     """One row per training example:
     ``(conv_col, example_idx, n_turns, n_tokens, example_text)``.
@@ -45,11 +59,17 @@ def conversation_examples(
     role tag. A turn longer than *max_tokens* still becomes its own
     example (greedy always makes progress). Turn order inside an
     example and example order inside a conversation follow *idx_col*.
-    NULL turn text is treated as empty (1 token for the role tag) — a
-    NULL must not poison the greedy fold's running sum.
+    NULL turn text is treated as empty (1 token for the role tag).
+
+    *block_tokens* bounds per-group state for hot conversations (see
+    module docstring); it must be ≥ *max_tokens*.
     """
+    import pandas as pd
+
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
+    if block_tokens < max_tokens:
+        raise ValueError("block_tokens must be >= max_tokens")
 
     txt = F.coalesce(F.col(text_col), F.lit(""))
     n_tok = (
@@ -58,59 +78,57 @@ def conversation_examples(
         + 1
     ).cast("long")
     line = F.concat(F.col(role_col), F.lit(": "), txt)
+
+    w = W.partitionBy("__conv").orderBy("__idx")
+    cum_before = F.coalesce(
+        F.sum("__n").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
     turns = tx.select(
-        F.col(conv_col),
-        F.struct(
-            F.col(idx_col).alias("turn_idx"),
-            line.alias("line"),
-            n_tok.alias("n_tok"),
-        ).alias("__t"),
-    )
-    grouped = turns.groupBy(conv_col).agg(
-        F.array_sort(F.collect_list("__t")).alias("__ts")
-    )
+        # cast: the applyInPandas schema pins the key as string
+        F.col(conv_col).cast("string").alias("__conv"),
+        F.col(idx_col).alias("__idx"),
+        line.alias("__line"),
+        n_tok.alias("__n"),
+    ).withColumn("__blk", (cum_before / F.lit(block_tokens)).cast("long"))
 
-    # greedy fold: chunk id per turn (run = tokens since last cut)
-    init = F.struct(
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("int").alias("cur"),
-        F.array().cast("array<int>").alias("chunks"),
-    )
-
-    def step(acc, t):
-        over = (acc["run"] + t["n_tok"] > max_tokens) & (acc["run"] > 0)
-        nxt = F.when(over, acc["cur"] + 1).otherwise(acc["cur"]).cast("int")
-        return F.struct(
-            F.when(over, t["n_tok"])
-            .otherwise(acc["run"] + t["n_tok"])
-            .alias("run"),
-            nxt.alias("cur"),
-            F.array_append(acc["chunks"], nxt).alias("chunks"),
+    def cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__idx")
+        lines = pdf["__line"].tolist()
+        toks = pdf["__n"].tolist()
+        conv = pdf["__conv"].iloc[0]
+        blk = int(pdf["__blk"].iloc[0])
+        out, cur_lines, run, chunk = [], [], 0, 0
+        for ln, n in zip(lines, toks):
+            if run > 0 and run + n > max_tokens:
+                out.append((conv, blk, chunk, len(cur_lines), run, "\n".join(cur_lines)))
+                chunk += 1
+                cur_lines, run = [], 0
+            cur_lines.append(ln)
+            run += int(n)
+        if cur_lines:
+            out.append((conv, blk, chunk, len(cur_lines), run, "\n".join(cur_lines)))
+        return pd.DataFrame(
+            out,
+            columns=["__conv", "__blk", "__blk_chunk", "n_turns", "n_tokens", "example_text"],
         )
 
-    folded = grouped.withColumn(
-        "__chunks", F.aggregate("__ts", init, step)["chunks"]
-    )
-    zipped = F.arrays_zip(F.col("__ts").alias("t"), F.col("__chunks").alias("c"))
-    n_examples = F.element_at("__chunks", -1) + 1
-    examples = F.transform(
-        F.sequence(F.lit(0), (n_examples - 1).cast("int")),
-        lambda c: F.struct(
-            c.cast("int").alias("example_idx"),
-            F.filter(zipped, lambda p: p["c"] == c).alias("sel"),
+    ex = turns.groupBy("__conv", "__blk").applyInPandas(
+        cut,
+        schema=(
+            "__conv string, __blk long, __blk_chunk int, "
+            "n_turns int, n_tokens long, example_text string"
         ),
     )
-    ex = folded.select(
-        F.col(conv_col), F.explode(examples).alias("__e")
-    ).select(
-        conv_col,
-        F.col("__e.example_idx").alias("example_idx"),
-        F.size("__e.sel").cast("int").alias("n_turns"),
-        F.aggregate(
-            "__e.sel", F.lit(0).cast("long"), lambda a, p: a + p["t"]["n_tok"]
-        ).alias("n_tokens"),
-        F.concat_ws(
-            "\n", F.transform("__e.sel", lambda p: p["t"]["line"])
-        ).alias("example_text"),
+    # dense conversation-wide example index across blocks (example rows
+    # are max_tokens-bounded — this window sorts example rows, not turns)
+    we = W.partitionBy("__conv").orderBy("__blk", "__blk_chunk")
+    return (
+        ex.withColumn("example_idx", (F.row_number().over(we) - 1).cast("int"))
+        .select(
+            F.col("__conv").alias(conv_col),
+            "example_idx",
+            "n_turns",
+            "n_tokens",
+            "example_text",
+        )
     )
-    return ex

@@ -79,3 +79,51 @@ def test_max_tokens_guard(spark):
     tx = _tx(spark, [("c", 0, "user", "x")])
     with pytest.raises(ValueError, match="max_tokens"):
         conversation_examples(tx, max_tokens=0)
+
+
+def test_block_split_bounds_hot_conversations(spark):
+    """Hot-conversation guard: with a small block_tokens the fold runs
+    per block (bounded arrays) — bound and token conservation hold,
+    and greedy restarts at block edges (documented deviation)."""
+    tx = _tx(spark, [("c", i, "u", "a b c") for i in range(5)])  # 4 tok each
+    out = (
+        conversation_examples(tx, max_tokens=8, block_tokens=10)
+        .orderBy("example_idx")
+        .collect()
+    )
+    # blocks: cum_before 0,4,8,12,16 -> blk 0,0,0,1,1
+    # blk0 greedy(8): [t0,t1]=8, [t2]=4 ; blk1: [t3,t4]=8
+    assert [(r.example_idx, r.n_turns, r.n_tokens) for r in out] == [
+        (0, 2, 8),
+        (1, 1, 4),
+        (2, 2, 8),
+    ]
+    # conservation + bound regardless of blocking
+    assert sum(r.n_tokens for r in out) == 20
+    assert all(r.n_tokens <= 8 for r in out)
+    # example_idx is dense and ordered across blocks
+    assert [r.example_idx for r in out] == [0, 1, 2]
+
+
+def test_block_default_matches_unblocked(spark, sf_dir):
+    """At the default block size every test conversation fits one
+    block — results identical to an effectively-unblocked run."""
+    from loongcollector_spark.sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    a = sorted(map(tuple, conversation_examples(tx, max_tokens=120).collect()))
+    b = sorted(
+        map(
+            tuple,
+            conversation_examples(
+                tx, max_tokens=120, block_tokens=10_000_000
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_block_guard(spark):
+    tx = _tx(spark, [("c", 0, "u", "x")])
+    with pytest.raises(ValueError, match="block_tokens"):
+        conversation_examples(tx, max_tokens=100, block_tokens=50)
