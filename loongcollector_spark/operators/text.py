@@ -714,10 +714,13 @@ def bigram_lm_perplexity(
     model = doc_big.groupBy("__w1", "__w2").agg(F.sum("__dc").alias("__bc"))
     ctx = model.groupBy("__w1").agg(F.sum("__bc").alias("__cc"))
     vsize = model.agg(F.countDistinct("__w2").alias("__vs"))
-    scored = (
-        doc_big.join(model, ["__w1", "__w2"])
-        .join(ctx, "__w1")
-        .crossJoin(F.broadcast(vsize))
+    # fold the context totals INTO the model first: that join runs at
+    # model volume (distinct corpus bigrams), so the doc-volume side
+    # pays ONE (w1,w2) join instead of two (measured 2M short docs:
+    # the extra doc-volume ctx join dominated the runtime)
+    model_p = model.join(ctx, "__w1")
+    scored = doc_big.join(model_p, ["__w1", "__w2"]).crossJoin(
+        F.broadcast(vsize)
     )
     p = (F.col("__bc") + F.lit(alpha)) / (
         F.col("__cc") + F.lit(alpha) * F.col("__vs")
