@@ -130,23 +130,31 @@ def pack_sequences(
     L = F.lit(seq_len)
     first_seq = (F.col("g_start") / L).cast("long")
     last_seq = ((F.col("g_start") + F.col("n") - 1) / L).cast("long")
+
+    # fragments are built as a per-row array FIRST, then exploded:
+    # exploding seq ids and slicing afterwards would carry the whole
+    # token array through every exploded row (O(n²/seq_len) copying on
+    # a huge document); the fragment array totals exactly n tokens, so
+    # the explode emits each token once
+    def frag_struct(s):
+        fstart = F.greatest(s * L - F.col("g_start"), F.lit(0))
+        fend = F.least((s + 1) * L - F.col("g_start"), F.col("n"))
+        return F.struct(
+            s.cast("long").alias("seq_id"),
+            (F.col("g_start") + fstart).alias("g_pos"),
+            F.slice(
+                F.col("tk"), (fstart + 1).cast("int"), (fend - fstart).cast("int")
+            ).alias("frag"),
+        )
+
+    frag_arr = F.transform(F.sequence(first_seq, last_seq), frag_struct)
     frags = docs.select(
+        "doc_id", F.explode(frag_arr).alias("__f")
+    ).select(
+        F.col("__f.seq_id").alias("seq_id"),
         "doc_id",
-        "tk",
-        "n",
-        "g_start",
-        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
-    )
-    # fragment bounds inside this doc's token array (0-based)
-    fstart = F.greatest(F.col("seq_id") * L - F.col("g_start"), F.lit(0))
-    fend = F.least((F.col("seq_id") + 1) * L - F.col("g_start"), F.col("n"))
-    frags = frags.select(
-        "seq_id",
-        "doc_id",
-        (F.col("g_start") + fstart).alias("g_pos"),
-        F.slice(F.col("tk"), (fstart + 1).cast("int"), (fend - fstart).cast("int")).alias(
-            "frag"
-        ),
+        F.col("__f.g_pos").alias("g_pos"),
+        F.col("__f.frag").alias("frag"),
     )
 
     assembled = frags.groupBy("seq_id").agg(
