@@ -22,10 +22,11 @@ Scale shape — hot-conversation-safe by construction:
   greedy cut runs per (conversation, block) group in an Arrow-batched
   ``applyInPandas`` — the design-rule-#4 case of Python where the
   semantics demand imperative state, O(block) per group.
-* Two shuffles on the conversation key (the window and the
-  applyInPandas grouping — same hash partitioning), plus one window
-  over EXAMPLE rows (max_tokens-bounded) for the dense per-conversation
-  example index.
+* Two full-payload shuffles: the window (hash on the conversation
+  key) and the applyInPandas grouping (hash on (conversation, block) —
+  a DIFFERENT distribution, so the exchange is not reused), plus one
+  window over EXAMPLE rows (max_tokens-bounded) for the dense
+  per-conversation example index.
 
 Block-boundary semantics: greedy restarts at each block edge, so one
 example per ~``block_tokens`` tokens may end short — identical output
@@ -59,12 +60,19 @@ def conversation_examples(
     role tag. A turn longer than *max_tokens* still becomes its own
     example (greedy always makes progress). Turn order inside an
     example and example order inside a conversation follow *idx_col*.
-    NULL turn text is treated as empty (1 token for the role tag).
+    NULL turn text is treated as empty (1 token for the role tag),
+    and a NULL role renders as an empty tag — neither may poison the
+    cut or kill a task. Ties on *idx_col* (and NULL idx values) order
+    deterministically by the rendered line (stable sort both in the
+    window and in the cut), so output is rerun/parallelism-invariant
+    even on dirty data.
 
     *block_tokens* bounds per-group state for hot conversations (see
     module docstring); it must be ≥ *max_tokens*.
     """
     import pandas as pd
+
+    conv_type = tx.schema[conv_col].dataType
 
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
@@ -77,9 +85,11 @@ def conversation_examples(
         .otherwise(F.size(F.split(F.trim(txt), r"\s+")))
         + 1
     ).cast("long")
-    line = F.concat(F.col(role_col), F.lit(": "), txt)
+    line = F.concat(F.coalesce(F.col(role_col), F.lit("")), F.lit(": "), txt)
 
-    w = W.partitionBy("__conv").orderBy("__idx")
+    w = W.partitionBy("__conv").orderBy(
+        F.col("__idx").asc_nulls_first(), F.col("__line").asc_nulls_first()
+    )
     cum_before = F.coalesce(
         F.sum("__n").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
     )
@@ -92,7 +102,9 @@ def conversation_examples(
     ).withColumn("__blk", (cum_before / F.lit(block_tokens)).cast("long"))
 
     def cut(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__idx")
+        pdf = pdf.sort_values(
+            ["__idx", "__line"], kind="mergesort", na_position="first"
+        )
         lines = pdf["__line"].tolist()
         toks = pdf["__n"].tolist()
         conv = pdf["__conv"].iloc[0]
@@ -125,7 +137,7 @@ def conversation_examples(
     return (
         ex.withColumn("example_idx", (F.row_number().over(we) - 1).cast("int"))
         .select(
-            F.col("__conv").alias(conv_col),
+            F.col("__conv").cast(conv_type).alias(conv_col),
             "example_idx",
             "n_turns",
             "n_tokens",

@@ -3276,9 +3276,10 @@ QUERIES["bigram_perplexity"] = q_bigram_perplexity
 def q_conversation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT training-example assembly from agent transcripts: each
     conversation rendered as 'role: text' lines and greedily cut into
-    ≤120-token examples at turn boundaries (ONE conv_id shuffle; the
-    greedy fold and example materialization are per-row array
-    expressions). Example fingerprints, turn and token counts
+    ≤120-token examples at turn boundaries (windowed block pre-split +
+    Arrow-batched applyInPandas cut — the hot-conversation-safe shape,
+    see operators/assemble.py). Example fingerprints, turn and token
+    counts
     value-matched against a DuckDB recursive-CTE twin running the same
     greedy recurrence."""
     from .operators.assemble import conversation_examples

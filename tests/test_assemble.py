@@ -127,3 +127,35 @@ def test_block_guard(spark):
     tx = _tx(spark, [("c", 0, "u", "x")])
     with pytest.raises(ValueError, match="block_tokens"):
         conversation_examples(tx, max_tokens=100, block_tokens=50)
+
+
+def test_null_role_and_bigint_conv_id(spark):
+    """Dirty-data hardening: NULL role renders an empty tag (no task
+    death), and a non-string conv_id keeps its dtype on output."""
+    tx = spark.createDataFrame(
+        [(7, 0, None, "hello there"), (7, 1, "user", None)],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    out = conversation_examples(tx, max_tokens=100).collect()
+    assert len(out) == 1
+    assert out[0].example_text == ": hello there\nuser: "
+    assert out[0].n_tokens == 3 + 1
+    assert dict(conversation_examples(tx, max_tokens=100).dtypes)["conv_id"] == "bigint"
+
+
+def test_duplicate_turn_idx_is_deterministic(spark):
+    """Tied turn_idx values order by rendered line — output identical
+    across partitionings (the rerun-invariance contract on dirty data)."""
+    rows = [("c", 1, "user", t) for t in ("bbb", "aaa", "ccc")] + [
+        ("c", 0, "user", "zzz")
+    ]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    a = conversation_examples(tx, max_tokens=1000).collect()[0].example_text
+    b = (
+        conversation_examples(tx.repartition(8), max_tokens=1000)
+        .collect()[0]
+        .example_text
+    )
+    assert a == b == "user: zzz\nuser: aaa\nuser: bbb\nuser: ccc"
