@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
 
 
 def asof_join(
@@ -91,3 +91,66 @@ def asof_join(
         *[m[c].alias(f"{c}{suffix}") for c in rcols],
     )
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: list[str] | tuple[str, ...] = ("user_id",),
+    left_start: str = "start_us",
+    left_end: str = "end_us",
+    right_start: str = "start_us",
+    right_end: str = "end_us",
+    suffix: str = "_right",
+    grid_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair within the same
+    *by* key whose CLOSED intervals ``[start, end]`` (integer
+    microseconds) overlap — ``l.start <= r.end AND r.start <= l.end``.
+    The sessions×incidents / spans×deploys primitive.
+
+    Scale shape: a naive inequality join is a per-key cross product
+    (quadratic on hot keys, and Catalyst can only nested-loop it).
+    Instead both sides explode to the ``grid_us``-sized time cells
+    their interval touches and equi-join on ``(by, cell)`` — the
+    standard grid-bucketing used by Flink's interval join: candidates
+    are pairs sharing a cell, the exact overlap predicate filters them,
+    and a dropDuplicates removes multi-cell double-matches. Shuffle is
+    hash on (key, cell) — time-sliced, so a hot key spreads over its
+    active cells instead of one partition. Size *grid_us* near the
+    typical interval length: too small explodes cell rows (an interval
+    touches end/grid − start/grid + 1 cells), too large degrades
+    toward per-key cross products within a cell.
+
+    Right-side columns (except *by*) come back suffixed with *suffix*.
+    Rows with NULL bounds never match (dropped — a NULL interval has
+    no extent). Inner join semantics.
+    """
+    by = list(by)
+
+    def cells(df, s, e, side):
+        good = df.filter(
+            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(s) <= F.col(e))
+        )
+        return good.withColumn(
+            side,
+            F.explode(
+                F.sequence(
+                    (F.col(s) / grid_us).cast("long"),
+                    (F.col(e) / grid_us).cast("long"),
+                )
+            ),
+        )
+
+    l = cells(left, left_start, left_end, "__cell")
+    r = cells(right, right_start, right_end, "__cell")
+    for c in r.columns:
+        if c not in by and c != "__cell":
+            r = r.withColumnRenamed(c, f"{c}{suffix}")
+    rs, re_ = f"{right_start}{suffix}", f"{right_end}{suffix}"
+
+    joined = l.join(r, by + ["__cell"]).filter(
+        (F.col(left_start) <= F.col(re_)) & (F.col(rs) <= F.col(left_end))
+    )
+    return joined.drop("__cell").dropDuplicates()

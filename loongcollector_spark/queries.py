@@ -3539,3 +3539,52 @@ ORACLES["conversation_latency"] = f"""
 """
 
 QUERIES["conversation_latency"] = q_conversation_latency
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (sessions×incidents primitive): ±5-minute
+    windows around view and purchase events of the same user that
+    overlap, via grid-bucketed equi-join + exact predicate (never a
+    per-key cross product); the pair set value-matched against DuckDB's
+    plain inequality join on exact integer microseconds."""
+    from .operators.joins import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def win(typ):
+        return ev.filter(F.col("event_type") == typ).select(
+            "user_id",
+            "event_id",
+            us.alias("start_us"),
+            (us + F.lit(300_000_000)).alias("end_us"),
+        )
+
+    out = interval_join(
+        win("view"), win("purchase"), by=("user_id",), grid_us=300_000_000
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_right").alias("purchase_id"),
+    )
+
+
+ORACLES["interval_join"] = """
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           p.event_id AS purchase_id
+    FROM v JOIN p ON v.user_id = p.user_id
+                 AND v.s <= p.e AND p.s <= v.e
+"""
+
+QUERIES["interval_join"] = q_interval_join

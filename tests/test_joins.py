@@ -83,3 +83,42 @@ def test_asof_missing_on_column_raises(spark, sides):
     left, right = sides
     with pytest.raises(ValueError):
         asof_join(left.drop("ts"), right, on="ts", by=["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# interval overlap join (grid-bucketed)
+
+
+def test_interval_join_semantics_and_grid_invariance(spark):
+    from loongcollector_spark.operators.joins import interval_join
+
+    L = spark.createDataFrame(
+        [("u", 1, 0, 10), ("u", 2, 20, 30), ("v", 3, 0, 5)],
+        "user_id string, lid long, start_us long, end_us long",
+    )
+    R = spark.createDataFrame(
+        [("u", 10, 5, 8), ("u", 11, 9, 21), ("u", 12, 40, 50), ("v", 13, 6, 9)],
+        "user_id string, rid long, start_us long, end_us long",
+    )
+    expect = [(1, 10), (1, 11), (2, 11)]  # closed-interval overlaps, same key
+    for g in (1, 3, 7, 1_000_000):
+        rows = sorted(
+            (r.lid, r.rid_right)
+            for r in interval_join(L, R, grid_us=g).collect()
+        )
+        assert rows == expect, (g, rows)
+
+
+def test_interval_join_touching_endpoints_and_nulls(spark):
+    from loongcollector_spark.operators.joins import interval_join
+
+    L = spark.createDataFrame(
+        [("u", 1, 0, 10), ("u", 2, None, 5), ("u", 3, 9, 4)],  # NULL + inverted
+        "user_id string, lid long, start_us long, end_us long",
+    )
+    R = spark.createDataFrame(
+        [("u", 10, 10, 20)],  # touches lid=1 exactly at 10 (closed: overlap)
+        "user_id string, rid long, start_us long, end_us long",
+    )
+    rows = [(r.lid, r.rid_right) for r in interval_join(L, R).collect()]
+    assert rows == [(1, 10)]  # NULL-bound and inverted intervals dropped
