@@ -122,6 +122,7 @@ HEADLINE = [
     "vocab_report",
     "oov_rate",
     "conversation_latency",
+    "interval_join",
 ]
 
 
