@@ -648,7 +648,55 @@ def main() -> None:
         )
 
     result["total_bench_sec"] = round(time.monotonic() - t_all0, 1)
-    print(json.dumps(result))
+
+    # The driver captures only the LAST ~2000 chars of stdout: round 3's
+    # single JSON line carried 53 inline cold+warm per-query timings,
+    # overflowed that window, and came back "parsed": null (VERDICT r3
+    # item 2). Park the full per-query detail in bench_queries.json and
+    # print a compact final line — totals, scaling efficiency, per-set
+    # distribution, and only the top-10 slowest queries — hard-capped
+    # well under the capture window.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_queries.json")
+    with open(detail_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "n_queries": len(q_secs),
+        "queries": dict(
+            sorted(q_secs.items(), key=lambda kv: -kv[1])[:10]
+        ),
+        "total_warm_sec": result["total_warm_sec"],
+        "sf": SF_DIR,
+        "detail": "bench_queries.json",
+        "total_bench_sec": result["total_bench_sec"],
+    }
+    if scaling is not None:
+        s = result["scaling"]
+        compact["scaling"] = {
+            k: s[k]
+            for k in (
+                "cores_low",
+                "cores_high",
+                "turns_per_sec_low",
+                "turns_per_sec_high",
+                "efficiency",
+                "per_set_efficiency",
+                "host_spin_capacity",
+            )
+        }
+    if scaling_sj is not None:
+        compact["scaling_single_jvm_efficiency"] = result[
+            "scaling_single_jvm"
+        ]["efficiency"]
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the capture
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

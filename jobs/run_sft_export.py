@@ -61,13 +61,12 @@ def main(argv: list[str] | None = None) -> None:
     # collision-free composite (pack_sequences requires a true primary
     # key — a 64-bit hash collision would corrupt offsets), zero-padded
     # so ascending-key pack order == conversation order
+    # format_string, not lpad: Spark lpad TRUNCATES over-length input,
+    # so a >=10^6-example conversation would collide ids (ADVICE r3);
+    # %012d covers any realistic example_idx without truncation
     ex = ex.withColumn(
         "example_id",
-        F.concat(
-            F.col("conv_id"),
-            F.lit("#"),
-            F.lpad(F.col("example_idx").cast("string"), 6, "0"),
-        ),
+        F.format_string("%s#%012d", F.col("conv_id"), F.col("example_idx")),
     )
     ex.repartition(args.shards).write.mode("overwrite").parquet(args.output)
 

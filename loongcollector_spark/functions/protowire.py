@@ -153,3 +153,7 @@ def write_varint_field(field: int, value: int) -> bytes:
 
 def write_fixed32_field(field: int, value: int) -> bytes:
     return write_tag(field, 5) + value.to_bytes(4, "little")
+
+
+def write_fixed64_field(field: int, value: int) -> bytes:
+    return write_tag(field, 1) + value.to_bytes(8, "little")

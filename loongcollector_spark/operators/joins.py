@@ -115,13 +115,20 @@ def interval_join(
     Instead both sides explode to the ``grid_us``-sized time cells
     their interval touches and equi-join on ``(by, cell)`` — the
     standard grid-bucketing used by Flink's interval join: candidates
-    are pairs sharing a cell, the exact overlap predicate filters them,
-    and a dropDuplicates removes multi-cell double-matches. Shuffle is
-    hash on (key, cell) — time-sliced, so a hot key spreads over its
-    active cells instead of one partition. Size *grid_us* near the
-    typical interval length: too small explodes cell rows (an interval
-    touches end/grid − start/grid + 1 cells), too large degrades
-    toward per-key cross products within a cell.
+    are pairs sharing a cell and the exact overlap predicate filters
+    them. Multi-cell double-matches are removed by a PER-ROW predicate,
+    not a dedup: each overlapping pair's shared cells form the
+    contiguous range [max(⌊l.start/g⌋, ⌊r.start/g⌋), min(⌊l.end/g⌋,
+    ⌊r.end/g⌋)], so keeping a pair only in its FIRST shared cell
+    (``__cell == greatest(⌊l.start/g⌋, ⌊r.start/g⌋)``) emits it exactly
+    once with no extra exchange — and, unlike an output-wide
+    ``dropDuplicates``, preserves inner-join multiplicity when either
+    input legitimately contains duplicate rows. Shuffle is hash on
+    (key, cell) — time-sliced, so a hot key spreads over its active
+    cells instead of one partition. Size *grid_us* near the typical
+    interval length: too small explodes cell rows (an interval touches
+    end/grid − start/grid + 1 cells), too large degrades toward per-key
+    cross products within a cell.
 
     Right-side columns (except *by*) come back suffixed with *suffix*.
     Rows with NULL bounds never match (dropped — a NULL interval has
@@ -150,7 +157,15 @@ def interval_join(
             r = r.withColumnRenamed(c, f"{c}{suffix}")
     rs, re_ = f"{right_start}{suffix}", f"{right_end}{suffix}"
 
-    joined = l.join(r, by + ["__cell"]).filter(
-        (F.col(left_start) <= F.col(re_)) & (F.col(rs) <= F.col(left_end))
+    # First shared cell MUST use the same long-cast expression the
+    # explode used, so the equality lands on an emitted cell value.
+    first_shared = F.greatest(
+        (F.col(left_start) / grid_us).cast("long"),
+        (F.col(rs) / grid_us).cast("long"),
     )
-    return joined.drop("__cell").dropDuplicates()
+    joined = l.join(r, by + ["__cell"]).filter(
+        (F.col(left_start) <= F.col(re_))
+        & (F.col(rs) <= F.col(left_end))
+        & (F.col("__cell") == first_shared)
+    )
+    return joined.drop("__cell")

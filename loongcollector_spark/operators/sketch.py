@@ -71,6 +71,9 @@ def hll_distinct(
     if not 4 <= p <= 18:
         raise ValueError("hll_distinct: p must be in [4, 18]")
     m = 1 << p
+    # NULLs hash to NULL → a phantom max-rho register; COUNT(DISTINCT)
+    # and approx_count_distinct both ignore NULLs, so we do too
+    df = df.filter(F.col(col).isNotNull())
     if hash_mode == "md5":
         # 60-bit positive oracle kernel: modulo bucket, signed shift
         h = _md5_long(F.col(col).cast("string"))
@@ -119,7 +122,7 @@ def hll_oracle_sql(table: str, col: str, *, p: int = 12) -> str:
     WITH h AS (
       SELECT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))
                   AS BIGINT) AS hv
-      FROM {table}
+      FROM {table} WHERE {col} IS NOT NULL
     ),
     r AS (
       SELECT hv % {m} AS b,
@@ -164,7 +167,13 @@ def uniform_sample(
     if n <= 0:
         raise ValueError("uniform_sample: n must be positive")
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    h = _md5_long(key) if hash_mode == "md5" else F.abs(F.xxhash64(key))
+    # pmod keeps the ordering key non-negative even for the
+    # Long.MIN_VALUE hash (abs() would leave it negative → always kept)
+    h = (
+        _md5_long(key)
+        if hash_mode == "md5"
+        else F.pmod(F.xxhash64(key), F.lit((1 << 63) - 1))
+    )
     return (
         df.withColumn("__h", h)
         .orderBy("__h", id_col)
@@ -298,7 +307,12 @@ def stratified_topn_sample(
     if n < 1:
         raise ValueError("stratified_topn_sample: n must be >= 1")
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    h = _md5_long(key) if hash_mode == "md5" else F.abs(F.xxhash64(key))
+    # pmod, not abs: see uniform_sample (Long.MIN_VALUE edge)
+    h = (
+        _md5_long(key)
+        if hash_mode == "md5"
+        else F.pmod(F.xxhash64(key), F.lit((1 << 63) - 1))
+    )
     w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -486,7 +486,10 @@ def stratified_sample(
     if hash_mode == "md5":
         h = _md5_long(key)
     else:
-        h = F.abs(F.xxhash64(key))
+        # pmod, never abs-then-mod: JVM abs(Long.MIN_VALUE) stays
+        # negative, which would give that row a negative bucket that
+        # passes every `bucket < thresh` check (ADVICE r3)
+        h = F.pmod(F.xxhash64(key), F.lit(precision))
     bucket = h % precision
     thresh = None
     for value, frac in sorted(fractions.items()):

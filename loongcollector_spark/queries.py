@@ -3588,3 +3588,240 @@ ORACLES["interval_join"] = """
 """
 
 QUERIES["interval_join"] = q_interval_join
+
+
+# ---------------------------------------------------------------- round-4
+# wire-format round-trips (VERDICT r3 item 5): both pure-Python wire
+# paths — the SLS protobuf LogGroup serializer and the OTLP protobuf
+# decoder — driven over REAL routed rows and value-checked against
+# DuckDB computing the same aggregates straight off the parquet, so a
+# single mis-encoded varint or field tag breaks the hash match.
+
+
+def q_sls_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLS protobuf LogGroup wire round-trip over real routed rows
+    (flusher_sls wire format, pkg/protocol/proto/sls_logs.proto:8-33):
+    parse→route the transcripts, serialize each per-sink batch of rows
+    to LogGroup wire bytes (sources/sls_pb.py), DECODE the bytes back,
+    and aggregate the decoded contents per sink. Counts, summed text
+    chars, summed epoch seconds and distinct-conversation counts must
+    equal what DuckDB computes directly from the parquet — i.e. the
+    encode→decode is lossless end to end."""
+    from .sources.sls_pb import decode_loggroup, serialize_sls_loggroups
+
+    routed = _routed(spark, sf_dir).select(
+        "sink", "conv_id", "turn_idx", "role", "text", "ts"
+    )
+    groups = serialize_sls_loggroups(
+        routed,
+        time_key="ts",
+        topic_key="sink",
+        category="transcripts",
+        max_log_count=256,
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        cols = ["sink", "time_sec", "conv_id", "turn_idx", "role", "text"]
+        for pdf in batches:
+            rows = []
+            for blob in pdf["value"]:
+                lg = decode_loggroup(bytes(blob))
+                topic = lg.get("topic", "")
+                for log in lg["logs"]:
+                    c = dict(log["contents"])
+                    rows.append(
+                        (
+                            topic,
+                            log["time"],
+                            c.get("conv_id", ""),
+                            int(c["turn_idx"]),
+                            c.get("role", ""),
+                            c.get("text", ""),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    decoded = groups.mapInPandas(
+        decode,
+        schema=(
+            "sink string, time_sec long, conv_id string, turn_idx long, "
+            "role string, text string"
+        ),
+    )
+    return decoded.groupBy("sink").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("text")).alias("sum_text_chars"),
+        F.sum("time_sec").alias("sum_time_sec"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+ORACLES["sls_wire_roundtrip"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT {_ROUTE_CASE} AS sink,
+           count(*) AS n_rows,
+           CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_text_chars,
+           CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+               AS sum_time_sec,
+           count(DISTINCT conv_id) AS n_convs
+    FROM transcripts GROUP BY 1
+"""
+
+QUERIES["sls_wire_roundtrip"] = q_sls_wire_roundtrip
+
+
+def q_otlp_wire_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP protobuf wire decode over real data: every transcript turn
+    is encoded as a serialized ``TracesData`` payload (public
+    opentelemetry-proto field numbers, protowire writer) — resource
+    attr service.name=role, span name=tool, ids from md5(conv_id[,
+    turn_idx]), start=ts in UnixNano, duration (turn_idx+1) ms — then
+    decoded through the FULL production path
+    (functions/otlp_wire.py wire walk → OTLP/JSON →
+    operators/otel.py parse_otel_trace) and aggregated per
+    (service, span name). Span counts, distinct hex trace ids and
+    exact microsecond duration/start stats must match DuckDB computing
+    them straight from the source columns."""
+    from .functions import protowire as w
+    from .operators.otel import parse_otel_trace
+
+    tx = load_transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias(
+            "start_ns"
+        ),
+    )
+
+    def encode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for row in pdf.itertuples(index=False):
+                trace_id = hashlib.md5(row.conv_id.encode()).digest()[:16]
+                span_id = hashlib.md5(
+                    f"{row.conv_id}#{row.turn_idx}".encode()
+                ).digest()[:8]
+                start = int(row.start_ns)
+                end = start + (int(row.turn_idx) + 1) * 1_000_000
+                span = (
+                    w.write_len_delimited(1, trace_id)
+                    + w.write_len_delimited(2, span_id)
+                    + w.write_string_field(5, str(row.tool))
+                    + w.write_varint_field(6, 2)  # kind: SERVER
+                    + w.write_fixed64_field(7, start)
+                    + w.write_fixed64_field(8, end)
+                )
+                kv = w.write_string_field(
+                    1, "service.name"
+                ) + w.write_len_delimited(
+                    2, w.write_string_field(1, str(row.role))
+                )
+                resource = w.write_len_delimited(1, kv)
+                scope = w.write_string_field(1, "loongcollector-spark")
+                scope_spans = w.write_len_delimited(
+                    1, scope
+                ) + w.write_len_delimited(2, span)
+                resource_spans = w.write_len_delimited(
+                    1, resource
+                ) + w.write_len_delimited(2, scope_spans)
+                payloads.append(w.write_len_delimited(1, resource_spans))
+            if payloads:
+                yield pd.DataFrame({"payload": payloads})
+
+    enc = tx.mapInPandas(encode, schema="payload binary")
+    out = parse_otel_trace(enc, "payload", format="protobuf")
+    return out.groupBy("service", F.col("name").alias("span_name")).agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("traceID").alias("n_traces"),
+        F.sum(F.col("duration").cast("long")).alias("sum_duration_us"),
+        F.min(F.col("start").cast("long")).alias("min_start_us"),
+        F.max(F.col("start").cast("long")).alias("max_start_us"),
+    )
+
+
+ORACLES["otlp_wire_spans"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT role AS service, tool AS span_name,
+           count(*) AS n_spans,
+           count(DISTINCT conv_id) AS n_traces,
+           CAST(sum((turn_idx + 1) * 1000) AS BIGINT) AS sum_duration_us,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_start_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_start_us
+    FROM transcripts GROUP BY 1, 2
+"""
+
+QUERIES["otlp_wire_spans"] = q_otlp_wire_spans
+
+
+# ---------------------------------------------------------------- round-4
+# driver-window ordering (VERDICT r3 item 1).
+#
+# The driver's correctness harness checks the FIRST 50 queries() entries
+# in insertion order. Rounds 1-3 verified the 50 oldest entries
+# (CORRECTNESS_r0{1,2,3}.json — all green); the 32 entries registered
+# later (5 SURVEY-§2 scalar ops + the session-3 LLM-curation layer)
+# never got a driver row despite green pytest + registered oracles.
+# Lead with those so round 4 verifies them; the previously-green 50
+# backfill behind. Keep NEW round-4 queries inside _DRIVER_FIRST so they
+# land in the window too.
+
+_DRIVER_FIRST = [
+    # 5 SURVEY-§2 ops past the r3 window
+    "geoip",
+    "cloud_meta",
+    "gotime",
+    "encrypt_golden",
+    "mock_generator",
+    # session-3 LLM-curation ops, never driver-checked
+    "dedup_components",
+    "stratified_sample",
+    "ann_lsh",
+    "curation_v2",
+    "bm25",
+    "bpe_pairs",
+    "event_funnel",
+    "hll_distinct",
+    "uniform_sample",
+    "profile_table",
+    "log_templates",
+    "trailing_zscore",
+    "rolling_count",
+    "pack_sequences",
+    "pq_ann",
+    "exact_substring_dedup",
+    "quality_classifier",
+    "cms_counts",
+    "stratified_topn",
+    "corpus_delta",
+    "bigram_perplexity",
+    "conversation_examples",
+    "url_hygiene",
+    "vocab_report",
+    "oov_rate",
+    "conversation_latency",
+    "interval_join",
+    # round-4 additions: wire-format round-trips
+    "sls_wire_roundtrip",
+    "otlp_wire_spans",
+]
+
+
+def _reorder_for_driver(queries: dict, first: list[str]) -> dict:
+    missing = [n for n in first if n not in queries]
+    if missing:
+        raise KeyError(f"_DRIVER_FIRST names not registered: {missing}")
+    head = {n: queries[n] for n in first}
+    tail = {n: fn for n, fn in queries.items() if n not in head}
+    return head | tail
+
+
+QUERIES = _reorder_for_driver(QUERIES, _DRIVER_FIRST)

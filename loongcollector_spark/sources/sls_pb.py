@@ -41,7 +41,12 @@ __all__ = [
 def encode_log(
     time_sec: int, contents: list[tuple[str, str]], time_ns: int | None = None
 ) -> bytes:
-    body = w.write_varint_field(1, int(time_sec))
+    # Log.Time is proto `required uint32`: a negative epoch would
+    # varint-encode as 10 bytes of two's complement that a conforming
+    # uint32 reader rejects, and >= 2^32 silently wraps — clamp like
+    # the NULL-time path floors to 0 (ADVICE r3)
+    time_sec = min(max(int(time_sec), 0), (1 << 32) - 1)
+    body = w.write_varint_field(1, time_sec)
     for k, v in contents:
         body += w.write_len_delimited(
             2, w.write_string_field(1, k) + w.write_string_field(2, v)

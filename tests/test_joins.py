@@ -122,3 +122,47 @@ def test_interval_join_touching_endpoints_and_nulls(spark):
     )
     rows = [(r.lid, r.rid_right) for r in interval_join(L, R).collect()]
     assert rows == [(1, 10)]  # NULL-bound and inverted intervals dropped
+
+
+def test_interval_join_duplicate_inputs_preserve_multiplicity(spark):
+    # Inner-join semantics: two identical left rows matching one right
+    # row must come back twice. The old output-wide dropDuplicates()
+    # collapsed them (ADVICE r3 medium); the first-shared-cell predicate
+    # dedups only the grid artifact.
+    from loongcollector_spark.operators.joins import interval_join
+
+    L = spark.createDataFrame(
+        [("u", 1, 0, 10), ("u", 1, 0, 10)],
+        "user_id string, lid long, start_us long, end_us long",
+    )
+    R = spark.createDataFrame(
+        [("u", 10, 5, 8)],
+        "user_id string, rid long, start_us long, end_us long",
+    )
+    for g in (1, 3, 1_000_000):  # multi-cell and single-cell regimes
+        rows = [(r.lid, r.rid_right) for r in interval_join(L, R, grid_us=g).collect()]
+        assert rows == [(1, 10), (1, 10)], (g, rows)
+
+
+def test_interval_join_plan_has_no_postjoin_dedup(spark):
+    # Scale pin: double-match removal is a per-row filter, so the plan
+    # must contain NO aggregate (the old dropDuplicates compiled to a
+    # full-width HashAggregate + Exchange over the joined output).
+    from loongcollector_spark.operators.joins import interval_join
+
+    L = spark.createDataFrame(
+        [("u", 1, 0, 10)],
+        "user_id string, lid long, start_us long, end_us long",
+    )
+    R = spark.createDataFrame(
+        [("u", 10, 5, 8)],
+        "user_id string, rid long, start_us long, end_us long",
+    )
+    plan = (
+        interval_join(L, R, grid_us=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("HashAggregate", "SortAggregate", "ObjectHashAggregate"):
+        assert bad not in plan, plan
