@@ -10,6 +10,10 @@ is fully decodable from the public spec with stdlib + NumPy:
   HxWx3 uint8.  Baseline DCT (SOF0) only; progressive (SOF2) and
   arithmetic coding raise ``NotImplementedError`` — a real deployment
   drops in Pillow behind the same signature.
+* ``decode_jpeg_dc``: DC-coefficient-only decode → 1/8-scale RGB
+  thumbnail (one pixel per block), including **progressive (SOF2)**
+  files — DC-first + DC-refinement scans decoded, AC scans skipped;
+  no IDCT needed (a DC-only block is uniform).
 * ``encode_jpeg``: minimal 4:4:4 baseline encoder (Annex K quant +
   Huffman tables, quality-scaled) so round-trip tests are
   self-contained without any golden binary.
@@ -26,7 +30,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg", "jpeg_dimensions"]
+__all__ = ["decode_jpeg", "decode_jpeg_dc", "encode_jpeg", "jpeg_dimensions"]
 
 # zigzag position -> row-major index in an 8x8 block (T.81 Figure 5)
 ZIGZAG = np.array([
@@ -394,6 +398,237 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac,
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.dstack([y, y, y]).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+def _skip_entropy(data: bytes, p: int) -> int:
+    """Position of the next real marker (not a stuffed 0xFF00, not a
+    restart) at or after *p* — how to step over an entropy-coded
+    segment without decoding it."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
+def _dc_scan_units(frame, scan_ids):
+    """Block iteration order for a DC scan (T.81 §A.2): MCU-interleaved
+    when the scan holds >1 component, the component's own ceil-block
+    grid when non-interleaved. Yields units of (comp, plane_index);
+    the restart interval counts units. plane_index addresses the
+    MCU-padded plane (width mcu_cols·h_c blocks)."""
+    comps = [c for c in frame["comps"] if c["id"] in scan_ids]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcu_cols = -(-frame["w"] // (8 * hmax))
+    mcu_rows = -(-frame["h"] // (8 * vmax))
+    if len(comps) > 1:
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                unit = []
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (
+                                    c,
+                                    (my * c["v"] + by) * (mcu_cols * c["h"])
+                                    + mx * c["h"]
+                                    + bx,
+                                )
+                            )
+                yield unit
+    else:
+        c = comps[0]
+        comp_w = -(-frame["w"] * c["h"] // hmax)
+        comp_h = -(-frame["h"] * c["v"] // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        for r in range(bh):
+            for col in range(bw):
+                yield [(c, r * (mcu_cols * c["h"]) + col)]
+
+
+def decode_jpeg_dc(data: bytes) -> np.ndarray:
+    """DC-only decode → 1/8-scale RGB thumbnail (one pixel per 8×8
+    block, the block's mean color): ``ceil(h/8) × ceil(w/8) × 3``
+    uint8.
+
+    Works for BOTH baseline (SOF0/SOF1) and **progressive (SOF2)**
+    Huffman JPEGs — the progressive path the full ``decode_jpeg``
+    cannot take. A DC pass needs no IDCT (a DC-only block is uniform
+    ``dc·q₀/8 + 128``) and no AC table state: progressive DC-first
+    scans decode exactly like baseline DC (diff Huffman, point
+    transform ``<< Al``), DC-refinement scans contribute one raw bit
+    per block at position ``Al``, and AC scans are skipped outright
+    (byte-scan to the next marker). Baseline files take the same path
+    with the AC coefficients Huffman-skipped. Arithmetic-coded and
+    lossless frames still raise ``NotImplementedError``.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    progressive = False
+    restart_interval = 0
+    dcs: dict[int, np.ndarray] = {}
+    mcu_cols = mcu_rows = 0
+    i = 2
+    n = len(data)
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            raise ValueError(f"marker expected at {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                prec, tid = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if prec == 0:
+                    quant[tid] = np.frombuffer(
+                        body[j : j + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    j += 64
+                else:
+                    quant[tid] = np.frombuffer(
+                        body[j : j + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    j += 128
+        elif marker == 0xC4:  # DHT (tables may be redefined per scan)
+            j = 0
+            while j < len(body):
+                cls, tid = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _build_decode_table(
+                    bits, vals
+                )
+                j += 17 + nv
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/progressive
+            progressive = marker == 0xC2
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcu_cols = -(-w // (8 * hmax))
+            mcu_rows = -(-h // (8 * vmax))
+            dcs = {
+                c["id"]: np.zeros(
+                    mcu_rows * c["v"] * mcu_cols * c["h"], dtype=np.int64
+                )
+                for c in comps
+            }
+        elif 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise NotImplementedError(
+                f"only Huffman DCT frames are supported, got SOF marker "
+                f"0x{marker:02X}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_tbl = {}
+            for c in range(ns):
+                cid, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tbl[cid] = (tables >> 4, tables & 0x0F)
+            ss = body[1 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            pos = i + 2 + seg_len
+            if ss == 0:  # scan carries DC (progressive DC or baseline)
+                reader = _BitReader(data, pos)
+                pred = {cid: 0 for cid in scan_tbl}
+                unit_no = 0
+                for unit in _dc_scan_units(frame, set(scan_tbl)):
+                    if (
+                        restart_interval
+                        and unit_no
+                        and unit_no % restart_interval == 0
+                    ):
+                        reader.bitbuf = 0
+                        reader.nbits = 0
+                        p = reader.pos
+                        while not (
+                            data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+                        ):
+                            p += 1
+                        reader.pos = p + 2
+                        pred = {cid: 0 for cid in scan_tbl}
+                    for c, idx in unit:
+                        cid = c["id"]
+                        if progressive and ah:  # DC refinement: 1 raw bit
+                            if reader.read_bit():
+                                dcs[cid][idx] |= 1 << al
+                            continue
+                        t = reader.decode_symbol(huff_dc[scan_tbl[cid][0]])
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[cid] += diff
+                        dcs[cid][idx] = pred[cid] << al
+                        if not progressive:  # baseline: Huffman-skip AC
+                            ac_tbl = huff_ac[scan_tbl[cid][1]]
+                            k = 1
+                            while k < 64:
+                                rs = reader.decode_symbol(ac_tbl)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break
+                                k += r
+                                reader.read_bits(s)
+                                k += 1
+                    unit_no += 1
+                pos = reader.pos
+            i = _skip_entropy(data, pos)
+            continue
+        i += 2 + seg_len
+    if frame is None or not dcs:
+        raise ValueError("no decodable frame")
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    th = -(-frame["h"] // 8)
+    tw = -(-frame["w"] // 8)
+    full = []
+    for c in comps:
+        q0 = int(quant[c["tq"]][0])
+        plane = dcs[c["id"]].astype(np.float64).reshape(
+            mcu_rows * c["v"], mcu_cols * c["h"]
+        )
+        pix = plane * q0 / 8.0 + 128.0  # uniform value of a DC-only block
+        pix = np.repeat(
+            np.repeat(pix, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(pix[:th, :tw])
     if len(full) == 1:
         y = np.clip(full[0], 0, 255)
         return np.dstack([y, y, y]).astype(np.uint8)

@@ -294,8 +294,13 @@ def _real_feature(
         if payload.startswith(b"\x89PNG") or payload.startswith(b"\xff\xd8"):
             if payload.startswith(b"\x89PNG"):
                 img = codecs.decode_png(payload)
-            else:  # baseline JPEG decodes natively (functions/jpeg.py)
-                img = jpeg_codec.decode_jpeg(payload)
+            else:  # baseline JPEG decodes natively (functions/jpeg.py);
+                # progressive falls back to the DC-only 1/8 thumbnail —
+                # plenty for a dim-length block-mean feature vector
+                try:
+                    img = jpeg_codec.decode_jpeg(payload)
+                except NotImplementedError:
+                    img = jpeg_codec.decode_jpeg_dc(payload)
             gray = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 else (
                 img[:, :, 0].astype(np.float64)
             )
@@ -373,8 +378,8 @@ def extract_features(
         if mode == "strict":
             raise NotImplementedError(
                 "no codec for this media format in this environment "
-                "(PNG, baseline JPEG, and WAV decode natively; "
-                "progressive JPEG / MP4 need Pillow/ffmpeg)"
+                "(PNG, baseline JPEG, progressive-JPEG DC thumbnails, "
+                "and WAV decode natively; MP4 pixels need ffmpeg)"
             )
         return None  # mode == 'real'
 
@@ -393,9 +398,10 @@ def resize_images(
     height: int = 64,
     width: int = 64,
 ) -> DataFrame:
-    """Decode PNG/baseline-JPEG → block-mean resize → re-encode PNG,
-    streamed over Arrow batches. Undecodable rows (other formats,
-    progressive JPEG, corrupt bytes) yield NULL, never job-fatal."""
+    """Decode PNG/baseline-JPEG (progressive JPEG via the DC-only 1/8
+    thumbnail) → block-mean resize → re-encode PNG, streamed over
+    Arrow batches. Undecodable rows (other formats, corrupt bytes)
+    yield NULL, never job-fatal."""
     from ..functions import codecs
     from ..functions import jpeg as jpeg_codec
 
@@ -409,7 +415,12 @@ def resize_images(
             if payload.startswith(b"\x89PNG"):
                 img = codecs.decode_png(payload)
             elif payload.startswith(b"\xff\xd8"):
-                img = jpeg_codec.decode_jpeg(payload)
+                try:
+                    img = jpeg_codec.decode_jpeg(payload)
+                except NotImplementedError:
+                    # progressive: DC-only 1/8-scale source — real
+                    # pixels (block means), then block-mean resize
+                    img = jpeg_codec.decode_jpeg_dc(payload)
             else:
                 return None
             return codecs.encode_png(codecs.resize_block_mean(img, height, width))

@@ -162,12 +162,18 @@ def bm25_topk(
     b: float = 0.75,
 ) -> DataFrame:
     """Top-*k* BM25 retrieval: :func:`bm25_score` + a deterministic
-    global rank (score desc, id asc — ties stable).  The ordered
-    window has no partition key, but its input is the already-reduced
-    per-matching-doc score table, not the corpus; for huge match sets
-    AQE's single-partition sort spills rather than OOMs, and a
-    production path would pre-prune with a per-partition local top-k
-    (the ANN module's pattern, similarity.py) before the global sort.
+    global rank (score desc, id asc — ties stable).
+
+    Scale shape (plan-pinned in tests/test_plans.py): the ordered
+    window has no partition key, but Catalyst's
+    ``LimitPushDownThroughWindow`` rewrites ``row_number() <= k`` into
+    a ``TakeOrderedAndProject(limit=k)`` BELOW the window — each
+    partition of the per-matching-doc score table keeps a local top-k
+    and the driver merges k rows per partition, so no single-partition
+    sort of the match set ever runs; the window then numbers only the
+    k survivors.  The match set itself is already the reduced
+    per-document score table (one row per doc containing ≥1 query
+    term), never the corpus.
     """
     scored = bm25_score(
         docs, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b

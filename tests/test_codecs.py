@@ -364,3 +364,148 @@ def test_audio_spectral_feature_separates_tones():
     r_low = np.array(_real_feature(wav_low, 8, "rms"))
     r_high = np.array(_real_feature(wav_high, 8, "rms"))
     assert np.allclose(r_low, r_high, atol=0.01)  # same energy envelope
+
+
+# ---------------------------------------------------------------------------
+# DC-only decode (decode_jpeg_dc): progressive scans + baseline fast path
+
+
+def _encode_progressive_gray_dc(img, restart_interval=0):
+    """Test-only minimal PROGRESSIVE (SOF2) grayscale encoder emitting
+    exactly the two DC scans real progressive encoders produce —
+    DC-first (Ah=0, Al=1) then DC-refinement (Ah=1, Al=0) — with q0=8
+    so each reconstructed DC pixel equals the block mean exactly. AC
+    scans are deliberately absent (decode_jpeg_dc never reads them)."""
+    from loongcollector_spark.functions import jpeg as J
+
+    h, w = img.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    pad = np.zeros((bh * 8, bw * 8))
+    pad[:h, :w] = img.astype(float) - 128.0
+    pad[h:, :w] = pad[h - 1 : h, :w]
+    pad[:, w:] = pad[:, w - 1 : w]
+    dcs = [
+        int(round(J._fdct2(pad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8])[0, 0] / 8))
+        for r in range(bh)
+        for c in range(bw)
+    ]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00, 8] + [1] * 63))  # q0=8, rest 1
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(J.DC_LUM_BITS) + bytes(J.DC_LUM_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    enc = J._build_encode_table(J.DC_LUM_BITS, J.DC_LUM_VALS)
+
+    # scan 1: DC first, point transform Al=1 (codes dc >> 1 diffs)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    bw1 = J._BitWriter()
+    pred = 0
+    rst = 0
+    for bi, dc in enumerate(dcs):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw1.flush()
+            out += bytes(bw1.out) + bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            bw1 = J._BitWriter()
+            pred = 0
+        v = dc >> 1
+        diff = v - pred
+        pred = v
+        t = abs(diff).bit_length()
+        code, ln = enc[t]
+        bw1.write(code, ln)
+        if t:
+            bits = diff if diff >= 0 else diff + (1 << t) - 1
+            bw1.write(bits, t)
+    bw1.flush()
+    out += bytes(bw1.out)
+
+    # scan 2: DC refinement, one raw bit per block at position Al=0
+    # (the DRI interval applies to every scan, so RSTs here too)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    bw2 = J._BitWriter()
+    rst = 0
+    for bi, dc in enumerate(dcs):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw2.flush()
+            out += bytes(bw2.out) + bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            bw2 = J._BitWriter()
+        bw2.write(dc & 1, 1)
+    bw2.flush()
+    out += bytes(bw2.out)
+    return out + b"\xff\xd9", dcs
+
+
+def test_jpeg_progressive_dc_thumbnail_exact():
+    """Progressive DC-first + refinement scans reconstruct the exact
+    quantized DC per block: thumbnail pixel == dc*q0/8 + 128."""
+    from loongcollector_spark.functions import jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 33)).astype(np.uint8)
+    data, dcs = _encode_progressive_gray_dc(img)
+    # the full decoder still (honestly) refuses progressive
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(data)
+    thumb = jpeg.decode_jpeg_dc(data)
+    assert thumb.shape == (3, 5, 3)
+    expect = np.clip(np.array(dcs, float).reshape(3, 5) + 128.0, 0, 255).astype(
+        np.uint8
+    )
+    assert np.array_equal(thumb[:, :, 0], expect)
+    assert (thumb[:, :, 0] == thumb[:, :, 2]).all()  # grayscale replicate
+
+
+def test_jpeg_progressive_dc_restart_markers():
+    from loongcollector_spark.functions import jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 40)).astype(np.uint8)
+    plain, dcs = _encode_progressive_gray_dc(img)
+    rst, dcs2 = _encode_progressive_gray_dc(img, restart_interval=3)
+    assert dcs == dcs2
+    assert np.array_equal(jpeg.decode_jpeg_dc(plain), jpeg.decode_jpeg_dc(rst))
+
+
+def test_jpeg_dc_baseline_matches_block_means():
+    """Baseline path: DC-only thumbnail vs 8x8 block means of the full
+    decode. 4:4:4 matches in full RGB (within rounding); 4:2:0 chroma
+    DC inherently covers a 16x16 region, so there only the BT.601 luma
+    — where the chroma terms cancel exactly — is held tight."""
+    from loongcollector_spark.functions import codecs, jpeg
+
+    img = _test_image(40, 48)
+
+    def luma(a):
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    for sub in ("444", "420"):
+        data = jpeg.encode_jpeg(img, quality=90, subsampling=sub)
+        thumb = jpeg.decode_jpeg_dc(data).astype(float)
+        full = jpeg.decode_jpeg(data)
+        means = codecs.resize_block_mean(full, 5, 6).astype(float)
+        assert thumb.shape == means.shape == (5, 6, 3)
+        if sub == "444":
+            assert np.abs(thumb - means).max() <= 4.0, sub
+        assert np.abs(luma(thumb) - luma(means)).max() <= 6.0, sub
+
+
+def test_jpeg_progressive_feature_and_resize_fallback(spark):
+    """The multimodal operators now produce REAL vectors/pixels for
+    progressive JPEGs via the DC thumbnail instead of faking/NULLing."""
+    from loongcollector_spark.operators import multimodal
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    data, _ = _encode_progressive_gray_dc(img)
+    df = spark.createDataFrame([(1, bytearray(data))], "id long, media binary")
+    feats = multimodal.extract_features(df, mode="real", dim=4).collect()[0]
+    assert feats.features is not None and len(feats.features) == 4
+    resized = multimodal.resize_images(df, height=2, width=2).collect()[0]
+    assert resized.resized is not None  # PNG bytes from real DC pixels

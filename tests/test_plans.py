@@ -213,3 +213,24 @@ def test_session3_query_plan_pins(spark, sf_dir_med):
     assert plan("exact_substring_dedup").count("Exchange SinglePartition") == 0
     assert plan("bigram_perplexity").count("Exchange SinglePartition") == 1
     assert plan("vocab_report").count("Exchange SinglePartition") == 1
+
+
+def test_bm25_topk_plan_preprunes_before_global_window(spark, sf_dir):
+    """bm25_topk's partition-less rank window must NOT sort the whole
+    match set on one partition: LimitPushDownThroughWindow rewrites
+    ``row_number() <= k`` into TakeOrderedAndProject(limit=k) BELOW the
+    window (per-partition local top-k, k-row driver merge), so the
+    window numbers only the k survivors (VERDICT r3 item 6)."""
+    from loongcollector_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        bm25_topk(docs, ["spark", "window", "hash"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject(limit=5" in plan, plan
+    # printed tree: parent first — the TakeOrdered must sit BELOW
+    # (after) the Window, i.e. it feeds the window its pruned input
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
