@@ -26,11 +26,18 @@ thumbnails), not to be a throughput codec.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "decode_jpeg_dc", "encode_jpeg", "jpeg_dimensions"]
+__all__ = [
+    "decode_jpeg",
+    "decode_jpeg_any",
+    "decode_jpeg_dc",
+    "encode_jpeg",
+    "jpeg_dimensions",
+]
 
 # zigzag position -> row-major index in an 8x8 block (T.81 Figure 5)
 ZIGZAG = np.array([
@@ -227,6 +234,81 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _parse_dqt(body: bytes, quant: dict) -> None:
+    """DQT segment body → quant[tid] (8- or 16-bit precision)."""
+    j = 0
+    while j < len(body):
+        prec, tid = body[j] >> 4, body[j] & 0x0F
+        j += 1
+        if prec == 0:
+            quant[tid] = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(
+                np.int64
+            )
+            j += 64
+        else:
+            quant[tid] = np.frombuffer(body[j : j + 128], dtype=">u2").astype(
+                np.int64
+            )
+            j += 128
+
+
+def _parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """DHT segment body → decode tables (tables may be redefined per scan)."""
+    j = 0
+    while j < len(body):
+        cls, tid = body[j] >> 4, body[j] & 0x0F
+        bits = list(body[j + 1 : j + 17])
+        nv = sum(bits)
+        vals = list(body[j + 17 : j + 17 + nv])
+        (huff_dc if cls == 0 else huff_ac)[tid] = _build_decode_table(bits, vals)
+        j += 17 + nv
+
+
+def _next_restart(data: bytes, p: int) -> int:
+    """Position just past the next byte-aligned restart marker at or
+    after *p* (spec: restart markers are byte-aligned). ValueError on a
+    truncated entropy stream instead of running off the buffer."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+            return p + 2
+        p += 1
+    raise ValueError("truncated JPEG: expected restart marker")
+
+
+def _planes_to_rgb(full: list) -> np.ndarray:
+    """Cropped component planes → HxWx3 uint8 RGB (grayscale JPEGs are
+    replicated to 3 channels; 3-component via BT.601)."""
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.dstack([y, y, y]).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+def _malformed_as_value_error(fn):
+    """Public-API guard: truncated/corrupt input surfaces as ValueError
+    (like every other malformed-input path), never as a raw IndexError
+    or a private _RestartMarker/_SegmentEnd escaping the module.
+    NotImplementedError (unsupported-but-valid frames) passes through."""
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes) -> np.ndarray:
+        try:
+            return fn(data)
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"truncated or malformed JPEG: {e!r}") from e
+        except (_RestartMarker, _SegmentEnd) as e:
+            raise ValueError(
+                "malformed JPEG: unexpected marker in entropy stream"
+            ) from e
+
+    return wrapped
+
+
 def jpeg_dimensions(data: bytes) -> tuple[int, int] | None:
     """(height, width) from the first SOF0..SOF15 frame header, or None."""
     i = 2
@@ -246,6 +328,7 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+@_malformed_as_value_error
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline sequential JPEG → HxWx3 uint8 RGB (grayscale JPEGs are
     replicated to 3 channels)."""
@@ -266,32 +349,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
         body = data[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(body):
-                prec, tid = body[j] >> 4, body[j] & 0x0F
-                j += 1
-                if prec == 0:
-                    tbl = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(
-                        np.int64
-                    )
-                    j += 64
-                else:
-                    tbl = np.frombuffer(body[j : j + 128], dtype=">u2").astype(
-                        np.int64
-                    )
-                    j += 128
-                quant[tid] = tbl
+            _parse_dqt(body, quant)
         elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(body):
-                cls, tid = body[j] >> 4, body[j] & 0x0F
-                bits = list(body[j + 1 : j + 17])
-                nv = sum(bits)
-                vals = list(body[j + 17 : j + 17 + nv])
-                (huff_dc if cls == 0 else huff_ac)[tid] = _build_decode_table(
-                    bits, vals
-                )
-                j += 17 + nv
+            _parse_dht(body, huff_dc, huff_ac)
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
@@ -354,13 +414,7 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac,
                 else:
                     reader.bitbuf = 0
                     reader.nbits = 0
-                    # scan forward for the marker (spec: byte-aligned)
-                    p = reader.pos
-                    while not (
-                        data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
-                    ):
-                        p += 1
-                    reader.pos = p + 2
+                    reader.pos = _next_restart(data, reader.pos)
                 pred = {c["id"]: 0 for c in comps}
             for c in comps:
                 dc_tbl = huff_dc[scan[c["id"]][0]]
@@ -398,14 +452,7 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac,
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
-    if len(full) == 1:
-        y = np.clip(full[0], 0, 255)
-        return np.dstack([y, y, y]).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+    return _planes_to_rgb(full)
 
 
 def _skip_entropy(data: bytes, p: int) -> int:
@@ -460,6 +507,7 @@ def _dc_scan_units(frame, scan_ids):
                 yield [(c, r * (mcu_cols * c["h"]) + col)]
 
 
+@_malformed_as_value_error
 def decode_jpeg_dc(data: bytes) -> np.ndarray:
     """DC-only decode → 1/8-scale RGB thumbnail (one pixel per 8×8
     block, the block's mean color): ``ceil(h/8) × ceil(w/8) × 3``
@@ -500,31 +548,9 @@ def decode_jpeg_dc(data: bytes) -> np.ndarray:
         seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
         body = data[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(body):
-                prec, tid = body[j] >> 4, body[j] & 0x0F
-                j += 1
-                if prec == 0:
-                    quant[tid] = np.frombuffer(
-                        body[j : j + 64], dtype=np.uint8
-                    ).astype(np.int64)
-                    j += 64
-                else:
-                    quant[tid] = np.frombuffer(
-                        body[j : j + 128], dtype=">u2"
-                    ).astype(np.int64)
-                    j += 128
+            _parse_dqt(body, quant)
         elif marker == 0xC4:  # DHT (tables may be redefined per scan)
-            j = 0
-            while j < len(body):
-                cls, tid = body[j] >> 4, body[j] & 0x0F
-                bits = list(body[j + 1 : j + 17])
-                nv = sum(bits)
-                vals = list(body[j + 17 : j + 17 + nv])
-                (huff_dc if cls == 0 else huff_ac)[tid] = _build_decode_table(
-                    bits, vals
-                )
-                j += 17 + nv
+            _parse_dht(body, huff_dc, huff_ac)
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/progressive
             progressive = marker == 0xC2
             h, w = struct.unpack(">HH", body[1:5])
@@ -575,12 +601,7 @@ def decode_jpeg_dc(data: bytes) -> np.ndarray:
                     ):
                         reader.bitbuf = 0
                         reader.nbits = 0
-                        p = reader.pos
-                        while not (
-                            data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
-                        ):
-                            p += 1
-                        reader.pos = p + 2
+                        reader.pos = _next_restart(data, reader.pos)
                         pred = {cid: 0 for cid in scan_tbl}
                     for c, idx in unit:
                         cid = c["id"]
@@ -629,14 +650,21 @@ def decode_jpeg_dc(data: bytes) -> np.ndarray:
             np.repeat(pix, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
         full.append(pix[:th, :tw])
-    if len(full) == 1:
-        y = np.clip(full[0], 0, 255)
-        return np.dstack([y, y, y]).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+    return _planes_to_rgb(full)
+
+
+def decode_jpeg_any(data: bytes) -> np.ndarray:
+    """Best-available pixel decode: the full baseline decoder when the
+    frame supports it, else the DC-only 1/8-scale thumbnail (the
+    progressive-JPEG path). This is the codec-selection policy for
+    callers that want *some* real pixels from any Huffman-DCT JPEG —
+    e.g. feature extraction and block-mean resize in
+    operators/multimodal.py. Arithmetic-coded and lossless frames
+    still raise ``NotImplementedError``."""
+    try:
+        return decode_jpeg(data)
+    except NotImplementedError:
+        return decode_jpeg_dc(data)
 
 
 def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:

@@ -297,10 +297,7 @@ def _real_feature(
             else:  # baseline JPEG decodes natively (functions/jpeg.py);
                 # progressive falls back to the DC-only 1/8 thumbnail —
                 # plenty for a dim-length block-mean feature vector
-                try:
-                    img = jpeg_codec.decode_jpeg(payload)
-                except NotImplementedError:
-                    img = jpeg_codec.decode_jpeg_dc(payload)
+                img = jpeg_codec.decode_jpeg_any(payload)
             gray = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 else (
                 img[:, :, 0].astype(np.float64)
             )
@@ -415,12 +412,9 @@ def resize_images(
             if payload.startswith(b"\x89PNG"):
                 img = codecs.decode_png(payload)
             elif payload.startswith(b"\xff\xd8"):
-                try:
-                    img = jpeg_codec.decode_jpeg(payload)
-                except NotImplementedError:
-                    # progressive: DC-only 1/8-scale source — real
-                    # pixels (block means), then block-mean resize
-                    img = jpeg_codec.decode_jpeg_dc(payload)
+                # progressive → DC-only 1/8-scale source: real pixels
+                # (block means), then block-mean resize
+                img = jpeg_codec.decode_jpeg_any(payload)
             else:
                 return None
             return codecs.encode_png(codecs.resize_block_mean(img, height, width))

@@ -37,6 +37,20 @@ __all__ = [
 ]
 
 
+def _order_hash(key, hash_mode: str):
+    """Non-negative deterministic ordering hash of a key column for
+    the exactly-n samplers. pmod, never abs-then-mod: JVM
+    abs(Long.MIN_VALUE) stays negative, and a negative ordering key
+    would always sort first regardless of salt (ADVICE r3).
+    ``'md5'`` is the engine-portable oracle kernel shared with
+    dedup.py; ``'xxhash64'`` the one-JVM-hash production path."""
+    return (
+        _md5_long(key)
+        if hash_mode == "md5"
+        else F.pmod(F.xxhash64(key), F.lit((1 << 63) - 1))
+    )
+
+
 def _alpha(m: int) -> float:
     if m <= 16:
         return 0.673
@@ -167,13 +181,7 @@ def uniform_sample(
     if n <= 0:
         raise ValueError("uniform_sample: n must be positive")
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    # pmod keeps the ordering key non-negative even for the
-    # Long.MIN_VALUE hash (abs() would leave it negative → always kept)
-    h = (
-        _md5_long(key)
-        if hash_mode == "md5"
-        else F.pmod(F.xxhash64(key), F.lit((1 << 63) - 1))
-    )
+    h = _order_hash(key, hash_mode)
     return (
         df.withColumn("__h", h)
         .orderBy("__h", id_col)
@@ -307,12 +315,7 @@ def stratified_topn_sample(
     if n < 1:
         raise ValueError("stratified_topn_sample: n must be >= 1")
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    # pmod, not abs: see uniform_sample (Long.MIN_VALUE edge)
-    h = (
-        _md5_long(key)
-        if hash_mode == "md5"
-        else F.pmod(F.xxhash64(key), F.lit((1 << 63) - 1))
-    )
+    h = _order_hash(key, hash_mode)
     w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -484,13 +484,13 @@ def stratified_sample(
 
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
     if hash_mode == "md5":
-        h = _md5_long(key)
+        bucket = _md5_long(key) % precision
     else:
         # pmod, never abs-then-mod: JVM abs(Long.MIN_VALUE) stays
         # negative, which would give that row a negative bucket that
-        # passes every `bucket < thresh` check (ADVICE r3)
-        h = F.pmod(F.xxhash64(key), F.lit(precision))
-    bucket = h % precision
+        # passes every `bucket < thresh` check (ADVICE r3); already in
+        # [0, precision), no further reduction needed
+        bucket = F.pmod(F.xxhash64(key), F.lit(precision))
     thresh = None
     for value, frac in sorted(fractions.items()):
         t = F.lit(int(frac * precision))

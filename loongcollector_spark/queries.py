@@ -3664,8 +3664,12 @@ ORACLES["sls_wire_roundtrip"] = f"""
     SELECT {_ROUTE_CASE} AS sink,
            count(*) AS n_rows,
            CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_text_chars,
-           CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
-               AS sum_time_sec,
+           -- mirror encode_log's uint32 clamp (sources/sls_pb.py): a
+           -- pre-1970 or post-2106 ts floors to 0 / 2^32-1 on the wire
+           CAST(sum(greatest(CAST(0 AS BIGINT),
+                             least(CAST(floor(epoch(ts)) AS BIGINT),
+                                   CAST(4294967295 AS BIGINT))))
+                AS BIGINT) AS sum_time_sec,
            count(DISTINCT conv_id) AS n_convs
     FROM transcripts GROUP BY 1
 """

@@ -496,6 +496,45 @@ def test_jpeg_dc_baseline_matches_block_means():
         assert np.abs(luma(thumb) - luma(means)).max() <= 6.0, sub
 
 
+def test_jpeg_truncated_raises_value_error():
+    """Truncated/corrupt entropy streams surface as ValueError from the
+    public decoders — never a raw IndexError or a private exception
+    class (review r4): restart-resync must not scan past the buffer."""
+    from loongcollector_spark.functions import jpeg
+
+    img = _test_image(24, 24)
+    for make in (
+        lambda: jpeg.encode_jpeg(img, quality=85, restart_interval=2),
+        lambda: _encode_progressive_gray_dc(
+            np.arange(576, dtype=np.uint8).reshape(24, 24), restart_interval=2
+        )[0],
+    ):
+        data = make()
+        for cut in (len(data) // 2, len(data) - 3):
+            truncated = data[:cut]
+            for fn in (jpeg.decode_jpeg, jpeg.decode_jpeg_dc):
+                try:
+                    fn(truncated)
+                except (ValueError, NotImplementedError):
+                    pass  # ValueError (malformed) or honest progressive refusal
+                # silent success is fine when the cut lands after the
+                # last needed entropy byte
+
+
+def test_jpeg_decode_any_selects_codec():
+    """decode_jpeg_any: full decode for baseline, DC fallback for
+    progressive — one policy site for the multimodal operators."""
+    from loongcollector_spark.functions import jpeg
+
+    img = _test_image(16, 16)
+    base = jpeg.encode_jpeg(img, quality=90, subsampling="444")
+    assert jpeg.decode_jpeg_any(base).shape == (16, 16, 3)
+    prog, _ = _encode_progressive_gray_dc(
+        np.arange(256, dtype=np.uint8).reshape(16, 16)
+    )
+    assert jpeg.decode_jpeg_any(prog).shape == (2, 2, 3)  # 1/8-scale DC
+
+
 def test_jpeg_progressive_feature_and_resize_fallback(spark):
     """The multimodal operators now produce REAL vectors/pixels for
     progressive JPEGs via the DC thumbnail instead of faking/NULLing."""
