@@ -123,6 +123,9 @@ HEADLINE = [
     "oov_rate",
     "conversation_latency",
     "interval_join",
+    # round-4 additions: the wire-format round-trips
+    "sls_wire_roundtrip",
+    "otlp_wire_spans",
 ]
 
 

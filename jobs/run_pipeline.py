@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", help="sink base path (not needed for --flusher blackhole)")
     ap.add_argument("--spec", required=True, help="pipeline spec JSON file")
     ap.add_argument("--dims", help="JSON file {dim_name: parquet_path}")
     ap.add_argument("--metrics")
@@ -46,7 +46,26 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--job-id", default="job")
     ap.add_argument("--units", type=int, default=16)
     ap.add_argument("--shards", type=int, default=0)
+    ap.add_argument(
+        "--flusher",
+        choices=["parquet", "blackhole"],
+        default="parquet",
+        help="blackhole = full execution, no output (flusher_blackhole; "
+        "the benchmark shape the reference's own harness uses)",
+    )
+    ap.add_argument(
+        "--warm", type=int, default=0,
+        help="blackhole only: unmeasured warm-up executions before "
+        "timing (JIT/codegen steady state)",
+    )
+    ap.add_argument(
+        "--rounds", type=int, default=1,
+        help="blackhole only: measured executions; wall_sec is the "
+        "best (least co-tenant interference on this host)",
+    )
     args = ap.parse_args(argv)
+    if args.flusher != "blackhole" and not args.output:
+        ap.error("--output is required unless --flusher blackhole")
 
     from pyspark.sql import SparkSession
 
@@ -71,7 +90,29 @@ def main(argv: list[str] | None = None) -> None:
 
     t0 = time.monotonic()
     metrics = MetricsCollector(args.job_id)
-    if args.lineage:
+    if args.flusher == "blackhole":
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.sources.sinks import write_blackhole
+
+        for _ in range(args.warm):
+            write_blackhole(pipe.run(df))
+        best = None
+        n = 0
+        for _ in range(max(args.rounds, 1)):
+            obs = Observation()
+            out = pipe.run(df).observe(obs, F.count(F.lit(1)).alias("n"))
+            r0 = time.monotonic()
+            write_blackhole(out)
+            dt = time.monotonic() - r0
+            n = obs.get["n"]
+            best = dt if best is None else min(best, dt)
+        wall = best  # the best measured round (steady-state throughput)
+        metrics.add("pipeline", -1, n, round(best, 3))
+        if args.metrics:
+            metrics.write(spark, args.metrics)
+    elif args.lineage:
         from loongcollector_spark.plans.checkpoint import CheckpointedRun
 
         run_with_checkpoint(
@@ -88,7 +129,8 @@ def main(argv: list[str] | None = None) -> None:
         # a full extra input scan, so it is recorded as -1 (unknown)
         # unless a caller needs it badly enough to count explicitly
         n = CheckpointedRun(spark, args.lineage, args.job_id).total_rows_committed()
-        metrics.add("pipeline", -1, n, round(time.monotonic() - t0, 3))
+        wall = time.monotonic() - t0
+        metrics.add("pipeline", -1, n, round(wall, 3))
         if args.metrics:
             metrics.write(spark, args.metrics)
     else:
@@ -106,8 +148,9 @@ def main(argv: list[str] | None = None) -> None:
             mode="overwrite",
         )
         n = metrics.records[-1].rows_out
+        wall = time.monotonic() - t0
     print(json.dumps({"job_id": args.job_id, "rows_out": n,
-                      "wall_sec": round(time.monotonic() - t0, 3)}))
+                      "wall_sec": round(wall, 3)}))
 
 
 if __name__ == "__main__":
