@@ -3606,11 +3606,23 @@ def q_sls_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregate the decoded contents per sink. Counts, summed text
     chars, summed epoch seconds and distinct-conversation counts must
     equal what DuckDB computes directly from the parquet — i.e. the
-    encode→decode is lossless end to end."""
+    encode→decode is lossless end to end.
+
+    Bounded to a deterministic 1-in-8 conversation bucket (md5 kernel,
+    same predicate on both engines): the pure-Python wire codec costs
+    ~50 µs/row, and losslessness is volume-independent — full-volume
+    serializer cost belongs to the flusher bench, not the oracle
+    gate."""
+    from .operators.dedup import _md5_long
     from .sources.sls_pb import decode_loggroup, serialize_sls_loggroups
 
-    routed = _routed(spark, sf_dir).select(
-        "sink", "conv_id", "turn_idx", "role", "text", "ts"
+    routed = (
+        _routed(spark, sf_dir)
+        .filter(_md5_long(F.col("conv_id")) % 8 == 0)
+        .select("sink", "conv_id", "turn_idx", "role", "text", "ts")
+        # the wire codec is pure-Python: spread it across all cores
+        # (the narrow parse→route chain is otherwise one task here)
+        .repartition(spark.sparkContext.defaultParallelism, "conv_id")
     )
     groups = serialize_sls_loggroups(
         routed,
@@ -3671,7 +3683,9 @@ ORACLES["sls_wire_roundtrip"] = f"""
                                    CAST(4294967295 AS BIGINT))))
                 AS BIGINT) AS sum_time_sec,
            count(DISTINCT conv_id) AS n_convs
-    FROM transcripts GROUP BY 1
+    FROM transcripts
+    WHERE {_MD5L.format(x="conv_id")} % 8 = 0
+    GROUP BY 1
 """
 
 QUERIES["sls_wire_roundtrip"] = q_sls_wire_roundtrip
@@ -3688,11 +3702,20 @@ def q_otlp_wire_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/otel.py parse_otel_trace) and aggregated per
     (service, span name). Span counts, distinct hex trace ids and
     exact microsecond duration/start stats must match DuckDB computing
-    them straight from the source columns."""
+    them straight from the source columns.
+
+    Bounded to a deterministic 1-in-8 conversation bucket (md5
+    kernel, same predicate on both engines) — see
+    :func:`q_sls_wire_roundtrip` for the rationale."""
     from .functions import protowire as w
+    from .operators.dedup import _md5_long
     from .operators.otel import parse_otel_trace
 
-    tx = load_transcripts(spark, sf_dir).select(
+    tx = load_transcripts(spark, sf_dir).filter(
+        _md5_long(F.col("conv_id")) % 8 == 0
+    ).repartition(  # pure-Python encode: spread across all cores
+        spark.sparkContext.defaultParallelism, "conv_id"
+    ).select(
         "conv_id",
         "turn_idx",
         "role",
@@ -3760,7 +3783,9 @@ ORACLES["otlp_wire_spans"] = f"""
            CAST(sum((turn_idx + 1) * 1000) AS BIGINT) AS sum_duration_us,
            CAST(min(epoch_us(ts)) AS BIGINT) AS min_start_us,
            CAST(max(epoch_us(ts)) AS BIGINT) AS max_start_us
-    FROM transcripts GROUP BY 1, 2
+    FROM transcripts
+    WHERE {_MD5L.format(x="conv_id")} % 8 = 0
+    GROUP BY 1, 2
 """
 
 QUERIES["otlp_wire_spans"] = q_otlp_wire_spans
