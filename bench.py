@@ -356,27 +356,20 @@ def _throughput_child_lc(
     masquerade as poor scaling)."""
     from pyspark.sql import SparkSession
 
-    # local-cluster spawns Worker/Executor JVMs via $SPARK_HOME's
-    # launcher scripts; pin it to THIS interpreter's pyspark so a
-    # stray SPARK_HOME in the invoking environment can't point the
-    # workers at a different (or missing) Spark installation
-    os.environ["SPARK_HOME"] = os.path.dirname(
-        os.path.abspath(__import__("pyspark").__file__)
-    )
+    from loongcollector_spark.benchproto import SCALING_CONFS, spark_home
+
+    os.environ["SPARK_HOME"] = spark_home()
     slots = n_exec * cores_per
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local-cluster[{n_exec},{cores_per},2048]")
         .appName(f"bench-lc-{n_exec}x{cores_per}")
-        .config("spark.executor.memory", "2g")
         .config("spark.sql.shuffle.partitions", str(slots))
-        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "4194304")
-        .config("spark.sql.files.openCostInBytes", "1048576")
-        .getOrCreate()
     )
+    for k, v in SCALING_CONFS.items():  # shared protocol constants
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for _ in range(warm):
         _pipeline(spark, src_path).collect()
@@ -661,6 +654,19 @@ def main() -> None:
     # well under the capture window.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_queries.json")
+    if "scaling" not in result and os.path.exists(detail_path):
+        # headline-only run (SPARK_GRAFT_BENCH_SCALING=0): don't erase
+        # the last full run's scaling evidence from the detail artifact
+        # — carry it forward, explicitly marked as not re-measured
+        try:
+            with open(detail_path) as fh:
+                prev = json.load(fh)
+            for k in ("scaling", "scaling_single_jvm"):
+                if k in prev:
+                    result[k] = prev[k]
+                    result[f"{k}_carried_from_previous_run"] = True
+        except (OSError, ValueError):
+            pass
     with open(detail_path, "w") as fh:
         json.dump(result, fh, indent=1)
 

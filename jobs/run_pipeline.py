@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
     if args.flusher != "blackhole" and not args.output:
         ap.error("--output is required unless --flusher blackhole")
+    if args.flusher == "blackhole" and args.lineage:
+        ap.error(
+            "--lineage is incompatible with --flusher blackhole: the "
+            "benchmark loop writes no output, so there is nothing to "
+            "checkpoint or resume"
+        )
 
     from pyspark.sql import SparkSession
 

@@ -88,22 +88,23 @@ def one_submit(
     n_exec: int, cores_per: int, zpath: str, dims_json: str, input_path: str
 ) -> dict:
     """One spark-submit child → {'rows_out': .., 'wall_sec': ..}."""
-    spark_home = os.path.dirname(
-        os.path.abspath(__import__("pyspark").__file__)
+    from loongcollector_spark.benchproto import (
+        SCALING_CONFS,
+        pin_cpus,
+        spark_home,
     )
-    submit = os.path.join(spark_home, "bin", "spark-submit")
+
+    home = spark_home()
+    submit = os.path.join(home, "bin", "spark-submit")
     slots = n_exec * cores_per
     cmd = [
         submit,
         "--master", f"local-cluster[{n_exec},{cores_per},2048]",
-        "--conf", "spark.executor.memory=2g",
         "--conf", f"spark.sql.shuffle.partitions={slots}",
-        "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", "spark.ui.enabled=false",
-        # fine scan splits: ~10 tasks at the 128MiB default would leave
-        # the 4N cluster half idle and read as fake poor scaling
-        "--conf", "spark.sql.files.maxPartitionBytes=4194304",
-        "--conf", "spark.sql.files.openCostInBytes=1048576",
+    ]
+    for k, v in SCALING_CONFS.items():  # shared protocol constants
+        cmd += ["--conf", f"{k}={v}"]
+    cmd += [
         "--py-files", zpath,
         os.path.join(REPO, "jobs", "run_pipeline.py"),
         "--input", input_path,
@@ -117,9 +118,8 @@ def one_submit(
         "--warm", "1", "--rounds", "2",
         "--job-id", f"submit-{n_exec}x{cores_per}",
     ]
-    if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{slots + 1}"] + cmd
-    env = dict(os.environ, SPARK_HOME=spark_home)
+    cmd = pin_cpus(cmd, slots)
+    env = dict(os.environ, SPARK_HOME=home)
     proc = subprocess.run(
         cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=1800
     )
@@ -150,29 +150,39 @@ def main() -> None:
 
     sys.path.insert(0, REPO)
     tmp = tempfile.mkdtemp(prefix="lc_submit_")
-    zpath = build_zip(tmp)
-    dims_json = write_dims(tmp)
-    print(f"# packaged {zpath} ({os.path.getsize(zpath)//1024} KiB); "
-          f"input {args.input}", flush=True)
+    try:
+        zpath = build_zip(tmp)
+        dims_json = write_dims(tmp)
+        print(f"# packaged {zpath} ({os.path.getsize(zpath)//1024} KiB); "
+              f"input {args.input}", flush=True)
 
-    sets = []
-    for s in range(args.sets):  # fixed count, interleaved N/4N per set
-        per = {}
-        for n_exec in (1, 4):
-            t0 = time.monotonic()
-            r = one_submit(n_exec, args.cores_per, zpath, dims_json, args.input)
-            thr = r["rows_out"] / r["wall_sec"]
-            per[n_exec] = {
-                "rows_out": r["rows_out"],
-                "wall_sec": r["wall_sec"],
-                "turns_per_sec": round(thr, 1),
-                "submit_total_sec": round(time.monotonic() - t0, 1),
-            }
-            print(f"# set {s}: {n_exec}x{args.cores_per}-core exec -> "
-                  f"{thr:,.0f} turns/s (job {r['wall_sec']}s)", flush=True)
-        e = per[4]["turns_per_sec"] / (4 * per[1]["turns_per_sec"])
-        sets.append({"n": per[1], "4n": per[4], "efficiency": round(e, 3)})
-        print(f"# set {s}: E = {e:.3f}", flush=True)
+        sets = []
+        for s in range(args.sets):  # fixed count, interleaved N/4N per set
+            per = {}
+            for n_exec in (1, 4):
+                t0 = time.monotonic()
+                r = one_submit(
+                    n_exec, args.cores_per, zpath, dims_json, args.input
+                )
+                # NB the denominator: routed OUTPUT rows per second
+                # (the audit fan-out emits ~1.9 output rows per input
+                # turn) — NOT the same metric as bench.py's
+                # turns_per_sec_{low,high}, which divides INPUT turns
+                thr = r["rows_out"] / r["wall_sec"]
+                per[n_exec] = {
+                    "rows_out": r["rows_out"],
+                    "wall_sec": r["wall_sec"],
+                    "rows_out_per_sec": round(thr, 1),
+                    "submit_total_sec": round(time.monotonic() - t0, 1),
+                }
+                print(f"# set {s}: {n_exec}x{args.cores_per}-core exec -> "
+                      f"{thr:,.0f} routed rows/s (job {r['wall_sec']}s)",
+                      flush=True)
+            e = per[4]["rows_out_per_sec"] / (4 * per[1]["rows_out_per_sec"])
+            sets.append({"n": per[1], "4n": per[4], "efficiency": round(e, 3)})
+            print(f"# set {s}: E = {e:.3f}", flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     best = max(s["efficiency"] for s in sets)
     result = {
