@@ -102,6 +102,7 @@ HEADLINE = [
     # round-3 continuation additions
     "bm25",
     "bpe_pairs",
+    "bpe_tokenize",
     "event_funnel",
     "hll_distinct",
     "uniform_sample",

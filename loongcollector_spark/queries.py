@@ -2528,6 +2528,62 @@ QUERIES["bpe_pairs"] = q_bpe_pairs
 QUERIES["event_funnel"] = q_event_funnel
 
 
+# Ordered BPE merge list trained ONCE on the sf0.01 documents corpus
+# via operators.bpe.train_bpe(num_merges=24, max_words=50_000) —
+# literal (like pq_ann's codebooks) so the DuckDB twin can replay the
+# exact same merge fold; retraining live would learn different merges
+# per scale factor and break cross-engine comparison.
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+]
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE tokenization (operators/bpe.py): apply the
+    fixed 24-merge table to every normalized word and report word /
+    char / post-merge token counts per document. The expr engine's
+    merge fold is k literal ``replace`` calls on the ``||``-delimited
+    word encoding — whole-stage codegen on Spark and replayed verbatim
+    by the DuckDB twin, so token counts hash-match exactly."""
+    from .operators.bpe import bpe_tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_tokenize(docs, _BPE_MERGES).select(
+        "doc_id", "n_words", "n_chars", "n_tokens"
+    )
+
+
+def _bpe_fold_sql(col: str) -> str:
+    expr = f"'||' || regexp_replace({col}, '(.)', '\\1||', 'g')"
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return expr
+
+
+ORACLES["bpe_tokenize"] = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({_NORM_C}, ' ')) AS word
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, word, {_bpe_fold_sql("word")} AS enc
+      FROM w WHERE word <> ''
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(length(enc) - length(replace(enc, '||', '|')) - 1)
+                AS BIGINT) AS n_tokens
+    FROM f GROUP BY doc_id
+"""
+
+QUERIES["bpe_tokenize"] = q_bpe_tokenize
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable HyperLogLog distinct counts over the events
     table — high-cardinality column (event_id, raw-estimate branch)
@@ -3817,6 +3873,7 @@ _DRIVER_FIRST = [
     "curation_v2",
     "bm25",
     "bpe_pairs",
+    "bpe_tokenize",
     "event_funnel",
     "hll_distinct",
     "uniform_sample",
