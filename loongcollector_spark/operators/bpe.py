@@ -101,6 +101,24 @@ def word_frequencies(
 # ------------------------------------------------------------ training
 
 
+def _merge_word(
+    word: tuple[str, ...], a: str, b: str
+) -> tuple[str, ...]:
+    """One leftmost-greedy non-overlapping merge pass — THE merge
+    semantics, shared by training (vocab update) and the pandas apply
+    engine so the two can never diverge."""
+    out: list[str] = []
+    j = 0
+    while j < len(word):
+        if j + 1 < len(word) and word[j] == a and word[j + 1] == b:
+            out.append(a + b)
+            j += 2
+        else:
+            out.append(word[j])
+            j += 1
+    return tuple(out)
+
+
 def bpe_train_from_counts(
     counts: list[tuple[str, int]], num_merges: int
 ) -> list[tuple[str, str]]:
@@ -122,18 +140,6 @@ def bpe_train_from_counts(
             pair_counts[pair] += f
             where[pair].add(i)
 
-    def merge_word(word: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
-        out: list[str] = []
-        j = 0
-        while j < len(word):
-            if j + 1 < len(word) and word[j] == a and word[j + 1] == b:
-                out.append(a + b)
-                j += 2
-            else:
-                out.append(word[j])
-                j += 1
-        return tuple(out)
-
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         # deterministic argmax: highest count, then lexicographically
@@ -152,12 +158,19 @@ def bpe_train_from_counts(
             for pair in zip(word, word[1:]):
                 pair_counts[pair] -= f
                 where[pair].discard(i)
-            word = merge_word(word, a, b)
+                # prune zeroed pairs so the per-merge argmax scan stays
+                # proportional to LIVE pairs (the documented
+                # O(merges × affected words) bound, not the ever-seen
+                # pair universe)
+                if pair_counts[pair] <= 0:
+                    del pair_counts[pair]
+                    where.pop(pair, None)
+            word = _merge_word(word, a, b)
             vocab[i] = word
             for pair in zip(word, word[1:]):
                 pair_counts[pair] += f
                 where[pair].add(i)
-        del pair_counts[best]
+        pair_counts.pop(best, None)
         where.pop(best, None)
     return merges
 
@@ -227,20 +240,12 @@ def tokens_expr(encoded: Column) -> Column:
 def _apply_word_py(
     word: str, merges: list[tuple[str, str]]
 ) -> list[str]:
-    """Python twin of the expr fold (sequential leftmost-greedy)."""
-    toks = list(word)
+    """Python twin of the expr fold: the same ``_merge_word`` pass the
+    trainer uses, folded over the merge list in training order."""
+    toks: tuple[str, ...] = tuple(word)
     for a, b in merges:
-        out: list[str] = []
-        j = 0
-        while j < len(toks):
-            if j + 1 < len(toks) and toks[j] == a and toks[j + 1] == b:
-                out.append(a + b)
-                j += 2
-            else:
-                out.append(toks[j])
-                j += 1
-        toks = out
-    return toks
+        toks = _merge_word(toks, a, b)
+    return list(toks)
 
 
 def bpe_tokenize(

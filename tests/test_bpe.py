@@ -18,9 +18,13 @@ def test_train_matches_sennrich_example():
 
 def test_train_deterministic_ties():
     """Equal-count pairs break on the lexicographically smallest."""
-    # 'ab' and 'ba' pairs both appear twice in 'abab'; (a,b) wins twice
-    merges = bpe.bpe_train_from_counts([("abab", 1)], 2)
-    assert merges[0] == ("a", "b")
+    # genuine tie: (b,a) and (a,c) each occur exactly twice, disjoint
+    # words so no overlap effects; (a,c) < (b,a) lexicographically
+    merges = bpe.bpe_train_from_counts([("ba", 2), ("ac", 2)], 1)
+    assert merges == [("a", "c")]
+    # and the mirror ordering of the input must not change the winner
+    merges = bpe.bpe_train_from_counts([("ac", 2), ("ba", 2)], 1)
+    assert merges == [("a", "c")]
 
 
 def test_apply_leftmost_greedy_runs():
