@@ -44,6 +44,14 @@ def trailing_zscore(
     Adds ``trail_mean``, ``trail_std``, ``zscore`` (NULL when history
     is short or the trailing std is 0).  The ROWS frame ordered by
     ``(ts, tiebreak)`` makes the result deterministic under ties.
+
+    Scale shape: Spark evaluates the sliding frame incrementally
+    (O(rows), not O(rows × frame)) and window sorts spill, but
+    PARALLELISM is bounded by ``key_col`` cardinality — a handful of
+    event types means a handful of tasks however large the input. For
+    low-cardinality keys at extreme volume, decompose each key into
+    blocks with a distributed prefix sum (packing.py's block pattern)
+    instead of one window.
     """
     w = (
         W.partitionBy(key_col)

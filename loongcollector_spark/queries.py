@@ -632,12 +632,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels); this query pins the per-cluster pair semantics.
 
     The integer arithmetic is what DuckDB reproduces value-for-value.
-    The Spark side: cluster assignment is an exploded codegen
-    join+sum (one (vec, dim) row per component); the within-cluster
+    The Spark side: cluster assignment stays NARROW — 4 interpreted
+    integer dots per row inside the scan stage, no exchange (k·dim =
+    256 lambda steps/row is cheap; at sf0.1 every extra shuffle stage
+    costs more than this whole projection). The within-cluster
     pairwise stage is the PRODUCTION kernel shape — per-cluster exact
     int64 Gram matrix via Arrow applyInPandas — because pair count
     grows quadratically with cluster size (5.8 s at sf0.1's 5,000
-    vectors under the old interpreted per-pair HOFs, the exact creep
+    vectors under the old interpreted per-PAIR HOFs, the exact creep
     VERDICT r3 warned about). Long dots are order-independent and
     IEEE double sqrt/divide round identically in NumPy, the JVM and
     DuckDB, so all three formulations hash-match."""
@@ -645,26 +647,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     iv = F.transform(F.col("embedding"), lambda v: F.round(v * 1000).cast("long"))
     vecs = emb.select(F.col("vec_id"), iv.alias("iv"))
-    e = vecs.select(
-        "vec_id", F.posexplode("iv").alias("pos", "val")
-    )
-    cent_rows = spark.createDataFrame(
-        [(i, p, w) for i, c in enumerate(cents) for p, w in enumerate(c)],
-        "idx int, pos int, w long",
-    )
-    # assignment: max integer dot, tie -> smallest centroid index
-    # (min over struct(-dot, idx), the sort_array ordering's twin)
-    assign = (
-        e.join(F.broadcast(cent_rows), "pos")
-        .groupBy("vec_id", "idx")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("nd"))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("nd")).alias("m"), F.col("idx").alias("idx"))
-            ).alias("b")
+
+    def ldot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
         )
-        .select("vec_id", F.col("b.idx").alias("cluster"))
+
+    # assignment: max integer dot, tie -> smallest centroid index
+    cells = [
+        F.struct(
+            (-ldot(F.col("iv"), F.array(*[F.lit(w).cast("long") for w in c]))).alias(
+                "nd"
+            ),
+            F.lit(i).alias("idx"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    s = vecs.withColumn(
+        "cluster", F.sort_array(F.array(*cells)).getItem(0)["idx"]
     )
     thr = _SEMDEDUP_THRESHOLD
 
@@ -683,13 +685,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, jj = np.where(np.triu(C >= thr, k=1))  # j has a lower-id dup
         return pd.DataFrame({"vec_id": np.unique(ids[jj])})
 
-    losers = (
-        vecs.join(assign, "vec_id")
-        .groupBy("cluster")
-        .applyInPandas(per_cluster, "vec_id long")
-    )
+    losers = s.groupBy("cluster").applyInPandas(per_cluster, "vec_id long")
     return (
-        assign.join(losers, "vec_id", "left_anti")
+        s.join(F.broadcast(losers), "vec_id", "left_anti")
         .select("vec_id", "cluster")
     )
 
