@@ -686,6 +686,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"vec_id": np.unique(ids[jj])})
 
     losers = s.groupBy("cluster").applyInPandas(per_cluster, "vec_id long")
+    # the broadcast hint is load-bearing: AQE can't size the UDF
+    # output so it plans a sort-merge anti-join that re-shuffles s
+    # (measured 3x slower). Safe here because this query IS the
+    # bounded oracle kernel — a corpus-sized run belongs to
+    # similarity.semantic_dedup, whose anti-join is unhinted.
     return (
         s.join(F.broadcast(losers), "vec_id", "left_anti")
         .select("vec_id", "cluster")
