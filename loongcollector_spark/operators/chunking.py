@@ -1,0 +1,73 @@
+"""Document chunking for retrieval / context-window preparation.
+
+A RAG or long-context training pipeline slices each document into
+fixed-size token windows with overlap before embedding or packing.
+Training-data-pipeline addition (not in the reference; SURVEY §2.11 —
+same family as packing.py / assemble.py).
+
+Scale shape: one narrow projection — ``split`` → ``sequence`` →
+``posexplode`` → ``slice`` — entirely whole-stage codegen, no shuffle,
+no Python. Output size is input tokens × (size/stride) overlap factor;
+the text column is re-materialised per chunk (inherent to chunking),
+so at 100 TB this runs as a streaming map over the scan with output
+proportional to the overlap factor, never a wide plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _norm_text
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Slice each document into token windows of ``chunk_size`` whitespace
+    tokens starting every ``stride`` tokens (``stride < chunk_size`` ⇒
+    overlapping windows, the usual RAG setting).
+
+    Windows start at token offsets ``0, stride, 2·stride, …`` while the
+    offset is inside the document; the final window may be shorter than
+    ``chunk_size`` (the tail suffix). Documents whose normalized text is
+    empty produce no chunks. Tokenization is the corpus-wide
+    ``_norm_text`` whitespace split shared with the dedup/text family.
+
+    Returns ``(id_col, chunk_idx, n_chunk_tokens, chunk_text)`` with
+    ``chunk_idx`` counting windows from 0 within each document.
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_documents: chunk_size and stride must be > 0")
+    norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(norm, " ")
+    starts = F.sequence(
+        F.lit(0), F.size(F.col("__tk")) - 1, F.lit(stride)
+    )
+    return (
+        docs.select(id_col, norm.alias("__norm"), toks.alias("__tk"))
+        .filter(F.length("__norm") > 0)
+        .select(
+            id_col,
+            "__tk",
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                F.col("__tk"), F.col("__start") + 1, F.lit(chunk_size)
+            ).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

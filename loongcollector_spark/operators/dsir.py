@@ -1,0 +1,154 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): score every raw document by how target-like its
+hashed n-gram distribution is, then keep the highest-scoring ones.
+
+The published recipe: featurize text as hashed unigram+bigram counts
+over ``n_buckets`` buckets, fit two smoothed bag-of-words multinomials
+(target corpus vs raw corpus), and weight each raw document by the
+log-likelihood ratio ``Σ_g [ln p_target(h(g)) − ln p_raw(h(g))]``.
+Training-data-pipeline addition (not in the reference; SURVEY §2.11).
+
+Scale shape at 100 TB:
+- one explode of grams → per-(doc, bucket) counts with map-side
+  partial aggregation (the shuffle carries ≤ n_buckets rows per doc,
+  not tokens);
+- the two multinomials are ONE ``n_buckets``-row table (global agg —
+  map-side combined, bytes on the wire ∝ n_buckets × tasks);
+- per-doc scoring is a **broadcast** join of that table back onto the
+  per-(doc, bucket) counts — the corpus never shuffles on the model;
+- selection is a threshold filter (no global sort); ``dsir_sample``'s
+  exact top-k uses TakeOrderedAndProject (k per partition, k·P at the
+  driver), for k in the millions at most.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long, _norm_text
+
+
+def _hashed_gram_buckets(text_col: Column, n_buckets: int, hash_mode: str):
+    """Array of hashed-gram bucket ids (unigrams + bigrams) for one
+    document. ``hash_mode='md5'`` is the engine-portable oracle kernel
+    shared with dedup.py; ``'xxhash64'`` the one-JVM-hash production
+    path."""
+    toks = F.split(_norm_text(F.coalesce(text_col, F.lit(""))), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    if hash_mode == "md5":
+        return F.transform(grams, lambda g: _md5_long(g) % n_buckets)
+    return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-document DSIR importance log-weights.
+
+    ``target_pred`` marks the rows that form the target corpus (e.g.
+    ``F.col("lang") == "en"`` with a curated slice as target); weights
+    are produced for the REMAINING (raw) documents — the set one would
+    resample from. Both multinomials use add-one smoothing over
+    ``n_buckets`` buckets, so empty buckets are defined.
+
+    Returns ``(id_col, n_grams, log_weight)`` for raw documents whose
+    normalized text is non-empty; higher ``log_weight`` = more
+    target-like. Documents with zero grams carry no evidence and are
+    excluded (their weight would be an uninformative 0).
+    """
+    buckets = _hashed_gram_buckets(F.col(text_col), n_buckets, hash_mode)
+    docs = docs.filter(
+        F.length(_norm_text(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    )
+    per_bucket = (
+        docs.select(
+            id_col,
+            target_pred.alias("__is_target"),
+            F.explode(buckets).alias("__b"),
+        )
+        .groupBy(id_col, "__is_target", "__b")
+        .agg(F.count("*").alias("__c"))
+    )
+    model = (
+        per_bucket.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__is_target"), F.col("__c")).otherwise(0)).alias(
+                "__ct"
+            ),
+            F.sum(F.when(~F.col("__is_target"), F.col("__c")).otherwise(0)).alias(
+                "__cr"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_bucket.agg(
+                    F.sum(
+                        F.when(F.col("__is_target"), F.col("__c")).otherwise(0)
+                    ).alias("__tt"),
+                    F.sum(
+                        F.when(~F.col("__is_target"), F.col("__c")).otherwise(0)
+                    ).alias("__tr"),
+                )
+            )
+        )
+        .select(
+            "__b",
+            (
+                F.log((F.col("__ct") + 1) / (F.col("__tt") + n_buckets))
+                - F.log((F.col("__cr") + 1) / (F.col("__tr") + n_buckets))
+            ).alias("__llr"),
+        )
+    )
+    return (
+        per_bucket.filter(~F.col("__is_target"))
+        # model is ≤ n_buckets rows — broadcast so the corpus-sized
+        # per-(doc, bucket) table never shuffles for the join
+        .join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.sum(F.col("__c") * F.col("__llr")).alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Keep the *k* raw documents with the highest DSIR importance
+    weight (ties broken by id — deterministic across reruns and
+    cluster sizes). TakeOrderedAndProject plan: each partition keeps a
+    local top-k; only k·partitions skinny (id, weight) rows reach the
+    driver merge."""
+    if k <= 0:
+        raise ValueError("dsir_sample: k must be positive")
+    w = dsir_weights(
+        docs,
+        target_pred,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        hash_mode=hash_mode,
+    )
+    return w.orderBy(F.desc("log_weight"), F.col(id_col)).limit(k)

@@ -417,6 +417,144 @@ def mixture_report(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    *,
+    strata_col: str = "lang",
+    alpha: float = 0.5,
+    target_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+    hash_mode: str = "xxhash64",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-pretraining
+    recipe from XLM-R / mC4): re-weight strata by
+    ``q_i ∝ p_i^alpha`` so low-resource strata are boosted, then keep
+    each document deterministically with per-stratum rate
+    ``min(1, (q_i / p_i) · target_fraction)`` — the downsampling half of
+    temperature sampling (upsampling past 1× is an epoch-repeat concern,
+    not a filter). Training-data-pipeline addition (not in the
+    reference; SURVEY §2.11); pairs with :func:`mixture_report` /
+    :func:`stratified_sample`.
+
+    Scale shape: one groupBy(strata) agg (map-side combined), a one-row
+    totals broadcast, then a **broadcast** join of the ≤|strata|-row
+    rates table back onto the corpus and a pure-expression hash filter —
+    the corpus itself never shuffles, no collect. Deterministic: same
+    row → same keep decision at any parallelism.
+
+    Returns per-stratum ``(strata_col, n_docs, raw_share, temp_share,
+    sample_rate, n_kept)``.
+    """
+    from .dedup import _md5_long
+
+    per = docs.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    totals = per.agg(
+        F.sum("n_docs").alias("__n"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias(
+            "__z"
+        ),
+    )
+    rates = per.crossJoin(F.broadcast(totals)).select(
+        strata_col,
+        "n_docs",
+        (F.col("n_docs") / F.col("__n")).alias("raw_share"),
+        (
+            F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("__z")
+        ).alias("temp_share"),
+    )
+    rates = rates.withColumn(
+        "sample_rate",
+        F.least(
+            F.lit(1.0),
+            F.col("temp_share") / F.col("raw_share") * F.lit(target_fraction),
+        ),
+    )
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    if hash_mode == "md5":
+        bucket = _md5_long(key) % precision
+    else:
+        bucket = F.pmod(F.xxhash64(key), F.lit(precision))
+    kept = (
+        docs.select(strata_col, bucket.alias("__bucket"))
+        .join(
+            F.broadcast(rates.select(strata_col, "sample_rate")), strata_col
+        )
+        .filter(
+            F.col("__bucket")
+            < F.floor(F.col("sample_rate") * F.lit(precision))
+        )
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, strata_col, "left").select(
+        strata_col,
+        "n_docs",
+        "raw_share",
+        "temp_share",
+        "sample_rate",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word *k*-grams whose corpus-wide FIRST occurrence (minimum
+    document id over all documents containing the gram) is this
+    document — a cheap "how much new text does this doc add" signal
+    used to rank crawl snapshots and dedup residue. Documents with
+    fewer than *k* normalized tokens carry no k-grams and are excluded.
+    Training-data-pipeline addition (not in the reference; SURVEY
+    §2.11).
+
+    Scale shape: distinct (doc, gram) pairs → (a) per-doc gram counts
+    and (b) per-gram ``min(doc_id)`` — both map-side-combinable
+    aggregations; novel counts come from re-aggregating (b) by its
+    min-doc (tiny), then a doc-keyed left join. Gram text shuffles
+    once (hash it first at 100 TB if gram strings dominate the wire —
+    the md5-digest trick exact dedup uses).
+
+    Returns ``(id_col, n_grams, n_novel, novelty)``.
+    """
+    from .dedup import _norm_text
+
+    toks = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    tk = F.col("__tk")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, F.lit(k))),
+    )
+    g = (
+        docs.select(id_col, toks.alias("__tk"))
+        .filter(F.size("__tk") >= k)
+        .select(id_col, F.explode(F.array_distinct(grams)).alias("__g"))
+    )
+    per_doc = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    firsts = (
+        g.groupBy("__g")
+        .agg(F.min(id_col).alias("__first"))
+        .groupBy("__first")
+        .agg(F.count("*").alias("n_novel"))
+        .withColumnRenamed("__first", id_col)
+    )
+    return per_doc.join(firsts, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        (
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            / F.col("n_grams")
+        ).alias("novelty"),
+    )
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", dest: str = "lang_pred"
 ) -> DataFrame:

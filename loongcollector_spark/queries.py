@@ -3868,6 +3868,193 @@ QUERIES["otlp_wire_spans"] = q_otlp_wire_spans
 
 
 # ---------------------------------------------------------------- round-4
+# session-2 additions: RAG chunking, DSIR importance resampling,
+# temperature mixture sampling, n-gram novelty
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG document chunking: fixed-size overlapping token windows
+    (32-token chunks every 24 tokens) over the documents corpus —
+    pure-codegen split→sequence→posexplode→slice, value-matched
+    against a DuckDB generate_series twin."""
+    from .operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_size=32, stride=24)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram bag-of-words log-likelihood ratio of target
+    (lang='en') vs raw documents, md5 oracle kernel over 512 buckets;
+    weights rounded 6 dp (each is a sum of ≤512 double terms — 9 dp
+    would sit inside cross-engine accumulation-order noise)."""
+    from .operators.dsir import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_weights(
+        docs, F.col("lang") == "en", n_buckets=512, hash_mode="md5"
+    )
+    return w.select(
+        "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (XLM-R/mC4 α=0.5 recipe):
+    per-language boost rates + deterministic hash-sampled keep counts
+    at an overall 0.5 target fraction, value-matched to a DuckDB twin
+    running the same md5 kernel."""
+    from .operators.text import temperature_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_mixture(
+        docs,
+        strata_col="lang",
+        alpha=0.5,
+        target_fraction=0.5,
+        salt="t1",
+        hash_mode="md5",
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        F.round("raw_share", 9).alias("raw_share"),
+        F.round("temp_share", 9).alias("temp_share"),
+        F.round("sample_rate", 9).alias("sample_rate"),
+        "n_kept",
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: fraction of a doc's distinct
+    3-grams whose corpus-wide first occurrence (min doc_id) is this
+    doc; exact integer counts vs the DuckDB twin."""
+    from .operators.text import ngram_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_novelty(docs, k=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round("novelty", 9).alias("novelty"),
+    )
+
+
+ORACLES["chunk_docs"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS tk, {_NORM_C} AS nm
+      FROM documents
+    ),
+    nn AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(nm) > 0),
+    s AS (
+      SELECT doc_id, tk, unnest(generate_series(1, n, 24)) AS st FROM nn
+    )
+    SELECT doc_id,
+           CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+           CAST(len(tk[st:st + 31]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tk[st:st + 31], ' ') AS chunk_text
+    FROM s
+"""
+
+ORACLES["dsir_weights"] = f"""
+    WITH tk AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             string_split({_NORM_C}, ' ') AS t, {_NORM_C} AS nm
+      FROM documents
+    ),
+    ne AS (SELECT doc_id, is_t, t FROM tk WHERE len(nm) > 0),
+    gr AS (
+      SELECT doc_id, is_t,
+             unnest(list_concat(t,
+               CASE WHEN len(t) >= 2
+                    THEN [t[i] || ' ' || t[i + 1]
+                          for i in generate_series(1, len(t) - 1)]
+                    ELSE [] END)) AS g
+      FROM ne
+    ),
+    pb AS (
+      SELECT doc_id, is_t, {_MD5L.format(x="g")} % 512 AS bk,
+             count(*) AS c
+      FROM gr GROUP BY 1, 2, 3
+    ),
+    model AS (
+      SELECT bk,
+             sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct,
+             sum(CASE WHEN NOT is_t THEN c ELSE 0 END) AS cr
+      FROM pb GROUP BY 1
+    ),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM model),
+    llr AS (
+      SELECT bk, ln((ct + 1.0) / (tt + 512))
+                 - ln((cr + 1.0) / (tr + 512)) AS l
+      FROM model CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           round(sum(c * l), 6) AS log_weight
+    FROM pb JOIN llr USING (bk)
+    WHERE NOT is_t
+    GROUP BY 1
+"""
+
+ORACLES["temperature_mixture"] = f"""
+    WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    tot AS (
+      SELECT sum(n_docs) AS n, sum(pow(n_docs, 0.5)) AS z FROM per
+    ),
+    rates AS (
+      SELECT lang, n_docs,
+             n_docs / n AS raw_share,
+             pow(n_docs, 0.5) / z AS temp_share,
+             least(1.0,
+                   (pow(n_docs, 0.5) / z) / (n_docs / n) * 0.5)
+                 AS sample_rate
+      FROM per CROSS JOIN tot
+    ),
+    kept AS (
+      SELECT d.lang, count(*) AS n_kept
+      FROM documents d JOIN rates r USING (lang)
+      WHERE {_MD5L.format(x="concat(CAST(d.doc_id AS VARCHAR), 't1')")}
+            % 1000000 < floor(r.sample_rate * 1000000)
+      GROUP BY 1
+    )
+    SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+           round(r.raw_share, 9) AS raw_share,
+           round(r.temp_share, 9) AS temp_share,
+           round(r.sample_rate, 9) AS sample_rate,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (lang)
+"""
+
+ORACLES["ngram_novelty"] = f"""
+    WITH tk AS (
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i + 2], ' ')
+                       for i in generate_series(1, len(t) - 2)]) AS g
+        FROM tk WHERE len(t) >= 3
+      )
+    ),
+    pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+    fi AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY 1),
+    nv AS (SELECT fd AS doc_id, count(*) AS n_novel FROM fi GROUP BY 1)
+    SELECT pd.doc_id, CAST(pd.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           round(coalesce(nv.n_novel, 0) * 1.0 / pd.n_grams, 9) AS novelty
+    FROM pd LEFT JOIN nv USING (doc_id)
+"""
+
+QUERIES["chunk_docs"] = q_chunk_docs
+QUERIES["dsir_weights"] = q_dsir_weights
+QUERIES["temperature_mixture"] = q_temperature_mixture
+QUERIES["ngram_novelty"] = q_ngram_novelty
+
+
+# ---------------------------------------------------------------- round-4
 # driver-window ordering (VERDICT r3 item 1).
 #
 # The driver's correctness harness checks the FIRST 50 queries() entries
@@ -3918,6 +4105,11 @@ _DRIVER_FIRST = [
     # round-4 additions: wire-format round-trips
     "sls_wire_roundtrip",
     "otlp_wire_spans",
+    # round-4 session-2: curation additions
+    "chunk_docs",
+    "dsir_weights",
+    "temperature_mixture",
+    "ngram_novelty",
 ]
 
 
