@@ -68,7 +68,7 @@ def test_grok_int_word_roundtrip(n, w):
 
 
 @given(json_objects)
-@settings(max_examples=150)
+@settings(max_examples=150, deadline=None)
 def test_flatten_covers_all_leaves(obj):
     flat = flatten_json(obj, expand_array=True)
     # every produced value is a string
