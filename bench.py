@@ -127,6 +127,11 @@ HEADLINE = [
     # round-4 additions: the wire-format round-trips
     "sls_wire_roundtrip",
     "otlp_wire_spans",
+    # round-4 session-2: curation additions
+    "chunk_docs",
+    "dsir_weights",
+    "temperature_mixture",
+    "ngram_novelty",
 ]
 
 

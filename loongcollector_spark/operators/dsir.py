@@ -29,23 +29,52 @@ from pyspark.sql import functions as F
 from .dedup import _md5_long, _norm_text
 
 
-def _hashed_gram_buckets(text_col: Column, n_buckets: int, hash_mode: str):
-    """Array of hashed-gram bucket ids (unigrams + bigrams) for one
-    document. ``hash_mode='md5'`` is the engine-portable oracle kernel
-    shared with dedup.py; ``'xxhash64'`` the one-JVM-hash production
-    path."""
-    toks = F.split(_norm_text(F.coalesce(text_col, F.lit(""))), " ")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.slice(toks, 1, F.size(toks) - 1),
-            lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bigrams)
+def _gram_rows(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """``(id_col, __is_target, __g)`` rows: unigrams + bigrams of the
+    normalized text, exploded.
+
+    HOF-discipline note (the `_shingle_rows` lesson, re-learned here at
+    2M docs): interpreted higher-order-function lambdas re-evaluate any
+    OUTER expression they reference once per element — a first draft
+    used ``element_at(split(norm_regex(text)), i + 2)`` inside the
+    bigram lambda and re-ran the whole regex-normalize+split ~47× per
+    row (20+ min at 2M docs). This shape is linear: ``zip_with`` over
+    two slices of a materialized token-array column, lambda touching
+    only its lambda variables; the bucket hash is applied AFTER the
+    explode in a whole-stage-codegen projection.
+    """
+    norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    tokenized = docs.filter(F.length(norm) > 0).select(
+        F.col(id_col),
+        target_pred.alias("__is_target"),
+        F.split(norm, " ").alias("__tk"),
+    )
+    tk = F.col("__tk")
+    n_bi = F.size(tk) - 1  # 1-token docs: slice length 0 → no bigrams
+    bigrams = F.zip_with(
+        F.slice(tk, 1, n_bi),
+        F.slice(tk, 2, n_bi),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return tokenized.select(
+        id_col,
+        "__is_target",
+        F.explode(F.concat(tk, bigrams)).alias("__g"),
+    )
+
+
+def _bucket(col: Column, n_buckets: int, hash_mode: str) -> Column:
+    """Hashed-gram bucket id. ``hash_mode='md5'`` is the engine-portable
+    oracle kernel shared with dedup.py; ``'xxhash64'`` the one-JVM-hash
+    production path."""
     if hash_mode == "md5":
-        return F.transform(grams, lambda g: _md5_long(g) % n_buckets)
-    return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)))
+        return _md5_long(col) % n_buckets
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
 
 def dsir_weights(
@@ -70,15 +99,12 @@ def dsir_weights(
     target-like. Documents with zero grams carry no evidence and are
     excluded (their weight would be an uninformative 0).
     """
-    buckets = _hashed_gram_buckets(F.col(text_col), n_buckets, hash_mode)
-    docs = docs.filter(
-        F.length(_norm_text(F.coalesce(F.col(text_col), F.lit("")))) > 0
-    )
+    g = _gram_rows(docs, target_pred, id_col, text_col)
     per_bucket = (
-        docs.select(
+        g.select(
             id_col,
-            target_pred.alias("__is_target"),
-            F.explode(buckets).alias("__b"),
+            "__is_target",
+            _bucket(F.col("__g"), n_buckets, hash_mode).alias("__b"),
         )
         .groupBy(id_col, "__is_target", "__b")
         .agg(F.count("*").alias("__c"))

@@ -527,10 +527,19 @@ def ngram_novelty(
 
     toks = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
     tk = F.col("__tk")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(tk, i, F.lit(k))),
-    )
+    # k-grams via folded zip_with over k slices: lambdas touch ONLY
+    # their lambda variables — a slice/element_at of the token
+    # EXPRESSION inside an interpreted HOF lambda would re-run the
+    # norm-regex split per element (the dsir._gram_rows lesson; see
+    # also dedup._shingle_rows)
+    n_g = F.size(tk) - (k - 1)
+    grams = F.slice(tk, 1, n_g)
+    for j in range(2, k + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(tk, j, n_g),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     g = (
         docs.select(id_col, toks.alias("__tk"))
         .filter(F.size("__tk") >= k)
