@@ -53,6 +53,19 @@ def _md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _hash_bucket(col, modulus: int, hash_mode: str):
+    """Deterministic ``[0, modulus)`` bucket of *col* — the ONE shared
+    keep/bucket kernel (stratified_sample, temperature_mixture, DSIR).
+    ``hash_mode='md5'`` is the engine-portable oracle kernel above;
+    ``'xxhash64'`` the one-JVM-hash production path. pmod, never
+    abs-then-mod: JVM ``abs(Long.MIN_VALUE)`` stays negative, which
+    would give that row a negative bucket that passes every
+    ``bucket < thresh`` check (ADVICE r3)."""
+    if hash_mode == "md5":
+        return _md5_long(col) % modulus
+    return F.pmod(F.xxhash64(col), F.lit(modulus))
+
+
 def _norm_text(col):
     """Normalization used by all fuzzy-dedup paths: lowercase, collapse
     whitespace, strip punctuation-ish chars."""

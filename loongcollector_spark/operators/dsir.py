@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _md5_long, _norm_text
+from .dedup import _hash_bucket, _norm_text
 
 
 def _gram_rows(
@@ -51,7 +51,10 @@ def _gram_rows(
     norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
     tokenized = docs.filter(F.length(norm) > 0).select(
         F.col(id_col),
-        target_pred.alias("__is_target"),
+        # NULL predicate (e.g. lang == 'en' on a NULL lang) means "not
+        # in the target corpus" — coalesce to false so such docs stay
+        # in the raw pool instead of silently vanishing from both
+        F.coalesce(target_pred, F.lit(False)).alias("__is_target"),
         F.split(norm, " ").alias("__tk"),
     )
     tk = F.col("__tk")
@@ -66,15 +69,6 @@ def _gram_rows(
         "__is_target",
         F.explode(F.concat(tk, bigrams)).alias("__g"),
     )
-
-
-def _bucket(col: Column, n_buckets: int, hash_mode: str) -> Column:
-    """Hashed-gram bucket id. ``hash_mode='md5'`` is the engine-portable
-    oracle kernel shared with dedup.py; ``'xxhash64'`` the one-JVM-hash
-    production path."""
-    if hash_mode == "md5":
-        return _md5_long(col) % n_buckets
-    return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
 
 def dsir_weights(
@@ -104,7 +98,7 @@ def dsir_weights(
         g.select(
             id_col,
             "__is_target",
-            _bucket(F.col("__g"), n_buckets, hash_mode).alias("__b"),
+            _hash_bucket(F.col("__g"), n_buckets, hash_mode).alias("__b"),
         )
         .groupBy(id_col, "__is_target", "__b")
         .agg(F.count("*").alias("__c"))

@@ -445,9 +445,10 @@ def temperature_mixture(
     row → same keep decision at any parallelism.
 
     Returns per-stratum ``(strata_col, n_docs, raw_share, temp_share,
-    sample_rate, n_kept)``.
+    sample_rate, n_kept)``. A NULL stratum is a first-class stratum
+    (null-safe joins throughout), matching ``groupBy``'s NULL key.
     """
-    from .dedup import _md5_long
+    from .dedup import _hash_bucket
 
     per = docs.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
     totals = per.agg(
@@ -471,30 +472,44 @@ def temperature_mixture(
             F.col("temp_share") / F.col("raw_share") * F.lit(target_fraction),
         ),
     )
-    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    if hash_mode == "md5":
-        bucket = _md5_long(key) % precision
-    else:
-        bucket = F.pmod(F.xxhash64(key), F.lit(precision))
+    # threshold snapped to the nearest ppm integer (not floor of the
+    # raw double): a 1-ulp pow/sum accumulation wobble near an integer
+    # boundary must not flip keep decisions run-to-run or cross-engine
+    rate_ppm = F.round(F.col("sample_rate") * F.lit(precision)).cast("long")
+    bucket = _hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)),
+        precision,
+        hash_mode,
+    )
+    r = rates.select(
+        F.col(strata_col).alias("__s"), rate_ppm.alias("__rate_ppm")
+    )
     kept = (
         docs.select(strata_col, bucket.alias("__bucket"))
         .join(
-            F.broadcast(rates.select(strata_col, "sample_rate")), strata_col
+            F.broadcast(r), F.col(strata_col).eqNullSafe(F.col("__s"))
         )
-        .filter(
-            F.col("__bucket")
-            < F.floor(F.col("sample_rate") * F.lit(precision))
-        )
+        .filter(F.col("__bucket") < F.col("__rate_ppm"))
         .groupBy(strata_col)
         .agg(F.count("*").alias("n_kept"))
     )
-    return rates.join(kept, strata_col, "left").select(
-        strata_col,
-        "n_docs",
-        "raw_share",
-        "temp_share",
-        "sample_rate",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    k = kept.select(
+        F.col(strata_col).alias("__s2"), "n_kept"
+    )
+    return (
+        rates.join(
+            F.broadcast(k),
+            F.col(strata_col).eqNullSafe(F.col("__s2")),
+            "left",
+        )
+        .select(
+            strata_col,
+            "n_docs",
+            "raw_share",
+            "temp_share",
+            "sample_rate",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
     )
 
 
@@ -525,6 +540,8 @@ def ngram_novelty(
     """
     from .dedup import _norm_text
 
+    if k <= 0:
+        raise ValueError("ngram_novelty: k must be positive")
     toks = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
     tk = F.col("__tk")
     # k-grams via folded zip_with over k slices: lambdas touch ONLY
@@ -627,17 +644,13 @@ def stratified_sample(
     Pure column expressions — the filter pushes into the scan."""
     from pyspark.sql import functions as F
 
-    from .dedup import _md5_long
+    from .dedup import _hash_bucket
 
-    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    if hash_mode == "md5":
-        bucket = _md5_long(key) % precision
-    else:
-        # pmod, never abs-then-mod: JVM abs(Long.MIN_VALUE) stays
-        # negative, which would give that row a negative bucket that
-        # passes every `bucket < thresh` check (ADVICE r3); already in
-        # [0, precision), no further reduction needed
-        bucket = F.pmod(F.xxhash64(key), F.lit(precision))
+    bucket = _hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)),
+        precision,
+        hash_mode,
+    )
     thresh = None
     for value, frac in sorted(fractions.items()):
         t = F.lit(int(frac * precision))

@@ -3960,7 +3960,7 @@ ORACLES["chunk_docs"] = f"""
 
 ORACLES["dsir_weights"] = f"""
     WITH tk AS (
-      SELECT doc_id, (lang = 'en') AS is_t,
+      SELECT doc_id, coalesce(lang = 'en', false) AS is_t,
              string_split({_NORM_C}, ' ') AS t, {_NORM_C} AS nm
       FROM documents
     ),
@@ -4014,9 +4014,9 @@ ORACLES["temperature_mixture"] = f"""
     ),
     kept AS (
       SELECT d.lang, count(*) AS n_kept
-      FROM documents d JOIN rates r USING (lang)
+      FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
       WHERE {_MD5L.format(x="concat(CAST(d.doc_id AS VARCHAR), 't1')")}
-            % 1000000 < floor(r.sample_rate * 1000000)
+            % 1000000 < CAST(round(r.sample_rate * 1000000) AS BIGINT)
       GROUP BY 1
     )
     SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
@@ -4024,7 +4024,7 @@ ORACLES["temperature_mixture"] = f"""
            round(r.temp_share, 9) AS temp_share,
            round(r.sample_rate, 9) AS sample_rate,
            CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
-    FROM rates r LEFT JOIN kept k USING (lang)
+    FROM rates r LEFT JOIN kept k ON r.lang IS NOT DISTINCT FROM k.lang
 """
 
 ORACLES["ngram_novelty"] = f"""

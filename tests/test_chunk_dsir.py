@@ -93,6 +93,7 @@ def dsir_docs(spark):
         (21, "stir fry garlic onion pepper", False),  # off-target
         (22, "bake flour sugar butter oven", False),  # off-target
         (23, None, False),  # empty → excluded
+        (24, "boil rice simmer broth", None),  # NULL predicate → raw
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, is_sci boolean")
     return df
@@ -103,8 +104,9 @@ def test_dsir_orders_target_like_first(spark, dsir_docs):
         dsir_docs, F.col("is_sci"), n_buckets=256, hash_mode="md5"
     )
     rows = {r.doc_id: r for r in w.collect()}
-    # only raw (non-target), non-empty docs scored
-    assert set(rows) == {20, 21, 22}
+    # only raw (non-target), non-empty docs scored; NULL predicate
+    # counts as raw (doc 24), not silently dropped
+    assert set(rows) == {20, 21, 22, 24}
     assert rows[20].log_weight > rows[21].log_weight
     assert rows[20].log_weight > rows[22].log_weight
     assert rows[20].log_weight > 0  # shares target vocabulary
@@ -187,6 +189,27 @@ def test_temperature_alpha_zero_uniform_shares(spark, sf_dir):
 
 
 # ---------------------------------------------------------- n-gram novelty
+
+
+def test_temperature_null_stratum_is_first_class(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else None) for i in range(100)],
+        "doc_id long, lang string",
+    )
+    rows = {r.lang: r for r in temperature_mixture(
+        df, strata_col="lang", alpha=0.5, target_fraction=1.0,
+        hash_mode="md5",
+    ).collect()}
+    assert set(rows) == {"en", None}
+    # the NULL stratum's docs participate in the keep decision (both
+    # strata are 50/50 → rate 1.0 → everything kept)
+    assert rows[None].n_kept == 50 and rows["en"].n_kept == 50
+
+
+def test_ngram_novelty_rejects_bad_k(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        ngram_novelty(docs, k=0)
 
 
 def test_ngram_novelty_duplicate_doc_scores_zero(spark):
