@@ -132,6 +132,8 @@ HEADLINE = [
     "dsir_weights",
     "temperature_mixture",
     "ngram_novelty",
+    "gopher_rules",
+    "edit_distance",
 ]
 
 

@@ -553,6 +553,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_chars: int = 2000,
+) -> DataFrame:
+    """Levenshtein verification for candidate pairs — the exact-edit
+    companion to :func:`ngram_jaccard_pairs` for the stage after LSH:
+    join texts to (a, b) pairs and score
+    ``1 − lev(a, b) / max(|a|, |b|, 1)`` over the first ``max_chars``
+    of the NORMALIZED text. The cap bounds the O(|a|·|b|) DP per pair
+    (2000² ≈ 4M cell worst case) — raise it only for short-document
+    corpora. JVM ``levenshtein``; pair volume is LSH-bounded, the two
+    text joins are id-keyed.
+
+    Returns ``(a, b, edit_distance, edit_similarity)``.
+    """
+    t = df.select(
+        F.col(id_col),
+        F.substring(
+            _norm_text(F.coalesce(F.col(text_col), F.lit(""))), 1, max_chars
+        ).alias("__t"),
+    )
+    ta = t.select(F.col(id_col).alias("a"), F.col("__t").alias("__ta"))
+    tb = t.select(F.col(id_col).alias("b"), F.col("__t").alias("__tb"))
+    out = pairs.join(ta, "a").join(tb, "b")
+    lev = F.levenshtein("__ta", "__tb")
+    sim = 1 - lev / F.greatest(
+        F.length("__ta"), F.length("__tb"), F.lit(1)
+    )
+    return out.select(
+        "a",
+        "b",
+        lev.cast("long").alias("edit_distance"),
+        sim.alias("edit_similarity"),
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -609,6 +609,110 @@ def language_id(
     )
 
 
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-quality gate (Rae et al. 2021 §A1.1, the rule
+    set RefinedWeb/Dolma adopted): per-document boolean flags for each
+    canonical rule plus the combined keep verdict. Complements
+    :func:`quality_signals` (raw signals) with the published
+    THRESHOLDED filter a pretraining pipeline actually applies.
+
+    Rules (defaults are the paper's): word count in [50, 100k]; mean
+    word length in [3, 10]; symbol-to-word ratio ('#' + ellipsis)
+    ≤ 0.1; ≤ 90% of lines starting with a bullet; ≤ 30% of lines
+    ending with an ellipsis; ≥ 80% of words containing an alphabetic
+    character; ≥ 2 of the 8 Gopher stop words present.
+
+    Scale shape: one narrow codegen projection per document — splits,
+    HOF filters whose lambdas touch only lambda variables, literal
+    arrays. No shuffle, no Python; the keep flag pushes into the scan
+    when used as a filter.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.when(F.length(F.trim(txt)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(txt), r"\s+")
+    )
+    d = df.select(F.col(id_col), txt.alias("__t"), words.alias("__w"))
+    w = F.col("__w")
+    t = F.col("__t")
+    n_words = F.size(w)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_uni_ell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    n_dot_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_uni_ell + n_dot_ell) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    is_bullet = lambda l: (  # noqa: E731 — shared by filter + oracle doc
+        F.ltrim(l).startswith("- ")
+        | F.ltrim(l).startswith("* ")
+        | F.ltrim(l).startswith("•")
+    )
+    bullet_frac = F.size(F.filter(lines, is_bullet)) / n_lines
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(w, F.lower)),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "pass_words": (n_words >= min_words) & (n_words <= max_words),
+        "pass_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "pass_symbol": symbol_ratio <= max_symbol_ratio,
+        "pass_bullet": bullet_frac <= max_bullet_frac,
+        "pass_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "pass_alpha": alpha_frac >= min_alpha_frac,
+        "pass_stopwords": n_stop >= min_stopwords,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return d.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", dest: str = "fingerprint"
 ) -> DataFrame:

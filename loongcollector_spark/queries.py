@@ -4054,6 +4054,123 @@ QUERIES["temperature_mixture"] = q_temperature_mixture
 QUERIES["ngram_novelty"] = q_ngram_novelty
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gate (Rae et al. 2021 §A1.1) at the paper's
+    canonical thresholds except min_stopwords=1: the synthetic corpus
+    vocabulary carries only one of the 8 Gopher stop words ('the'), so
+    the canonical 2 would fail every document and the keep verdict
+    would be an uninformative all-false hash. At 1 the verdict splits
+    on the 50-word rule (corpus median is 56 words). Integer/boolean
+    outputs so the value hash is exact."""
+    from .operators.text import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules(docs, min_stopwords=1)
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein candidate-pair verification (the post-LSH exact
+    check) over the same deterministic consecutive-id candidate set
+    ngram_jaccard uses; similarity rounded 9 dp."""
+    from .operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .filter(F.col("b") < 100)
+    )
+    out = edit_distance_pairs(docs, cand, max_chars=2000)
+    return out.select(
+        "a",
+        "b",
+        "edit_distance",
+        F.round("edit_similarity", 9).alias("edit_similarity"),
+    )
+
+
+ORACLES["gopher_rules"] = """
+    WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    w AS (
+      SELECT doc_id, t,
+             CASE WHEN trim(t) = '' THEN []
+                  ELSE regexp_split_to_array(trim(t), '\\s+') END AS ws,
+             string_split(t, chr(10)) AS ls
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) > 0
+                  THEN list_sum(list_transform(ws, x -> len(x))) * 1.0
+                       / len(ws)
+                  ELSE 0.0 END AS mean_wl,
+             CASE WHEN len(ws) > 0
+                  THEN (len(t) - len(replace(t, '#', ''))
+                        + len(t) - len(replace(t, chr(8230), ''))
+                        + (len(t) - len(replace(t, '...', ''))) / 3.0)
+                       / len(ws)
+                  ELSE 0.0 END AS symbol_ratio,
+             len(list_filter(ls, l ->
+                 starts_with(ltrim(l), '- ')
+                 OR starts_with(ltrim(l), '* ')
+                 OR starts_with(ltrim(l), chr(8226)))) * 1.0
+                 / len(ls) AS bullet_frac,
+             len(list_filter(ls, l ->
+                 suffix(rtrim(l), '...')
+                 OR suffix(rtrim(l), chr(8230)))) * 1.0
+                 / len(ls) AS ellipsis_frac,
+             CASE WHEN len(ws) > 0
+                  THEN len(list_filter(ws, x ->
+                           regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)
+                  ELSE 0.0 END AS alpha_frac,
+             len(list_intersect(
+                 list_distinct(list_transform(ws, x -> lower(x))),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']
+             )) AS n_stop
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           (n_words >= 50 AND n_words <= 100000) AS pass_words,
+           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS pass_word_len,
+           (symbol_ratio <= 0.1) AS pass_symbol,
+           (bullet_frac <= 0.9) AS pass_bullet,
+           (ellipsis_frac <= 0.3) AS pass_ellipsis,
+           (alpha_frac >= 0.8) AS pass_alpha,
+           (n_stop >= 1) AS pass_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_wl >= 3.0 AND mean_wl <= 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3
+            AND alpha_frac >= 0.8
+            AND n_stop >= 1) AS keep
+    FROM m
+"""
+
+ORACLES["edit_distance"] = f"""
+    WITH t AS (
+      SELECT doc_id, substr({_NORM_C}, 1, 2000) AS nt FROM documents
+    ),
+    cand AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+      WHERE doc_id < 99
+    )
+    SELECT cand.a, cand.b,
+           CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS edit_distance,
+           round(1.0 - levenshtein(ta.nt, tb.nt)
+                 / greatest(len(ta.nt), len(tb.nt), 1), 9)
+               AS edit_similarity
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.a
+    JOIN t tb ON tb.doc_id = cand.b
+"""
+
+QUERIES["gopher_rules"] = q_gopher_rules
+QUERIES["edit_distance"] = q_edit_distance
+
+
 # ---------------------------------------------------------------- round-4
 # driver-window ordering (VERDICT r3 item 1).
 #
@@ -4110,6 +4227,8 @@ _DRIVER_FIRST = [
     "dsir_weights",
     "temperature_mixture",
     "ngram_novelty",
+    "gopher_rules",
+    "edit_distance",
 ]
 
 

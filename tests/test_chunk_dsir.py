@@ -7,8 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from loongcollector_spark.operators.chunking import chunk_documents
+from loongcollector_spark.operators.dedup import edit_distance_pairs
 from loongcollector_spark.operators.dsir import dsir_sample, dsir_weights
 from loongcollector_spark.operators.text import (
+    gopher_rules,
     ngram_novelty,
     temperature_mixture,
 )
@@ -253,3 +255,83 @@ def test_ngram_novelty_short_docs_excluded(spark):
     )
     rows = ngram_novelty(df, k=3).collect()
     assert [r.doc_id for r in rows] == [2]
+
+
+# -------------------------------------------------------- Gopher rules
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over with lazy dogs near"] * 6
+    )  # 60 words, mean len ~4.3, 2 stopwords (the, with)
+    rows = {
+        r.doc_id: r
+        for r in gopher_rules(
+            spark.createDataFrame(
+                [
+                    (1, good),
+                    (2, "too short to pass the word count rule with these"),
+                    (3, " ".join(["a"] * 60)),  # mean word len 1 → fail
+                    (4, good + " " + "# " * 20),  # symbol ratio > 0.1
+                    (5, "\n".join(["- bullet line"] * 10) + "\n" + good),
+                    (6, "\n".join(["trailing line..."] * 10) + "\n" + good),
+                    (7, " ".join(["1234"] * 60)),  # no alphabetic words
+                    (8, " ".join(["word"] * 60)),  # zero stopwords
+                    (9, None),
+                ],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert rows[1].keep
+    assert not rows[2].pass_words and not rows[2].keep
+    assert not rows[3].pass_word_len
+    assert not rows[4].pass_symbol
+    assert not rows[5].pass_bullet
+    assert not rows[6].pass_ellipsis
+    assert not rows[7].pass_alpha and not rows[7].pass_stopwords
+    assert not rows[8].pass_stopwords
+    # NULL text: zero words → fails word count, nothing crashes
+    assert rows[9].n_words == 0 and not rows[9].keep
+
+
+def test_gopher_rules_plan_has_no_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------ edit distance
+
+
+def test_edit_distance_pairs_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "kitten sat"),
+            (2, "sitting sat"),
+            (3, "kitten sat"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    rows = {(r.a, r.b): r for r in edit_distance_pairs(df, pairs).collect()}
+    # kitten→sitting is the textbook distance-3 pair
+    assert rows[(1, 2)].edit_distance == 3
+    assert rows[(1, 2)].edit_similarity == pytest.approx(1 - 3 / 11)
+    # identical docs: distance 0, similarity 1
+    assert rows[(1, 3)].edit_distance == 0
+    assert rows[(1, 3)].edit_similarity == 1.0
+
+
+def test_edit_distance_pairs_empty_and_cap(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "!!!"), (3, "x" * 5000), (4, "x" * 5000 + "tail")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    rows = {(r.a, r.b): r for r in edit_distance_pairs(df, pairs).collect()}
+    # both normalize to empty: distance 0 over the max(len, 1) floor
+    assert rows[(1, 2)].edit_distance == 0
+    assert rows[(1, 2)].edit_similarity == 1.0
+    # cap: both truncate to the same 2000-char prefix → identical
+    assert rows[(3, 4)].edit_distance == 0
