@@ -134,6 +134,10 @@ HEADLINE = [
     "ngram_novelty",
     "gopher_rules",
     "edit_distance",
+    "split_assign",
+    "score_sample",
+    "clean_lines",
+    "dedup_lines",
 ]
 
 

@@ -34,6 +34,8 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "stratified_topn_sample",
+    "split_assign",
+    "score_sample",
 ]
 
 
@@ -322,3 +324,96 @@ def stratified_topn_sample(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    hash_mode: str = "md5",
+    precision: int = 1_000_000,
+    dest: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the step every
+    training pipeline runs before anything else. Each row's split is a
+    pure function of ``hash(id || salt)``: hash into ``[0, precision)``
+    and walk cumulative fraction thresholds in sorted split-name
+    order. No RNG, no state — the same document lands in the same
+    split on every rerun, every resume, and every cluster size, and
+    adding MORE data later never moves an existing document across
+    splits (the property randomSplit cannot give you, since its
+    per-partition seeding reshuffles assignments when partitioning
+    changes). A different *salt* draws an independent partition.
+
+    *splits* maps name → fraction; fractions must sum to ≤ 1 (any
+    remainder falls into the LAST sorted split, so exact-sum configs
+    are total). Scale shape: one codegen projection, no shuffle; a
+    downstream ``filter(split = 'train')`` pushes to the scan.
+    """
+    if not splits:
+        raise ValueError("split_assign: splits must be non-empty")
+    if any(f < 0 for f in splits.values()):
+        raise ValueError("split_assign: fractions must be >= 0")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("split_assign: fractions sum to > 1")
+    from .dedup import _hash_bucket
+
+    bucket = _hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)),
+        precision,
+        hash_mode,
+    )
+    names = sorted(splits)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = bucket < F.lit(int(round(cum * precision)))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(dest, expr)
+
+
+def score_sample(
+    df: DataFrame,
+    score_col: str,
+    *,
+    id_col: str = "doc_id",
+    power: float = 1.0,
+    salt: str = "",
+    hash_mode: str = "md5",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Quality-weighted soft sampling (the FineWeb-Edu / RefinedWeb
+    move): instead of a hard score threshold, keep each row with
+    probability ``clamp(score, 0, 1) ** power`` — deterministically,
+    by comparing ``hash(id || salt) / precision`` against the powered
+    score. High-quality documents survive almost surely, mid-quality
+    ones thin out smoothly, junk disappears; *power* sharpens the
+    curve. Same no-RNG reproducibility contract as
+    :func:`split_assign` / ``stratified_sample``: rerun-, resume- and
+    parallelism-invariant, salt draws an independent sample.
+
+    NULL scores are treated as 0 (dropped). Pure column expressions —
+    the keep predicate pushes into the scan.
+    """
+    if power <= 0:
+        raise ValueError("score_sample: power must be > 0")
+    from .dedup import _hash_bucket
+
+    bucket = _hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)),
+        precision,
+        hash_mode,
+    )
+    s = F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))
+    p = F.pow(F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0)), F.lit(power))
+    return df.filter(bucket < p * F.lit(precision))

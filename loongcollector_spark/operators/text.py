@@ -36,6 +36,8 @@ __all__ = [
     "bigram_lm_perplexity",
     "mixture_report",
     "PII_PATTERNS",
+    "clean_lines",
+    "dedup_lines",
 ]
 
 # tiny public stopword lists per language for the n-gram/stopword
@@ -1154,4 +1156,96 @@ def oov_rate(
         n.cast("long").alias("n_tokens"),
         oov.cast("long").alias("n_oov"),
         F.when(n > 0, oov / n).otherwise(F.lit(0.0)).alias("oov_frac"),
+    )
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    require_terminal_punct: bool = True,
+    banned_substrings: tuple[str, ...] = ("lorem ipsum", "javascript"),
+    drop_curly: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep a
+    line iff it has ≥ *min_line_words* words, ends in terminal
+    punctuation (``. ! ? "``), and carries none of the (lowercased)
+    *banned_substrings*; with *drop_curly*, lines containing ``{`` go
+    too (C4's code-page heuristic). Kept lines are re-joined with
+    newlines in original order.
+
+    Returns ``(id, clean_text, n_lines, n_kept)`` — callers filter on
+    ``n_kept`` for the page-level "≥ N sentences" rule rather than
+    this operator hard-dropping documents.
+
+    Scale shape: one narrow codegen projection per document — a line
+    split plus a HOF filter whose lambda touches only the lambda
+    variable (never an outer expression: the interpreted-HOF re-eval
+    trap recorded in dsir.py). No shuffle, no Python.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    d = df.select(F.col(id_col), F.split(txt, "\n").alias("__ls"))
+
+    def _keep(line):
+        t = F.trim(line)
+        c = F.size(F.split(t, r"\s+")) >= min_line_words
+        c = c & (F.length(t) > 0)
+        if require_terminal_punct:
+            c = c & (
+                t.endswith(".")
+                | t.endswith("!")
+                | t.endswith("?")
+                | t.endswith('"')
+            )
+        low = F.lower(t)
+        for s in banned_substrings:
+            c = c & ~low.contains(s.lower())
+        if drop_curly:
+            c = c & ~t.contains("{")
+        return c
+
+    kept = F.filter(F.col("__ls"), _keep)
+    return d.select(
+        id_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size("__ls").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document duplicate-line removal (the RefinedWeb/MassiveText
+    repetition fix): drop every line that already appeared earlier in
+    the SAME document, preserving first-occurrence order — boilerplate
+    nav bars and repeated footers collapse to one copy; cross-document
+    dedup stays :func:`~..operators.dedup.exact_dedup`'s job.
+
+    ``array_distinct`` is NOT used: its order contract differs across
+    engines (DuckDB's ``list_distinct`` reorders), so the kernel is the
+    indexed HOF filter ``(l, i) -> array_position(lines, l) == i + 1``
+    — identical semantics in Spark and the DuckDB oracle. The lambda
+    references ``__ls`` as a bound column attribute (cheap re-read),
+    never re-evaluates an expression; within-doc line counts bound the
+    O(n²) position scans.
+
+    Returns ``(id, dedup_text, n_lines, n_unique)``. No shuffle.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    d = df.select(F.col(id_col), F.split(txt, "\n").alias("__ls"))
+    ls = F.col("__ls")
+    uniq = F.filter(
+        ls, lambda l, i: F.array_position(ls, l) == i + F.lit(1)
+    )
+    return d.select(
+        id_col,
+        F.array_join(uniq, "\n").alias("dedup_text"),
+        F.size("__ls").cast("long").alias("n_lines"),
+        F.size(uniq).cast("long").alias("n_unique"),
     )

@@ -4171,6 +4171,151 @@ QUERIES["gopher_rules"] = q_gopher_rules
 QUERIES["edit_distance"] = q_edit_distance
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment over documents
+    (md5 oracle kernel). Row-level assignments, not counts, so the
+    hash check pins every document's split."""
+    from .operators.sketch import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def q_score_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted soft sampling at power=2 over an exact-sevenths
+    score ((n_chars % 7) / 7): keep iff bucket < score² · precision.
+    Sevenths keep every threshold ≥ 0.08 away from an integer, so a
+    last-ulp pow() difference between JVM and DuckDB libm cannot flip
+    a keep decision."""
+    from .operators.sketch import score_sample
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("score", (F.col("n_chars") % 7) / F.lit(7.0))
+    )
+    return score_sample(docs, "score", power=2.0).select("doc_id", "score")
+
+
+# Deterministic multi-line synthesis shared by the two line-level
+# queries: the documents fixture is single-line, so both engines build
+# the same 6-line page (duplicate lines, a banned line, a short line,
+# a no-terminal-punct line) from each document.
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(t, F.lit(".")),
+            F.concat(F.substring(t, 1, 40), F.lit("!")),
+            F.concat(F.substring(t, 1, 40), F.lit("!")),
+            F.lit("lorem ipsum menu."),
+            F.lit("short."),
+            t,
+        ).alias("text"),
+    )
+
+
+_LINED_SQL = (
+    "SELECT doc_id, coalesce(text, '') || '.' || chr(10)"
+    " || substr(coalesce(text, ''), 1, 40) || '!' || chr(10)"
+    " || substr(coalesce(text, ''), 1, 40) || '!' || chr(10)"
+    " || 'lorem ipsum menu.' || chr(10)"
+    " || 'short.' || chr(10)"
+    " || coalesce(text, '') AS lt FROM documents"
+)
+
+
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning over the synthesized 6-line pages: keeps
+    the terminal-punct ≥3-word lines (including the duplicate — clean
+    does not dedup), drops the lorem-ipsum, short and punct-less
+    lines."""
+    from .operators.text import clean_lines
+
+    return clean_lines(_lined_docs(spark, sf_dir))
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line removal over the synthesized
+    pages (the repeated 40-char line collapses to one copy),
+    first-occurrence order preserved via the engine-portable indexed
+    HOF kernel."""
+    from .operators.text import dedup_lines
+
+    return dedup_lines(_lined_docs(spark, sf_dir))
+
+
+_MD5B = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 1000000"
+)
+
+ORACLES["split_assign"] = f"""
+    SELECT doc_id,
+           CASE WHEN {_MD5B} < 100000 THEN 'test'
+                WHEN {_MD5B} < 900000 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+"""
+
+ORACLES["score_sample"] = f"""
+    WITH s AS (
+      SELECT doc_id, (n_chars % 7) / 7.0 AS score FROM documents
+    )
+    SELECT doc_id, score FROM s
+    WHERE {_MD5B} < pow(least(greatest(score, 0.0), 1.0), 2.0) * 1000000
+"""
+
+_CLEAN_KEEP = (
+    "len(regexp_split_to_array(trim(x), '\\s+')) >= 3"
+    " AND len(trim(x)) > 0"
+    " AND (suffix(trim(x), '.') OR suffix(trim(x), '!')"
+    "      OR suffix(trim(x), '?') OR suffix(trim(x), '\"'))"
+    " AND NOT contains(lower(trim(x)), 'lorem ipsum')"
+    " AND NOT contains(lower(trim(x)), 'javascript')"
+    " AND NOT contains(trim(x), '{')"
+)
+
+ORACLES["clean_lines"] = f"""
+    WITH lined AS ({_LINED_SQL}),
+    l AS (SELECT doc_id, string_split(lt, chr(10)) AS ls FROM lined),
+    k AS (
+      SELECT doc_id, ls,
+             list_filter(ls, x -> {_CLEAN_KEEP}) AS kept
+      FROM l
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept
+    FROM k
+"""
+
+ORACLES["dedup_lines"] = f"""
+    WITH lined AS ({_LINED_SQL}),
+    l AS (SELECT doc_id, string_split(lt, chr(10)) AS ls FROM lined),
+    u AS (
+      SELECT doc_id, ls,
+             list_filter(ls, (x, i) -> list_position(ls, x) = i) AS uq
+      FROM l
+    )
+    SELECT doc_id,
+           array_to_string(uq, chr(10)) AS dedup_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(uq) AS BIGINT) AS n_unique
+    FROM u
+"""
+
+QUERIES["split_assign"] = q_split_assign
+QUERIES["score_sample"] = q_score_sample
+QUERIES["clean_lines"] = q_clean_lines
+QUERIES["dedup_lines"] = q_dedup_lines
+
+
 # ---------------------------------------------------------------- round-4
 # driver-window ordering (VERDICT r3 item 1).
 #
@@ -4229,6 +4374,10 @@ _DRIVER_FIRST = [
     "ngram_novelty",
     "gopher_rules",
     "edit_distance",
+    "split_assign",
+    "score_sample",
+    "clean_lines",
+    "dedup_lines",
 ]
 
 
