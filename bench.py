@@ -138,6 +138,7 @@ HEADLINE = [
     "score_sample",
     "clean_lines",
     "dedup_lines",
+    "tfidf_terms",
 ]
 
 

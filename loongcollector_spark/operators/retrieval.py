@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _norm_text
 
-__all__ = ["bm25_score", "bm25_topk", "index_stats"]
+__all__ = ["bm25_score", "bm25_topk", "index_stats", "tfidf_topk_terms"]
 
 
 def _norm_terms(query_terms: Sequence[str]) -> list[str]:
@@ -183,4 +183,68 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "n_terms_matched", "score")
+    )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-*k* keywords by TF-IDF — the summarization /
+    topic-labeling companion to :func:`bm25_score` (which scores docs
+    for a GIVEN query; this extracts what each doc is about with no
+    query). ``tfidf = (tf / dl) · ln(N / df)`` over the shared
+    normalized token stream; ties broken by term ascending.
+
+    Returns ``(id_col, rank, term, tfidf)``, ``rank ∈ [1, k]``.
+
+    Scale shape — unlike BM25 there is no query-term pre-filter, so
+    the costs are inherent and placed where they collapse:
+
+    * tf: one (doc, term) groupBy with map-side partial agg — the
+      exploded stream never shuffles raw, repetition collapses first.
+    * df: a re-agg of that table keyed by term (vocab-sized, NOT
+      broadcast — vocabulary grows with corpus); the tf⋈df join
+      shuffles the (doc, term) DISTINCT table on term. Stop-word-like
+      hot terms skew this key; AQE skew-join splits them (same
+      contract as bigram_perplexity's model join).
+    * N: a one-row aggregate, broadcast via crossJoin.
+    * top-k: row_number over (doc) windows → Spark's WindowGroupLimit
+      keeps k rows per doc map-side before the final exchange.
+    """
+    if k < 1:
+        raise ValueError("tfidf_topk_terms: k must be >= 1")
+    norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    tok_arr = F.split(norm, " ")
+    toks = (
+        docs.filter(F.length(norm) > 0)
+        .select(
+            F.col(id_col),
+            F.size(tok_arr).alias("__dl"),
+            F.explode(tok_arr).alias("term"),
+        )
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("__tf"), F.max("__dl").alias("__dl")
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    n = (
+        docs.filter(F.length(norm) > 0)
+        .agg(F.count("*").alias("__n_docs"))
+    )
+    scored = tf.join(dfr, "term").crossJoin(F.broadcast(n))
+    tfidf = (
+        F.col("__tf").cast("double") / F.col("__dl")
+    ) * F.log(F.col("__n_docs").cast("double") / F.col("__df"))
+    w = W.partitionBy(id_col).orderBy(
+        tfidf.desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tfidf")
     )

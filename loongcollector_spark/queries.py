@@ -4310,10 +4310,57 @@ ORACLES["dedup_lines"] = f"""
     FROM u
 """
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords over documents. Rank ties
+    break on term ascending; scores rounded 9 dp. Cross-engine rank
+    agreement relies on genuinely-different (tf, df) pairs never
+    landing within one ulp of each other — exact ties share inputs,
+    so both engines order them identically by the term tie-break."""
+    from .operators.retrieval import tfidf_topk_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_topk_terms(docs, k=3)
+    return out.select(
+        "doc_id", "rank", "term", F.round("tfidf", 9).alias("tfidf")
+    )
+
+
+ORACLES["tfidf_terms"] = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(string_split({_NORM_C}, ' ')) AS dl,
+             unnest(string_split({_NORM_C}, ' ')) AS term
+      FROM documents WHERE {_NORM_C} <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      FROM tok GROUP BY doc_id, term
+    ),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (
+      SELECT count(*) AS n_docs FROM documents WHERE {_NORM_C} <> ''
+    ),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             (tf.tf * 1.0 / tf.dl) * ln(n.n_docs * 1.0 / dfr.df) AS tfidf
+      FROM tf JOIN dfr USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+             ) AS rank
+      FROM s
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term,
+           round(tfidf, 9) AS tfidf
+    FROM r WHERE rank <= 3
+"""
+
 QUERIES["split_assign"] = q_split_assign
 QUERIES["score_sample"] = q_score_sample
 QUERIES["clean_lines"] = q_clean_lines
 QUERIES["dedup_lines"] = q_dedup_lines
+QUERIES["tfidf_terms"] = q_tfidf_terms
 
 
 # ---------------------------------------------------------------- round-4
@@ -4378,6 +4425,7 @@ _DRIVER_FIRST = [
     "score_sample",
     "clean_lines",
     "dedup_lines",
+    "tfidf_terms",
 ]
 
 

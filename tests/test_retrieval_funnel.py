@@ -179,3 +179,56 @@ def test_event_funnel_single_exchange_for_windows(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) Window", plan)) == 3
     assert "EvalPython" not in plan
+
+
+# ------------------------------------------------------------- tf-idf
+
+
+def test_tfidf_topk_terms_hand_computed(spark):
+    from loongcollector_spark.operators.retrieval import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.rank): r for r in tfidf_topk_terms(docs, k=2).collect()
+    }
+    # doc1: apple (2/3)ln(3) beats banana (1/3)ln(1.5)
+    assert rows[(1, 1)].term == "apple"
+    assert rows[(1, 1)].tfidf == pytest.approx((2 / 3) * math.log(3))
+    assert rows[(1, 2)].term == "banana"
+    # doc2: banana and cherry tie exactly → term-ascending break
+    assert rows[(2, 1)].term == "banana" and rows[(2, 2)].term == "cherry"
+    assert rows[(2, 1)].tfidf == pytest.approx(rows[(2, 2)].tfidf)
+    # doc3: rare 'date' (1/3)ln(3) outranks frequent 'cherry' (2/3)ln(1.5)
+    assert rows[(3, 1)].term == "date"
+    assert rows[(3, 2)].term == "cherry"
+
+
+def test_tfidf_topk_terms_k_and_nulls(spark):
+    from loongcollector_spark.operators.retrieval import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk_terms(docs, k=5).collect()
+    # NULL/blank docs contribute nothing — not even to N
+    assert {r.doc_id for r in rows} == {1}
+    with pytest.raises(ValueError):
+        tfidf_topk_terms(docs, k=0)
+
+
+def test_tfidf_topk_plan_windowgrouplimit(spark, sf_dir):
+    from loongcollector_spark.operators.retrieval import tfidf_topk_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(tfidf_topk_terms(docs, k=3))
+    # per-doc top-k is pruned map-side before the window's exchange
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
