@@ -35,6 +35,7 @@ __all__ = [
     "stable_order",
     "sessionize",
     "find_hot_keys",
+    "role_conformance",
 ]
 
 
@@ -338,4 +339,58 @@ def conversation_latency(
         F.count("*").cast("long").alias("n_responses"),
         F.percentile("__delay", F.lit(0.5)).alias("p50_delay_us"),
         F.max("__delay").cast("long").alias("max_delay_us"),
+    )
+
+
+def role_conformance(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    allowed_roles: tuple[str, ...] = ("system", "user", "assistant", "tool"),
+    opening_roles: tuple[str, ...] = ("system", "user"),
+) -> DataFrame:
+    """Per-conversation role-sequence conformance — SFT-data hygiene
+    for agent transcripts: a trainable conversation opens with a
+    system/user turn, never repeats a role back-to-back, and uses only
+    known roles. Malformed conversations (merge glitches, dropped
+    turns, rogue producers) are flagged here BEFORE example assembly
+    so :mod:`assemble` never trains on them.
+
+    Returns ``(conv_col, n_turns, first_role, n_repeat_role,
+    n_unknown_role, conformant)`` where ``n_repeat_role`` counts turns
+    whose role equals the previous turn's role (by *idx_col*),
+    ``n_unknown_role`` counts roles outside *allowed_roles*, and
+    ``conformant`` is true iff both are zero and ``first_role`` is in
+    *opening_roles*.
+
+    One shuffle on *conv_col*, shared by the lag window and the final
+    aggregate (same reused-partitioning shape as
+    :func:`conversation_latency`); all codegen expressions, no Python.
+    Hot conversations are one window partition each — sort-spill
+    bounded, the accepted stable_order contract.
+    """
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    lagged = tx.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col),
+        F.lag(role_col).over(w).alias("__prev_role"),
+    )
+    repeat = F.when(F.col(role_col) == F.col("__prev_role"), 1).otherwise(0)
+    unknown = F.when(
+        F.col(role_col).isin(*allowed_roles), 0
+    ).otherwise(1)
+    agg = lagged.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.min_by(role_col, idx_col).alias("first_role"),
+        F.sum(repeat).cast("long").alias("n_repeat_role"),
+        F.sum(unknown).cast("long").alias("n_unknown_role"),
+    )
+    return agg.withColumn(
+        "conformant",
+        (F.col("n_repeat_role") == 0)
+        & (F.col("n_unknown_role") == 0)
+        & F.col("first_role").isin(*opening_roles),
     )

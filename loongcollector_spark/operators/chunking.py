@@ -15,7 +15,7 @@ proportional to the overlap factor, never a wide plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .dedup import _norm_text
@@ -71,3 +71,59 @@ def chunk_documents(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def truncate_context(
+    tx: DataFrame,
+    max_tokens: int,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window trimming: keep the maximal SUFFIX of turns per
+    conversation whose total whitespace-token count fits *max_tokens*
+    — what an inference or SFT-export job does when a conversation
+    outgrows the model context ("keep the most recent turns that
+    fit"). The final turn is always kept even if it alone exceeds the
+    budget (dropping it would emit an empty conversation).
+
+    Tokens are raw whitespace splits of the trimmed text (NULL/blank
+    → 0) — truncation must not re-normalize the text it keeps, unlike
+    the ``_norm_text`` analysis family.
+
+    Returns the kept rows as ``(conv_col, idx_col, n_tokens,
+    tokens_from_end)`` where ``tokens_from_end`` is the running total
+    counted from the last turn backwards (≤ *max_tokens* except
+    possibly on the single always-kept final turn).
+
+    One shuffle on *conv_col*: the reverse cumulative sum and the
+    last-turn row_number share one descending window spec, so Spark
+    plans a single Exchange + single Window. No Python, no second
+    pass; at 10^12 turns this is sort-within-conversation work, and a
+    1M-turn hot conversation is one window partition — the same
+    accepted bound as stable_order / sessionize (window sorts spill,
+    they don't OOM).
+    """
+    if max_tokens < 1:
+        raise ValueError("truncate_context: max_tokens must be >= 1")
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    n_tok = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    w = W.partitionBy(conv_col).orderBy(F.col(idx_col).desc())
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    out = tx.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        n_tok.cast("long").alias("n_tokens"),
+    ).select(
+        conv_col,
+        idx_col,
+        "n_tokens",
+        F.sum("n_tokens").over(wsum).alias("tokens_from_end"),
+        F.row_number().over(w).alias("__rn_from_end"),
+    )
+    return out.filter(
+        (F.col("tokens_from_end") <= max_tokens) | (F.col("__rn_from_end") == 1)
+    ).drop("__rn_from_end")

@@ -38,6 +38,7 @@ __all__ = [
     "PII_PATTERNS",
     "clean_lines",
     "dedup_lines",
+    "pmi_collocations",
 ]
 
 # tiny public stopword lists per language for the n-gram/stopword
@@ -1248,4 +1249,89 @@ def dedup_lines(
         F.array_join(uniq, "\n").alias("dedup_text"),
         F.size("__ls").cast("long").alias("n_lines"),
         F.size(uniq).cast("long").alias("n_unique"),
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    *,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation extraction: the top-*k* adjacent word
+    pairs by pointwise mutual information, ``pmi = ln((c_xy/N_pairs) /
+    ((c_x/N_tok)·(c_y/N_tok)))`` — high-PMI pairs are multi-word
+    expressions ("machine learning") worth protecting from chunkers /
+    tokenizers, and low-count noise is cut by *min_count*. The
+    corpus-statistics sibling of :func:`bpe_pair_stats` (which counts
+    character pairs inside words for merge training; this measures
+    word-pair association strength).
+
+    Returns ``(rank, w1, w2, pair_count, pmi)``, ``rank ∈ [1, k]`` by
+    ``pmi`` descending, ties broken by ``(w1, w2)`` ascending.
+
+    Scale shape — same placement discipline as
+    :func:`bigram_lm_perplexity`:
+
+    * bigrams built per-row (slice + arrays_zip, no window) and
+      reduced by one (w1, w2) groupBy with map-side partial agg — the
+      Zipf head collapses before the shuffle.
+    * unigram counts are a second narrow groupBy of the token stream;
+      the pair⋈unigram joins key on w1 then w2 (vocab-sized, NOT
+      broadcast — vocabulary grows with corpus; AQE skew-join splits
+      stop-word keys, the bigram_perplexity contract).
+    * N_tok / N_pairs are one-row aggregates broadcast via crossJoin.
+    * the global top-k runs AFTER the min_count filter as orderBy +
+      limit → TakeOrderedAndProject (per-partition partial top-k
+      map-side; only k rows reach the driver-side final ordering).
+    """
+    from .dedup import _norm_text
+
+    if k < 1:
+        raise ValueError("pmi_collocations: k must be >= 1")
+    if min_count < 1:
+        raise ValueError("pmi_collocations: min_count must be >= 1")
+    tk = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    base = docs.select(tk.alias("__tk")).filter(
+        (F.size("__tk") > 0) & (F.col("__tk")[0] != "")
+    )
+    n = F.size(F.col("__tk"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("__tk"), 1, n - 1).alias("w1"),
+        F.slice(F.col("__tk"), 2, n - 1).alias("w2"),
+    )
+    pc = (
+        base.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    uni = (
+        base.select(F.explode(F.col("__tk")).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").alias("__uc"))
+    )
+    totals = uni.agg(
+        F.sum("__uc").alias("__n_tok"),
+    ).crossJoin(pc.agg(F.sum("pair_count").alias("__n_pairs")))
+    scored = (
+        pc.filter(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("__w").alias("w1"), F.col("__uc").alias("__c1")), "w1")
+        .join(uni.select(F.col("__w").alias("w2"), F.col("__uc").alias("__c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("pair_count") * F.col("__n_tok").cast("double") * F.col("__n_tok"))
+        / (F.col("__n_pairs").cast("double") * F.col("__c1") * F.col("__c2"))
+    )
+    top = (
+        scored.select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+    w = W.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"), "w1", "w2", "pair_count", "pmi"
     )

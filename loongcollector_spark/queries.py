@@ -4356,11 +4356,208 @@ ORACLES["tfidf_terms"] = f"""
     FROM r WHERE rank <= 3
 """
 
+def q_role_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation role-sequence conformance over transcripts:
+    back-to-back role repeats, unknown roles (the fixture's 'alien'
+    turns), opening role, and the resulting trainable? verdict —
+    value-matched against a DuckDB lag-window + arg_min twin."""
+    from .operators.aggregate import role_conformance
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return role_conformance(tx)
+
+
+ORACLES["role_conformance"] = f"""
+    WITH transcripts AS ({_TX}),
+    l AS (
+      SELECT conv_id, turn_idx, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev_role
+      FROM transcripts
+    ),
+    a AS (
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             arg_min(role, turn_idx) AS first_role,
+             CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_repeat_role,
+             CAST(sum(CASE WHEN role IN
+                        ('system', 'user', 'assistant', 'tool')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS n_unknown_role
+      FROM l GROUP BY conv_id
+    )
+    SELECT *,
+           (n_repeat_role = 0 AND n_unknown_role = 0
+            AND first_role IN ('system', 'user')) AS conformant
+    FROM a
+"""
+
+
+def q_truncate_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window trim over transcripts: keep the maximal turn
+    suffix per conversation under a 24-whitespace-token budget (always
+    keeping the final turn), matched against a DuckDB descending
+    window-sum twin on identical integer token counts."""
+    from .operators.chunking import truncate_context
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return truncate_context(tx, 24)
+
+
+ORACLES["truncate_context"] = f"""
+    WITH transcripts AS ({_TX}),
+    t AS (
+      SELECT conv_id, turn_idx,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(
+                         trim(coalesce(text, '')), '\\s+')) END
+               AS n_tokens
+      FROM transcripts
+    ),
+    c AS (
+      SELECT conv_id, turn_idx, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum(n_tokens) OVER w AS BIGINT) AS tokens_from_end,
+             row_number() OVER w AS rn
+      FROM t
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT conv_id, turn_idx, n_tokens, tokens_from_end
+    FROM c WHERE tokens_from_end <= 24 OR rn = 1
+"""
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 adjacent-word collocations by PMI (min pair count 2)
+    over documents; scores rounded 9 dp. Cross-engine rank agreement
+    rests on the tfidf_terms argument: identical integer (c_xy, c_x,
+    c_y, N) inputs yield identical doubles, exact ties share inputs
+    and break identically on (w1, w2)."""
+    from .operators.text import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pmi_collocations(docs, k=15, min_count=2)
+    return out.select(
+        "rank", "w1", "w2", "pair_count", F.round("pmi", 9).alias("pmi")
+    )
+
+
+ORACLES["pmi_pairs"] = f"""
+    WITH tok AS (
+      SELECT string_split({_NORM_C}, ' ') AS tk
+      FROM documents WHERE {_NORM_C} <> ''
+    ),
+    pr AS (
+      -- parallel unnests zip positionally in DuckDB: slice [1..n-1]
+      -- pairs with slice [2..n] to give the adjacent bigrams
+      SELECT unnest(tk[1:len(tk) - 1]) AS w1,
+             unnest(tk[2:len(tk)]) AS w2
+      FROM tok WHERE len(tk) >= 2
+    ),
+    pc AS (SELECT w1, w2, count(*) AS pair_count FROM pr GROUP BY w1, w2),
+    uni AS (
+      SELECT w, count(*) AS uc
+      FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w
+    ),
+    tot AS (
+      SELECT (SELECT sum(uc) FROM uni) AS n_tok,
+             (SELECT sum(pair_count) FROM pc) AS n_pairs
+    ),
+    s AS (
+      SELECT pc.w1, pc.w2, pc.pair_count,
+             ln((pc.pair_count * tot.n_tok * 1.0 * tot.n_tok)
+                / (tot.n_pairs * 1.0 * u1.uc * u2.uc)) AS pmi
+      FROM pc
+      JOIN uni u1 ON u1.w = pc.w1
+      JOIN uni u2 ON u2.w = pc.w2
+      CROSS JOIN tot
+      WHERE pc.pair_count >= 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)
+               AS rank
+      FROM s
+    )
+    SELECT CAST(rank AS INT) AS rank, w1, w2, pair_count,
+           round(pmi, 9) AS pmi
+    FROM r WHERE rank <= 15
+"""
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between the even- and odd-doc_id
+    halves of documents: top-20 terms by |add-1-smoothed log
+    probability ratio|, rounded 9 dp — the corpus-language diff the
+    per-doc corpus_delta can't see."""
+    from .operators.delta import token_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=20,
+    )
+    return out.select(
+        "rank", "term", "count_old", "count_new",
+        F.round("log_ratio", 9).alias("log_ratio"),
+    )
+
+
+ORACLES["token_drift"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_C}, ' ')) AS term
+      FROM documents WHERE {_NORM_C} <> ''
+    ),
+    co AS (
+      SELECT term, count(*) AS count_old FROM tok
+      WHERE doc_id % 2 = 0 GROUP BY term
+    ),
+    cn AS (
+      SELECT term, count(*) AS count_new FROM tok
+      WHERE doc_id % 2 = 1 GROUP BY term
+    ),
+    j AS (
+      SELECT coalesce(co.term, cn.term) AS term,
+             coalesce(count_old, 0) AS count_old,
+             coalesce(count_new, 0) AS count_new
+      FROM co FULL OUTER JOIN cn ON co.term = cn.term
+    ),
+    tot AS (
+      SELECT sum(count_old) AS n_old, sum(count_new) AS n_new,
+             count(*) AS v
+      FROM j
+    ),
+    s AS (
+      SELECT term, count_old, count_new,
+             ln(((count_new + 1.0) / (tot.n_new + tot.v))
+                / ((count_old + 1.0) / (tot.n_old + tot.v)))
+               AS log_ratio
+      FROM j CROSS JOIN tot
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               ORDER BY abs(log_ratio) DESC, term ASC) AS rank
+      FROM s
+    )
+    SELECT CAST(rank AS INT) AS rank, term,
+           CAST(count_old AS BIGINT) AS count_old,
+           CAST(count_new AS BIGINT) AS count_new,
+           round(log_ratio, 9) AS log_ratio
+    FROM r WHERE rank <= 20
+"""
+
+
 QUERIES["split_assign"] = q_split_assign
 QUERIES["score_sample"] = q_score_sample
 QUERIES["clean_lines"] = q_clean_lines
 QUERIES["dedup_lines"] = q_dedup_lines
 QUERIES["tfidf_terms"] = q_tfidf_terms
+QUERIES["role_conformance"] = q_role_conformance
+QUERIES["truncate_context"] = q_truncate_context
+QUERIES["pmi_pairs"] = q_pmi_pairs
+QUERIES["token_drift"] = q_token_drift
 
 
 # ---------------------------------------------------------------- round-4
@@ -4426,6 +4623,10 @@ _DRIVER_FIRST = [
     "clean_lines",
     "dedup_lines",
     "tfidf_terms",
+    "role_conformance",
+    "truncate_context",
+    "pmi_pairs",
+    "token_drift",
 ]
 
 
