@@ -139,6 +139,15 @@ HEADLINE = [
     "clean_lines",
     "dedup_lines",
     "tfidf_terms",
+    # round-4 session-3 additions
+    "role_conformance",
+    "truncate_context",
+    "pmi_pairs",
+    "token_drift",
+    "tool_transitions",
+    "self_repetition",
+    "split_leakage",
+    "render_chat",
 ]
 
 

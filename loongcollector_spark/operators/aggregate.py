@@ -36,6 +36,8 @@ __all__ = [
     "sessionize",
     "find_hot_keys",
     "role_conformance",
+    "tool_transitions",
+    "self_repetition",
 ]
 
 
@@ -393,4 +395,108 @@ def role_conformance(
         (F.col("n_repeat_role") == 0)
         & (F.col("n_unknown_role") == 0)
         & F.col("first_role").isin(*opening_roles),
+    )
+
+
+def tool_transitions(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    none_label: str = "<none>",
+) -> DataFrame:
+    """Tool-call transition matrix over agent transcripts: counts and
+    row-normalized probabilities of consecutive ``from_tool →
+    to_tool`` steps within a conversation — the Markov view of agent
+    behavior (which tool follows which, where chains stall on
+    ``<none>`` text turns). Turns with a NULL/blank tool become
+    *none_label* so text-only turns are first-class states.
+
+    Returns ``(from_tool, to_tool, n_steps, p)`` where ``p`` is
+    ``n_steps / Σ n_steps over from_tool`` (each row of the matrix
+    sums to 1).
+
+    Scale shape: one shuffle on *conv_col* for the lag window (hot
+    conversations are one sort-spilling partition each — the
+    stable_order contract), then a groupBy on the (from, to) pair —
+    the Zipf-hot transitions collapse map-side, the shuffle carries
+    one row per distinct pair per task. The normalizing window runs
+    on the REDUCED matrix (≤ |tools|² rows), so its single extra
+    exchange is O(matrix), not O(turns).
+    """
+    tool = F.coalesce(
+        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
+    )
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    steps = (
+        tx.select(F.col(conv_col), F.col(idx_col), tool.alias("__tool"))
+        .select(
+            F.lag("__tool").over(w).alias("from_tool"),
+            F.col("__tool").alias("to_tool"),
+        )
+        .filter(F.col("from_tool").isNotNull())
+    )
+    counts = steps.groupBy("from_tool", "to_tool").agg(
+        F.count("*").cast("long").alias("n_steps")
+    )
+    wt = W.partitionBy("from_tool")
+    return counts.select(
+        "from_tool",
+        "to_tool",
+        "n_steps",
+        (F.col("n_steps") / F.sum("n_steps").over(wt)).alias("p"),
+    )
+
+
+def self_repetition(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-conversation self-repetition of one role's turns — the
+    classic agent failure where the assistant re-emits an earlier
+    answer verbatim (loop detection for transcript curation; flagged
+    conversations are candidates for truncation or exclusion from SFT
+    data). A turn "repeats" if its normalized text (the shared
+    fuzzy-dedup normalization) already occurred in the SAME
+    conversation for the same role; per group of n identical turns,
+    n−1 count as repeats.
+
+    Returns ``(conv_col, n_turns, n_distinct, n_repeat, repeat_ratio)``
+    over turns of *role* only; conversations without such turns are
+    absent.
+
+    Scale shape: ONE shuffle — groupBy (conv, fingerprint) with
+    map-side partial aggregation collapses the repeated turns per map
+    task, then the per-conversation rollup reuses the same hash
+    distribution (conv is a prefix of the group key, Catalyst plans a
+    partial-agg-only second stage). Text never shuffles; the
+    fingerprint is an 8-byte hash (*hash_mode* ``xxhash64``
+    production / ``md5`` engine-portable oracle kernel, the dedup.py
+    convention).
+    """
+    from .dedup import _md5_long, _norm_text
+
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"self_repetition: unknown hash_mode {hash_mode!r}")
+    norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    fp = F.xxhash64(norm) if hash_mode == "xxhash64" else _md5_long(norm)
+    per_fp = (
+        tx.filter(F.col(role_col) == role)
+        .select(F.col(conv_col), fp.alias("__fp"))
+        .groupBy(conv_col, "__fp")
+        .agg(F.count("*").alias("__n"))
+    )
+    out = per_fp.groupBy(conv_col).agg(
+        F.sum("__n").cast("long").alias("n_turns"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("__n") - 1).cast("long").alias("n_repeat"),
+    )
+    return out.withColumn(
+        "repeat_ratio", F.col("n_repeat") / F.col("n_turns")
     )

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["conversation_examples"]
+__all__ = ["conversation_examples", "render_chat"]
 
 
 def conversation_examples(
@@ -143,4 +143,76 @@ def conversation_examples(
             "n_tokens",
             "example_text",
         )
+    )
+
+
+def render_chat(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_turns: int = 4096,
+    turn_start: str = "<|im_start|>",
+    turn_end: str = "<|im_end|>",
+) -> DataFrame:
+    """Render each conversation into ONE ChatML-style training string
+    — ``<|im_start|>role\\ntext<|im_end|>`` per turn, newline-joined
+    in stable turn order — the serialization step between the
+    transcript store and a tokenizer (the public ChatML framing;
+    :func:`conversation_examples` cuts by token budget, this renders
+    whole — capped — conversations for pipelines that tokenize with
+    their own truncation).
+
+    Returns ``(conv_col, n_turns, chat_text)`` where ``n_turns`` is
+    the rendered turn count (≤ *max_turns*).
+
+    Scale contract: the output VALUE is conversation-sized, so a
+    Zipf-hot 1M-turn conversation would otherwise materialize an
+    unbounded string in one row (the measured collect_list OOM of
+    the assemble campaign, SCALE.md). The cap keeps only the LAST
+    *max_turns* turns (the truncate_context recency discipline) via
+    a row_number over (conv, idx DESC) BEFORE any aggregation, so the
+    collect_list upper bound is max_turns structs per group. One
+    shuffle on *conv_col* shared by the window and the groupBy (same
+    key, Catalyst reuses the exchange); the per-turn formatting is a
+    ``transform`` lambda referencing only its lambda variable (no
+    outer-expression re-eval — the dsir lesson).
+
+    NULL text renders as empty; NULL role as ``unknown``.
+    """
+    if max_turns < 1:
+        raise ValueError("render_chat: max_turns must be >= 1")
+    w = W.partitionBy(conv_col).orderBy(F.col(idx_col).desc())
+    capped = (
+        tx.select(
+            F.col(conv_col),
+            F.col(idx_col),
+            F.coalesce(F.col(role_col), F.lit("unknown")).alias("__role"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_turns)
+    )
+    agg = capped.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(idx_col), "__role", "__text"))
+        ).alias("__turns"),
+    )
+    render = F.transform(
+        "__turns",
+        lambda t: F.concat(
+            F.lit(turn_start),
+            t["__role"],
+            F.lit("\n"),
+            t["__text"],
+            F.lit(turn_end),
+        ),
+    )
+    return agg.select(
+        conv_col,
+        "n_turns",
+        F.array_join(render, "\n").alias("chat_text"),
     )

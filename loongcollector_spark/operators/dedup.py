@@ -36,6 +36,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "connected_components",
     "dedup_components",
+    "split_leakage",
 ]
 
 # deterministic odd seeds for minhash permutations (fixed, public math)
@@ -885,3 +886,57 @@ def remove_duplicate_spans(
             .alias("n_removed"),
         )
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    *,
+    split_col: str = "split",
+    train_split: str = "train",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Cross-split contamination audit after :func:`~loongcollector_
+    spark.operators.sketch.split_assign`: for every non-train split,
+    how many docs share a normalized-text fingerprint with ANY train
+    doc — the train/test leakage check every eval pipeline must run
+    before trusting held-out numbers (exact-match flavor; pair with
+    ``contamination_scan`` for n-gram overlap leakage).
+
+    Returns ``(split, n_docs, n_leaked, leak_ratio)`` for each split
+    ≠ *train_split*.
+
+    Scale shape: text never shuffles — docs reduce to an 8-byte
+    fingerprint (*hash_mode* ``xxhash64`` production / ``md5`` oracle
+    kernel), one groupBy on (fp, split) with map-side partial agg
+    (exact-dup clusters collapse per task), then a max-over-fp window
+    marks fingerprints present in train. The window's exchange
+    re-hashes the REDUCED fingerprint table (one row per (fp, split)
+    ≈ distinct docs × splits-present), not the corpus; the final
+    per-split rollup is a few rows.
+    """
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"split_leakage: unknown hash_mode {hash_mode!r}")
+    from pyspark.sql import Window as W
+
+    norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    fp = F.xxhash64(norm) if hash_mode == "xxhash64" else _md5_long(norm)
+    per = (
+        docs.select(fp.alias("__fp"), F.col(split_col))
+        .groupBy("__fp", split_col)
+        .agg(F.count("*").alias("__n"))
+    )
+    wfp = W.partitionBy("__fp")
+    in_train = F.max(
+        F.when(F.col(split_col) == train_split, 1).otherwise(0)
+    ).over(wfp)
+    flagged = per.withColumn("__in_train", in_train).filter(
+        F.col(split_col) != train_split
+    )
+    out = flagged.groupBy(split_col).agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__in_train") == 1, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_leaked"),
+    )
+    return out.withColumn("leak_ratio", F.col("n_leaked") / F.col("n_docs"))

@@ -4554,6 +4554,162 @@ QUERIES["score_sample"] = q_score_sample
 QUERIES["clean_lines"] = q_clean_lines
 QUERIES["dedup_lines"] = q_dedup_lines
 QUERIES["tfidf_terms"] = q_tfidf_terms
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call transition matrix over transcripts: counts and
+    row-normalized probabilities of consecutive from_tool -> to_tool
+    steps within a conversation (NULL/blank tool = '<none>'), matched
+    against a DuckDB lag-window + ratio-to-report twin. p is an exact
+    integer ratio n/total computed identically in both engines."""
+    from .operators.aggregate import tool_transitions
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return tool_transitions(tx)
+
+
+ORACLES["tool_transitions"] = f"""
+    WITH transcripts AS ({_TX}),
+    t AS (
+      SELECT conv_id, turn_idx,
+             coalesce(nullif(trim(tool), ''), '<none>') AS tool
+      FROM transcripts
+    ),
+    s AS (
+      SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS from_tool,
+             tool AS to_tool
+      FROM t
+    ),
+    c AS (
+      SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS n_steps
+      FROM s WHERE from_tool IS NOT NULL
+      GROUP BY from_tool, to_tool
+    )
+    SELECT from_tool, to_tool, n_steps,
+           n_steps / (sum(n_steps) OVER (PARTITION BY from_tool)) AS p
+    FROM c
+"""
+
+
+def q_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation assistant self-repetition (loop detection):
+    turns whose normalized text already occurred for the same role in
+    the same conversation, via the md5 oracle fingerprint kernel —
+    group sizes, distinct counts and ratios value-matched against a
+    DuckDB two-level aggregate twin."""
+    from .operators.aggregate import self_repetition
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return self_repetition(tx, hash_mode="md5")
+
+
+_NORM_TXT = (
+    "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),"
+    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+ORACLES["self_repetition"] = f"""
+    WITH transcripts AS ({_TX}),
+    fp AS (
+      SELECT conv_id,
+             {_MD5L.format(x=_NORM_TXT)} AS f
+      FROM transcripts WHERE role = 'assistant'
+    ),
+    g AS (
+      SELECT conv_id, f, count(*) AS n FROM fp GROUP BY conv_id, f
+    )
+    SELECT conv_id,
+           CAST(sum(n) AS BIGINT) AS n_turns,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(n - 1) AS BIGINT) AS n_repeat,
+           sum(n - 1) / (1.0 * sum(n)) AS repeat_ratio
+    FROM g GROUP BY conv_id
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: split documents 80/10/10 with
+    the deterministic md5 assigner, then count val/test docs whose
+    normalized-text fingerprint also appears in train — the exact-dup
+    train/test leakage check (the fixture's duplicate pairs straddle
+    splits, so leak counts are non-trivial)."""
+    from .operators.dedup import split_leakage
+    from .operators.sketch import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split_leakage(assigned, hash_mode="md5")
+
+
+ORACLES["split_leakage"] = f"""
+    WITH a AS (
+      SELECT {_MD5L.format(x=_NORM_TXT)} AS f,
+             CASE WHEN {_MD5B} < 100000 THEN 'test'
+                  WHEN {_MD5B} < 900000 THEN 'train'
+                  ELSE 'val' END AS split
+      FROM documents
+    ),
+    per AS (
+      SELECT f, split, count(*) AS n FROM a GROUP BY f, split
+    ),
+    fl AS (
+      SELECT split, n,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY f) AS in_train
+      FROM per
+    )
+    SELECT split,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN in_train = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_leaked,
+           sum(CASE WHEN in_train = 1 THEN n ELSE 0 END) / (1.0 * sum(n))
+             AS leak_ratio
+    FROM fl WHERE split <> 'train'
+    GROUP BY split
+"""
+
+
+def q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChatML render of each conversation (last-8-turns cap exercises
+    the hot-conversation bound): the full serialized training string
+    per conversation, value-matched against a DuckDB row_number +
+    string_agg twin — a single character or ordering difference
+    anywhere in any conversation breaks the hash."""
+    from .operators.assemble import render_chat
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return render_chat(tx, max_turns=8)
+
+
+ORACLES["render_chat"] = f"""
+    WITH transcripts AS ({_TX}),
+    capped AS (
+      SELECT conv_id, turn_idx,
+             coalesce(role, 'unknown') AS role,
+             coalesce(text, '') AS text,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY turn_idx DESC) AS rn
+      FROM transcripts
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg('<|im_start|>' || role || chr(10) || text
+                      || '<|im_end|>', chr(10) ORDER BY turn_idx)
+             AS chat_text
+    FROM capped WHERE rn <= 8
+    GROUP BY conv_id
+"""
+
+
+QUERIES["tool_transitions"] = q_tool_transitions
+QUERIES["self_repetition"] = q_self_repetition
+QUERIES["split_leakage"] = q_split_leakage
+QUERIES["render_chat"] = q_render_chat
+
+
 QUERIES["role_conformance"] = q_role_conformance
 QUERIES["truncate_context"] = q_truncate_context
 QUERIES["pmi_pairs"] = q_pmi_pairs
