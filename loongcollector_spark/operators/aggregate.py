@@ -471,11 +471,14 @@ def self_repetition(
     over turns of *role* only; conversations without such turns are
     absent.
 
-    Scale shape: ONE shuffle — groupBy (conv, fingerprint) with
-    map-side partial aggregation collapses the repeated turns per map
-    task, then the per-conversation rollup reuses the same hash
-    distribution (conv is a prefix of the group key, Catalyst plans a
-    partial-agg-only second stage). Text never shuffles; the
+    Scale shape: two exchanges, both reduced before they ship —
+    groupBy (conv, fingerprint) with map-side partial aggregation
+    collapses the repeated turns per map task (the first shuffle
+    carries one row per (conv, fp) per task), then the
+    per-conversation rollup re-shuffles the REDUCED fingerprint table
+    on conv (HashPartitioning(conv, fp) does not satisfy clustering
+    on conv alone, and Spark's own count-distinct rewrite plans the
+    identical two-exchange shape). Text never shuffles; the
     fingerprint is an 8-byte hash (*hash_mode* ``xxhash64``
     production / ``md5`` engine-portable oracle kernel, the dedup.py
     convention).

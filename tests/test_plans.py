@@ -234,3 +234,43 @@ def test_bm25_topk_plan_preprunes_before_global_window(spark, sf_dir):
     # printed tree: parent first — the TakeOrdered must sit BELOW
     # (after) the Window, i.e. it feeds the window its pruned input
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_round4_batch34_plan_pins(spark):
+    """Exchange-count pins for the round-4 session-3 transcript ops —
+    the per-conversation window/agg family must share its conv_id
+    exchange (one hash exchange total), self_repetition may spend two
+    (the second re-shuffles the REDUCED (conv, fp) table — Spark's
+    count-distinct rewrite plans the identical shape), and
+    tool_transitions three (lag on conv, pair groupBy, normalizing
+    window on the reduced matrix). No single-partition moves of row
+    data anywhere."""
+    from loongcollector_spark.operators.aggregate import (
+        role_conformance,
+        self_repetition,
+        tool_transitions,
+    )
+    from loongcollector_spark.operators.assemble import render_chat
+    from loongcollector_spark.operators.chunking import truncate_context
+
+    tx = spark.createDataFrame(
+        [("c", 0, "assistant", "t", "x")],
+        "conv_id string, turn_idx long, role string, text string, tool string",
+    )
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def shape(df):
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return (
+                p.count("Exchange hashpartitioning"),
+                p.count("Exchange SinglePartition"),
+            )
+
+        assert shape(role_conformance(tx)) == (1, 0)
+        assert shape(truncate_context(tx, 10)) == (1, 0)
+        assert shape(render_chat(tx)) == (1, 0)  # window+groupBy share
+        assert shape(self_repetition(tx)) == (2, 0)
+        assert shape(tool_transitions(tx)) == (3, 0)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
