@@ -148,6 +148,11 @@ HEADLINE = [
     "self_repetition",
     "split_leakage",
     "render_chat",
+    # round-4 session-4 additions
+    "preference_pairs",
+    "json_validity",
+    "truncation_artifacts",
+    "fim_split",
 ]
 
 

@@ -503,3 +503,77 @@ def self_repetition(
     return out.withColumn(
         "repeat_ratio", F.col("n_repeat") / F.col("n_turns")
     )
+
+
+def truncation_artifacts(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str | None = None,
+    terminal_chars: str = ".!?}])>\"'`",
+) -> DataFrame:
+    """Per-conversation truncation/garbling artifact counts — the SFT
+    hygiene scan for turns that look cut off mid-generation (a
+    max-tokens stop, a crashed producer, a lost continuation): odd
+    quote count, unbalanced braces/brackets, an unterminated ```
+    code fence, and text whose last character is not a terminator.
+    Conversations with artifact turns are candidates for
+    :func:`~loongcollector_spark.operators.chunking.truncate_context`
+    or exclusion before example assembly.
+
+    A turn is *checked* if its text is non-blank after trim; blank and
+    NULL turns carry no artifact signal and are excluded from every
+    count. *role* optionally restricts to one role (``'assistant'``
+    for generation-side artifacts).
+
+    Returns ``(conv_col, n_checked, n_odd_quote, n_unbalanced_brace,
+    n_unterminated_fence, n_no_terminal, n_artifact, artifact_ratio)``
+    where ``n_artifact`` counts turns with ≥1 flag and
+    ``artifact_ratio = n_artifact / n_checked``.
+
+    Scale shape: every flag is pure char arithmetic
+    (``length - length(replace(...))`` occurrence counts and a
+    last-character set test — all codegen, no regex backtracking, no
+    Python), then ONE groupBy on *conv_col* with map-side partial agg;
+    a 1M-turn hot conversation reduces per-task before the exchange.
+    """
+    src = tx if role is None else tx.filter(F.col(role_col) == role)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(txt)
+
+    def _n(sub: str):
+        return (
+            F.length(txt) - F.length(F.replace(txt, F.lit(sub), F.lit("")))
+        ) / len(sub)
+
+    odd_quote = (_n('"') % 2 != 0).cast("int")
+    unbal_brace = (
+        (_n("{") != _n("}")) | (_n("[") != _n("]"))
+    ).cast("int")
+    unterm_fence = (_n("```") % 2 != 0).cast("int")
+    last = F.substring(trimmed, -1, 1)
+    no_terminal = (~last.isin(*list(terminal_chars))).cast("int")
+    checked = trimmed != ""
+    flags = src.filter(checked).select(
+        F.col(conv_col),
+        odd_quote.alias("__q"),
+        unbal_brace.alias("__b"),
+        unterm_fence.alias("__f"),
+        no_terminal.alias("__t"),
+    )
+    any_flag = (
+        (F.col("__q") + F.col("__b") + F.col("__f") + F.col("__t")) > 0
+    ).cast("int")
+    agg = flags.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_checked"),
+        F.sum("__q").cast("long").alias("n_odd_quote"),
+        F.sum("__b").cast("long").alias("n_unbalanced_brace"),
+        F.sum("__f").cast("long").alias("n_unterminated_fence"),
+        F.sum("__t").cast("long").alias("n_no_terminal"),
+        F.sum(any_flag).cast("long").alias("n_artifact"),
+    )
+    return agg.withColumn(
+        "artifact_ratio", F.col("n_artifact") / F.col("n_checked")
+    )

@@ -216,3 +216,87 @@ def render_chat(
         "n_turns",
         F.array_join(render, "\n").alias("chat_text"),
     )
+
+
+def preference_pairs(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    min_distinct: int = 2,
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF) assembly from transcripts: for every
+    normalized prompt text that received ≥ *min_distinct* DISTINCT
+    assistant responses ACROSS conversations, emit one (chosen,
+    rejected) pair — chosen = the highest-scoring response, rejected =
+    the lowest. The baseline score is the whitespace token count of
+    the response (the classic verbosity prior used when no reward
+    model is available); ties are broken by response text so the pair
+    is a pure function of the corpus (struct-max ≡ ORDER BY score
+    DESC, text DESC; struct-min ≡ ASC, ASC).
+
+    A prompt is a *prompt_role* turn immediately followed (by
+    ``turn_idx``) by a *response_role* turn in the same conversation;
+    prompts are grouped by the shared fuzzy-dedup normalization so
+    formatting variants of the same question pool their responses.
+
+    Returns ``(prompt, n_responses, n_distinct, chosen, chosen_score,
+    rejected, rejected_score)``.
+
+    Scale shape: one window shuffle on *conv_col* (the shared
+    transcript partitioning), then ONE groupBy on the normalized
+    prompt over skinny (prompt, response, score) rows — max/min of a
+    (score, text) struct are map-side combinable, so a viral prompt
+    asked in 10^6 conversations reduces per-task before the exchange.
+    No Python, no collect; both aggregates are codegen.
+    """
+    if min_distinct < 2:
+        raise ValueError("preference_pairs: min_distinct must be >= 2")
+    from .dedup import _norm_text
+
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    nxt_role = F.lead(role_col).over(w)
+    nxt_text = F.lead(text_col).over(w)
+    pairs = (
+        tx.select(
+            F.col(role_col).alias("__role"),
+            F.col(text_col).alias("__ptxt"),
+            nxt_role.alias("__nrole"),
+            F.coalesce(nxt_text, F.lit("")).alias("response"),
+        )
+        .filter(
+            (F.col("__role") == prompt_role)
+            & (F.col("__nrole") == response_role)
+        )
+        .select(
+            _norm_text(F.coalesce(F.col("__ptxt"), F.lit(""))).alias("prompt"),
+            "response",
+        )
+        .filter(F.col("prompt") != "")
+    )
+    trimmed = F.trim(F.col("response"))
+    score = (
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    scored = pairs.select("prompt", "response", score.alias("__score"))
+    agg = scored.groupBy("prompt").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.countDistinct("response").cast("long").alias("n_distinct"),
+        F.max(F.struct(F.col("__score").alias("s"), F.col("response").alias("t"))).alias("__hi"),
+        F.min(F.struct(F.col("__score").alias("s"), F.col("response").alias("t"))).alias("__lo"),
+    )
+    return agg.filter(F.col("n_distinct") >= min_distinct).select(
+        "prompt",
+        "n_responses",
+        "n_distinct",
+        F.col("__hi.t").alias("chosen"),
+        F.col("__hi.s").alias("chosen_score"),
+        F.col("__lo.t").alias("rejected"),
+        F.col("__lo.s").alias("rejected_score"),
+    )

@@ -127,3 +127,87 @@ def truncate_context(
     return out.filter(
         (F.col("tokens_from_end") <= max_tokens) | (F.col("__rn_from_end") == 1)
     ).drop("__rn_from_end")
+
+
+def fim_split(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "psm",
+    hash_mode: str = "xxhash64",
+    prefix_token: str = "<|fim_prefix|>",
+    suffix_token: str = "<|fim_suffix|>",
+    middle_token: str = "<|fim_middle|>",
+) -> DataFrame:
+    """Fill-in-the-middle training-example construction (Bavarian et
+    al. 2022): split each document's text at two pseudo-random
+    character cuts into (prefix, middle, suffix) and render the PSM
+    (``<pre>P<suf>S<mid>M``) or SPM (``<pre><suf>S<mid>P M`` analog:
+    suffix first) sentinel layout the FIM objective trains on. The
+    cuts are a pure function of ``hash(doc_id)`` — reproducible across
+    runs and engines, never ``rand()`` (which would break resume and
+    the oracle): two independent buckets in ``[0,1000)`` place
+    ``cut1 ∈ [1, L-2]`` and ``cut2 ∈ [cut1+1, L-1]`` so all three
+    parts are non-empty. Docs shorter than 3 characters cannot be
+    split and are excluded.
+
+    ``hash_mode='xxhash64'`` is the production path;
+    ``'md5'`` the DuckDB-reproducible oracle kernel (the shared
+    ``_hash_bucket`` contract). Character arithmetic is
+    codepoint-based and exact for the ASCII fixtures; both engines
+    count codepoints, so the oracle holds on any well-formed UTF-8.
+
+    Returns ``(id_col, n_chars, prefix_chars, middle_chars,
+    fim_text)``.
+
+    Scale shape: ONE narrow codegen projection — two hashes, two
+    substrings, one concat; no shuffle, no Python, output ≈ input
+    bytes + sentinel overhead. At 100 TB this is a streaming map over
+    the scan.
+    """
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"fim_split: unknown mode {mode!r}")
+    from .dedup import _hash_bucket
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    L = F.length(txt)
+    b1 = _hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit("#fimp")), 1000, hash_mode
+    )
+    b2 = _hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit("#fimm")), 1000, hash_mode
+    )
+    cut1 = (F.lit(1) + F.floor(b1 * (L - 2) / F.lit(1000))).cast("int")
+    cut2 = (
+        cut1 + F.lit(1) + F.floor(b2 * (L - 2 - cut1) / F.lit(1000))
+    ).cast("int")
+    base = docs.filter(L >= 3).select(
+        F.col(id_col),
+        L.cast("int").alias("n_chars"),
+        txt.alias("__t"),
+        cut1.alias("__c1"),
+        cut2.alias("__c2"),
+    )
+    prefix = F.expr("substring(__t, 1, __c1)")
+    middle = F.expr("substring(__t, __c1 + 1, __c2 - __c1)")
+    suffix = F.expr("substring(__t, __c2 + 1, n_chars - __c2)")
+    if mode == "psm":
+        rendered = F.concat(
+            F.lit(prefix_token), prefix,
+            F.lit(suffix_token), suffix,
+            F.lit(middle_token), middle,
+        )
+    else:  # spm: suffix context first, then prefix, then middle
+        rendered = F.concat(
+            F.lit(suffix_token), suffix,
+            F.lit(prefix_token), prefix,
+            F.lit(middle_token), middle,
+        )
+    return base.select(
+        id_col,
+        "n_chars",
+        F.col("__c1").alias("prefix_chars"),
+        (F.col("__c2") - F.col("__c1")).alias("middle_chars"),
+        rendered.alias("fim_text"),
+    )

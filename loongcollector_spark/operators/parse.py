@@ -759,3 +759,52 @@ def parse_gotime(
     if not keep_source and source_key != dest_key:
         out = out.drop(source_key)
     return out
+
+
+def json_validity_report(
+    tx: DataFrame,
+    *,
+    group_col: str = "tool",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str | None = None,
+    none_label: str = "<none>",
+) -> DataFrame:
+    """Tool-output JSON conformance: per *group_col* value (NULL/blank
+    → *none_label*), how many turns carry text that parses as valid
+    JSON — the schema-hygiene gate an agent pipeline runs before
+    trusting tool outputs downstream (a tool whose validity ratio
+    drops is emitting malformed payloads). *role* optionally restricts
+    the scan to one role's turns (e.g. ``'tool'``).
+
+    Validity is RFC-8259 parseability via ``try_parse_json`` (Spark's
+    variant parser — a JVM expression, NULL on malformed input; any
+    JSON type counts, scalars included). One engine-semantics caveat,
+    which the oracle fixture never exercises: Spark rejects duplicate
+    object keys (``spark.sql.variant.allowDuplicateKeys`` default
+    false) where plain RFC validators accept them.
+
+    Returns ``(group_col, n_rows, n_valid, valid_ratio)``.
+
+    Scale shape: one groupBy on the (tiny-cardinality) tool key with
+    map-side partial agg — the per-task combine bounds the exchange at
+    #tools × #partitions rows regardless of corpus size; parse +
+    flags are a narrow projection over the scan.
+    """
+    src = tx
+    if role is not None:
+        src = src.filter(F.col(role_col) == role)
+    grp = F.coalesce(
+        F.nullif(F.trim(F.col(group_col)), F.lit("")), F.lit(none_label)
+    ).alias(group_col)
+    valid = (
+        F.when(F.try_parse_json(F.col(text_col)).isNotNull(), 1)
+        .otherwise(0)
+    )
+    agg = src.select(grp, valid.alias("__v")).groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("__v").cast("long").alias("n_valid"),
+    )
+    return agg.withColumn(
+        "valid_ratio", F.col("n_valid") / F.col("n_rows")
+    )

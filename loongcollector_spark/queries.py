@@ -4716,6 +4716,199 @@ QUERIES["pmi_pairs"] = q_pmi_pairs
 QUERIES["token_drift"] = q_token_drift
 
 
+# ------------------------------------------------------- round-4 session-4
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair assembly: user→assistant adjacencies,
+    grouped by normalized prompt (digit runs collapsed first so the
+    fixture's prompts form families with divergent responses); chosen
+    / rejected are the token-count struct-max/min, an exact function
+    of the corpus, matched against a DuckDB lead-window +
+    row_number twin."""
+    from .operators.assemble import preference_pairs
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", "[0-9]+", "N")
+    )
+    return preference_pairs(tx)
+
+
+ORACLES["preference_pairs"] = f"""
+    WITH transcripts AS ({_TX}),
+    t2 AS (
+      SELECT conv_id, turn_idx, role,
+             regexp_replace(coalesce(text, ''), '[0-9]+', 'N', 'g') AS text
+      FROM transcripts
+    ),
+    s AS (
+      SELECT role, text,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS nrole,
+             coalesce(lead(text) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx), '') AS response
+      FROM t2
+    ),
+    p AS (
+      SELECT {_NORM_TXT} AS prompt, response,
+             CASE WHEN length(trim(response)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(response), '\\s+'))
+               END AS score
+      FROM s WHERE role = 'user' AND nrole = 'assistant'
+    ),
+    p2 AS (SELECT * FROM p WHERE prompt <> ''),
+    r AS (
+      SELECT prompt, response, score,
+             row_number() OVER (PARTITION BY prompt
+                                ORDER BY score DESC, response DESC) AS rhi,
+             row_number() OVER (PARTITION BY prompt
+                                ORDER BY score ASC, response ASC) AS rlo
+      FROM p2
+    ),
+    g AS (
+      SELECT prompt, CAST(count(*) AS BIGINT) AS n_responses,
+             CAST(count(DISTINCT response) AS BIGINT) AS n_distinct
+      FROM p2 GROUP BY prompt
+    )
+    SELECT g.prompt, g.n_responses, g.n_distinct,
+           hi.response AS chosen, CAST(hi.score AS BIGINT) AS chosen_score,
+           lo.response AS rejected, CAST(lo.score AS BIGINT) AS rejected_score
+    FROM g
+    JOIN r hi ON hi.prompt = g.prompt AND hi.rhi = 1
+    JOIN r lo ON lo.prompt = g.prompt AND lo.rlo = 1
+    WHERE g.n_distinct >= 2
+"""
+
+
+def q_json_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-output JSON conformance per tool: try_parse_json (Spark
+    variant parser) vs DuckDB json_valid on the same text column —
+    both RFC-8259 validators, counts and ratios value-matched (the
+    fixture's JSON dialect is well-formed, the nginx/kv dialects are
+    not, so the ratio is a real ~1/3 split)."""
+    from .operators.parse import json_validity_report
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return json_validity_report(tx)
+
+
+ORACLES["json_validity"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT coalesce(nullif(trim(tool), ''), '<none>') AS tool,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN json_valid(text) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_valid,
+           sum(CASE WHEN json_valid(text) THEN 1 ELSE 0 END)
+             / (1.0 * count(*)) AS valid_ratio
+    FROM transcripts
+    GROUP BY 1
+"""
+
+
+def q_truncation_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation truncation-artifact counts over assistant
+    turns (odd quotes, unbalanced braces, unterminated ``` fences,
+    missing terminal character), matched against a DuckDB
+    replace-and-count twin — pure char arithmetic in both engines."""
+    from .operators.aggregate import truncation_artifacts
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return truncation_artifacts(tx, role="assistant")
+
+
+ORACLES["truncation_artifacts"] = f"""
+    WITH transcripts AS ({_TX}),
+    src AS (
+      SELECT conv_id, coalesce(text, '') AS t
+      FROM transcripts
+      WHERE role = 'assistant' AND length(trim(coalesce(text, ''))) > 0
+    ),
+    fl AS (
+      SELECT conv_id,
+             CASE WHEN mod(length(t) - length(replace(t, '"', '')), 2) = 1
+                  THEN 1 ELSE 0 END AS q,
+             CASE WHEN (length(t) - length(replace(t, '{{', '')))
+                       <> (length(t) - length(replace(t, '}}', '')))
+                    OR (length(t) - length(replace(t, '[', '')))
+                       <> (length(t) - length(replace(t, ']', '')))
+                  THEN 1 ELSE 0 END AS b,
+             CASE WHEN mod(length(t) - length(replace(t, '```', '')), 6) = 3
+                  THEN 1 ELSE 0 END AS f,
+             CASE WHEN right(trim(t), 1) IN
+                    ('.', '!', '?', '}}', ']', ')', '>', '"', '''', '`')
+                  THEN 0 ELSE 1 END AS nt
+      FROM src
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(q) AS BIGINT) AS n_odd_quote,
+           CAST(sum(b) AS BIGINT) AS n_unbalanced_brace,
+           CAST(sum(f) AS BIGINT) AS n_unterminated_fence,
+           CAST(sum(nt) AS BIGINT) AS n_no_terminal,
+           CAST(sum(CASE WHEN q + b + f + nt > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_artifact,
+           sum(CASE WHEN q + b + f + nt > 0 THEN 1 ELSE 0 END)
+             / (1.0 * count(*)) AS artifact_ratio
+    FROM fl GROUP BY conv_id
+"""
+
+
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle example construction over documents with the
+    md5 oracle hash kernel: both cut points and all three substrings
+    (rendered PSM) value-matched against a DuckDB twin — a one-char
+    offset anywhere breaks the hash."""
+    from .operators.chunking import fim_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fim_split(docs, hash_mode="md5")
+
+
+_FIM_B1 = "({h} % 1000)".format(
+    h=_MD5L.format(x="CAST(doc_id AS VARCHAR) || '#fimp'")
+)
+_FIM_B2 = "({h} % 1000)".format(
+    h=_MD5L.format(x="CAST(doc_id AS VARCHAR) || '#fimm'")
+)
+
+ORACLES["fim_split"] = f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             length(coalesce(text, '')) AS L
+      FROM documents
+      WHERE length(coalesce(text, '')) >= 3
+    ),
+    c AS (
+      SELECT doc_id, t, L,
+             1 + CAST(floor({_FIM_B1} * (L - 2) / 1000) AS INT) AS c1
+      FROM d
+    ),
+    c2 AS (
+      SELECT doc_id, t, L, c1,
+             c1 + 1 + CAST(floor({_FIM_B2} * (L - 2 - c1) / 1000) AS INT)
+               AS cc2
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(L AS INT) AS n_chars,
+           CAST(c1 AS INT) AS prefix_chars,
+           CAST(cc2 - c1 AS INT) AS middle_chars,
+           '<|fim_prefix|>' || substr(t, 1, c1)
+             || '<|fim_suffix|>' || substr(t, cc2 + 1, L - cc2)
+             || '<|fim_middle|>' || substr(t, c1 + 1, cc2 - c1) AS fim_text
+    FROM c2
+"""
+
+
+QUERIES["preference_pairs"] = q_preference_pairs
+QUERIES["json_validity"] = q_json_validity
+QUERIES["truncation_artifacts"] = q_truncation_artifacts
+QUERIES["fim_split"] = q_fim_split
+
+
 # ---------------------------------------------------------------- round-4
 # driver-window ordering (VERDICT r3 item 1).
 #
