@@ -153,6 +153,14 @@ HEADLINE = [
     "json_validity",
     "truncation_artifacts",
     "fim_split",
+    # round-4 session-5 additions
+    "agent_loops",
+    "tool_errors",
+    "refusal_scan",
+    "context_growth",
+    "best_of_n",
+    "zipf_fit",
+    "prefix_groups",
 ]
 
 

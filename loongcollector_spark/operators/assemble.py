@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["conversation_examples", "render_chat"]
+__all__ = ["conversation_examples", "render_chat", "best_of_n"]
 
 
 def conversation_examples(
@@ -299,4 +299,77 @@ def preference_pairs(
         F.col("__hi.s").alias("chosen_score"),
         F.col("__lo.t").alias("rejected"),
         F.col("__lo.s").alias("rejected_score"),
+    )
+
+
+def best_of_n(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    *,
+    min_candidates: int = 2,
+) -> DataFrame:
+    """Best-of-n (rejection-sampling) selection: per candidate group,
+    pick the highest-scoring row and report the margin over the
+    RUNNER-UP — the standard select step when n sampled completions
+    per prompt are scored by a reward model and only the winner (and
+    its confidence margin) feeds the next training round. Complements
+    :func:`preference_pairs`, which pairs best against WORST; the
+    best-vs-second margin is the rejection-sampling confidence signal
+    (margin 0 ⇒ the "winner" is a coin flip).
+
+    Ties break on ascending *id_col*, so the output is a pure function
+    of the input set (struct-ordering, no nondeterministic ``max_by``).
+
+    Returns ``(group_col, n_candidates, winner_id, best_score,
+    second_score, margin)`` for groups with ≥ *min_candidates* rows.
+
+    Scale shape: a rank-limit window (``row_number ≤ 2``) that Spark
+    rewrites to WindowGroupLimit — each map task keeps its local top-2
+    per group BEFORE the exchange, so a viral prompt with 10^6
+    candidates ships ~2 rows per upstream task, not 10^6 — plus a
+    skinny map-side-combinable count aggregate on the same key; the
+    two branches join on *group_col* with both sides already hashed on
+    it. No Python, no collect_list (an unbounded per-group array is
+    exactly the hot-key OOM assemble.py's header documents).
+    """
+    if min_candidates < 1:
+        raise ValueError("best_of_n: min_candidates must be >= 1")
+    ranked = (
+        df.select(
+            F.col(group_col),
+            F.col(score_col).alias("__s"),
+            F.col(id_col).alias("__id"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(group_col).orderBy(
+                    F.col("__s").desc(), F.col("__id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= 2)
+    )
+    top2 = ranked.groupBy(group_col).agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("__id"))).alias("winner_id"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__s"))).alias("best_score"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__s"))).alias("second_score"),
+    )
+    counts = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    out = counts.join(top2, group_col).filter(
+        F.col("n_candidates") >= min_candidates
+    )
+    return out.select(
+        group_col,
+        "n_candidates",
+        "winner_id",
+        "best_score",
+        "second_score",
+        (F.col("best_score") - F.coalesce(F.col("second_score"), F.col("best_score"))).alias(
+            "margin"
+        ),
     )

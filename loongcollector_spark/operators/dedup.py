@@ -37,6 +37,7 @@ __all__ = [
     "connected_components",
     "dedup_components",
     "split_leakage",
+    "prefix_groups",
 ]
 
 # deterministic odd seeds for minhash permutations (fixed, public math)
@@ -940,3 +941,87 @@ def split_leakage(
         .alias("n_leaked"),
     )
     return out.withColumn("leak_ratio", F.col("n_leaked") / F.col("n_docs"))
+
+
+def prefix_groups(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    k: int = 3,
+    mask_templates: bool = True,
+    hash_mode: str = "xxhash64",
+    min_convs: int = 2,
+) -> DataFrame:
+    """Shared-prefix conversation grouping: conversations whose first
+    *k* turns carry the same text (template-masked by default) are one
+    family — the branching structure DPO/best-of-n data has when many
+    rollouts continue the same context, and a dedup unit of its own
+    (training on every branch of one prefix over-weights that
+    context). With ``mask_templates=True`` the per-turn unit is
+    :func:`..loganalytics.mask_log_line` of the text (digits/IPs/hex
+    masked), so mechanically-varied replays of one flow group
+    together; ``False`` groups on exact text.
+
+    Returns ``(prefix_fp, n_convs, rep_conv)`` for families with ≥
+    *min_convs* conversations — ``rep_conv`` the smallest conv id (the
+    deterministic representative to keep). Conversations shorter than
+    *k* turns group by their full prefix.
+
+    Scale shape: the ``turn_idx < k`` filter bounds per-conversation
+    state BEFORE any aggregation (pushes into the scan), so the
+    collect_list holds ≤ k 16-byte structs per conversation — a
+    Zipf-hot 10^6-turn conversation contributes k rows like everyone
+    else. Two exchanges: groupBy conv over (conv, idx, fp) rows, then
+    groupBy signature over the conversation-count-sized table. Text
+    never shuffles; per-turn units travel as 8-byte hashes
+    (*hash_mode*: ``xxhash64`` production, ``md5`` the engine-portable
+    oracle kernel). The signature transform's lambda touches only its
+    lambda variable (the dsir re-eval lesson) on a ≤ k array.
+    """
+    from .loganalytics import mask_log_line
+
+    if k < 1:
+        raise ValueError("prefix_groups: k must be >= 1")
+    if min_convs < 1:
+        raise ValueError("prefix_groups: min_convs must be >= 1")
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"prefix_groups: unknown hash_mode {hash_mode!r}")
+
+    unit = F.coalesce(F.col(text_col), F.lit(""))
+    if mask_templates:
+        unit = mask_log_line(unit)
+    fp = F.xxhash64(unit) if hash_mode == "xxhash64" else _md5_long(unit)
+
+    heads = tx.filter(F.col(idx_col) < k).select(
+        F.col(conv_col),
+        F.col(idx_col).cast("long").alias("__i"),
+        fp.alias("__f"),
+    )
+    sig = F.concat_ws(
+        "|",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__i").alias("i"), F.col("__f").alias("f")))
+            ),
+            lambda x: F.concat(
+                x["i"].cast("string"), F.lit(":"), x["f"].cast("string")
+            ),
+        ),
+    )
+    sigs = heads.groupBy(conv_col).agg(sig.alias("__sig"))
+    sig_fp = (
+        F.xxhash64(F.col("__sig"))
+        if hash_mode == "xxhash64"
+        else _md5_long(F.col("__sig"))
+    )
+    return (
+        sigs.select(sig_fp.alias("prefix_fp"), F.col(conv_col))
+        .groupBy("prefix_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.min(conv_col).alias("rep_conv"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )

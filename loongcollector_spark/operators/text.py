@@ -39,6 +39,7 @@ __all__ = [
     "clean_lines",
     "dedup_lines",
     "pmi_collocations",
+    "zipf_fit",
 ]
 
 # tiny public stopword lists per language for the n-gram/stopword
@@ -1334,4 +1335,79 @@ def pmi_collocations(
     w = W.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
     return top.select(
         F.row_number().over(w).alias("rank"), "w1", "w2", "pair_count", "pmi"
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency fit of the corpus token distribution: OLS of
+    ``ln(count)`` on ``ln(rank)`` over the vocabulary — the one-row
+    corpus-health check (natural language sits near slope −1; a slope
+    far off flags template spam or truncated crawls before tokens are
+    spent training on them). Complements :func:`vocab_report` (head
+    coverage) with the whole-curve statistic.
+
+    Ranks order by (count desc, token asc) — the vocab_report
+    tie-break — so the fit is a pure function of the corpus in any
+    engine. Returns ``(n_types, n_tokens, slope, intercept, r2)``;
+    the regression moments use population covariance/variance
+    (identical definitions in Spark and DuckDB), rounded to *round_dp*
+    decimals so last-ulp ``ln`` differences between engines can't
+    break value equality.
+
+    Scale shape: one token-count aggregation with map-side partial
+    aggregation (the Zipf head — the very thing being measured —
+    collapses per map task before the shuffle), then a rank window and
+    one moment aggregate over the REDUCED vocab table. Vocabulary is
+    ~10^6-10^8 rows even for a 10^12-token corpus, so the global
+    (partition-less) rank window sorts megabytes, not the corpus; the
+    token payload never shuffles twice.
+    """
+    from .dedup import _norm_text
+
+    toks = docs.select(
+        F.explode(
+            F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+    ranked = vocab.select(
+        F.col("__c"),
+        F.row_number()
+        .over(W.orderBy(F.desc("__c"), F.asc("__tok")))
+        .alias("__rank"),
+    ).select(
+        F.col("__c"),
+        F.log(F.col("__rank").cast("double")).alias("__x"),
+        F.log(F.col("__c").cast("double")).alias("__y"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.covar_pop("__x", "__y").alias("__cxy"),
+        F.var_pop("__x").alias("__vx"),
+        F.var_pop("__y").alias("__vy"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+    )
+    # try_divide, not corr/division: a degenerate corpus (one type, or
+    # every count equal) has zero variance on an axis — the fit is
+    # undefined there and must be NULL, not an ANSI divide-by-zero
+    # (and DuckDB's corr returns NULL in the same case)
+    slope = F.try_divide(F.col("__cxy"), F.col("__vx"))
+    r2 = F.try_divide(
+        F.col("__cxy") * F.col("__cxy"), F.col("__vx") * F.col("__vy")
+    )
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        F.round(slope, round_dp).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), round_dp).alias(
+            "intercept"
+        ),
+        F.round(r2, round_dp).alias("r2"),
     )

@@ -1,0 +1,334 @@
+"""Agent-trajectory analytics over multi-turn transcripts.
+
+The reference collects agent/tool telemetry as ordered log events per
+conversation (SURVEY.md §1.1 event taxonomy; per-conversation ordering
+contract test/engine/verify/log_order.go:58-77). This module adds the
+trajectory-level curation signals an LLM training pipeline derives
+from that ordered stream before the transcripts become SFT/RLHF data:
+
+* :func:`agent_loops` — longest run of consecutive identical
+  (tool, text-template) steps per conversation: the classic "agent
+  stuck in a retry loop" detector.
+* :func:`tool_errors` — per-tool call/error counts from the parsed
+  status fields: trajectory success labeling by tool.
+* :func:`refusal_scan` — per-conversation refusal-phrase counts over
+  one role's turns: the safety/over-refusal curation gate.
+* :func:`context_growth` — running context-size accounting per
+  conversation: where each trajectory crosses a token budget and how
+  much context the final turn carries.
+
+Scale design (10^12-turn table): every operator here is one exchange
+on ``conv_col`` — the shared transcript partitioning — or one
+map-side-combinable groupBy on a low-cardinality key. Window chains
+reuse the same ``partitionBy`` so Catalyst plans a single shuffle for
+the whole chain; per-conversation rollups after a conv-partitioned
+window need NO further exchange (HashPartitioning(conv) already
+co-locates every group whose key set contains conv). Text never
+shuffles: loop states travel as 8-byte fingerprints, token counts as
+ints. Hot (Zipf) conversations are each one sorted partition — the
+stable_order contract — and everything downstream of the window is
+O(turns of that conversation) sequential, not quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "agent_loops",
+    "tool_errors",
+    "refusal_scan",
+    "context_growth",
+    "REFUSAL_PATTERNS",
+]
+
+
+def _state_fp(tool: Column, template: Column, hash_mode: str) -> Column:
+    """8-byte fingerprint of a trajectory step state (tool + masked
+    text template). ``xxhash64`` is the production kernel; ``md5`` is
+    the engine-portable oracle kernel (dedup.py convention)."""
+    from .dedup import _md5_long
+
+    joined = F.concat_ws("\x01", tool, template)
+    if hash_mode == "xxhash64":
+        return F.xxhash64(joined)
+    if hash_mode == "md5":
+        return _md5_long(joined)
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def agent_loops(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    text_col: str = "text",
+    loop_threshold: int = 3,
+    none_label: str = "<none>",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Loop detection over agent trajectories: the longest run of
+    CONSECUTIVE turns with the same (tool, text template) state per
+    conversation — an agent re-issuing the same call with the same
+    shaped output is stuck, and trajectories past *loop_threshold* are
+    curation candidates (truncate at loop start or drop).
+
+    A step's state is the coalesced tool label (NULL/blank →
+    *none_label*, the tool_transitions convention) plus the masked
+    text template (:func:`..loganalytics.mask_log_line` — digits, IPs
+    and hex ids masked, so "retry #7" and "retry #8" are the SAME
+    state, which is exactly what a loop looks like from telemetry).
+
+    Returns ``(conv_col, n_steps, n_runs, max_run, loop_tool,
+    looped)`` where ``loop_tool`` is the tool label of the longest run
+    (ties → smaller run id, i.e. earliest run) and ``looped`` is
+    ``max_run >= loop_threshold``.
+
+    Scale shape: ONE exchange. The lag-compare and the running-sum
+    segment id are two Window nodes over the same
+    ``partitionBy(conv)`` — one shuffle, one sort. Both groupBys that
+    follow (per-run counts, per-conversation rollup) have conv in the
+    key, and HashPartitioning(conv) satisfies their clustering, so
+    Catalyst plans them exchange-free. States travel as 8-byte hashes
+    (*hash_mode*), never as text.
+    """
+    from .loganalytics import mask_log_line
+
+    tool = F.coalesce(
+        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
+    )
+    template = mask_log_line(F.coalesce(F.col(text_col), F.lit("")))
+    state = _state_fp(tool, template, hash_mode)
+
+    stepped = tx.select(
+        F.col(conv_col),
+        F.col(idx_col).alias("__idx"),
+        tool.alias("__tool"),
+        state.alias("__state"),
+    )
+    wi = W.partitionBy(conv_col).orderBy("__idx")
+    segs = (
+        stepped.withColumn(
+            "__chg",
+            F.when(
+                F.lag("__state").over(wi).eqNullSafe(F.col("__state")),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("__seg", F.sum("__chg").over(wi))
+    )
+    # the tool label is constant within a run (it is part of the state
+    # fingerprint), so min() is an exact — and deterministic — pick
+    runs = segs.groupBy(conv_col, "__seg").agg(
+        F.count("*").cast("long").alias("__run"),
+        F.min("__tool").alias("__rtool"),
+    )
+    out = runs.groupBy(conv_col).agg(
+        F.sum("__run").cast("long").alias("n_steps"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("__run").cast("long").alias("max_run"),
+        # longest run's tool; ties -> earliest run (struct-max orders
+        # by run, then by negated segment id — exact, no max_by)
+        F.max(
+            F.struct(
+                F.col("__run").alias("r"),
+                (-F.col("__seg")).alias("ns"),
+                F.col("__rtool").alias("t"),
+            )
+        )["t"].alias("loop_tool"),
+    )
+    return out.withColumn("looped", F.col("max_run") >= F.lit(loop_threshold))
+
+
+def tool_errors(
+    tx: DataFrame,
+    *,
+    tool_col: str = "tool",
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    none_label: str = "<none>",
+) -> DataFrame:
+    """Per-tool trajectory success labeling: how often each tool's
+    turns carry an error signal, and how many conversations are
+    touched. An "error" is a parsed status field in the error range —
+    HTTP status >= 500 in an access-log turn, ``code=5xx`` in a
+    key-value turn, or ``"level":"ERROR"`` / ``level=ERROR`` in a
+    structured turn (the same fields processor_parse extracts;
+    SURVEY.md §2.2).
+
+    Returns ``(tool, n_calls, n_errors, error_rate, n_convs,
+    n_err_convs)`` — one row per tool label (NULL/blank → *none_label*).
+
+    Scale shape: the error flag is a per-row codegen expression
+    (two regexp_extract + boolean algebra, no Python); the rollup is a
+    groupBy on the tiny tool dimension. The two distinct-conversation
+    counts make Spark plan the standard two-exchange count-distinct
+    Expand over (tool, conv) — both exchanges carry one row per
+    (tool, conv[, flag]) per map task after partial aggregation, never
+    the turns themselves.
+    """
+    tool = F.coalesce(
+        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
+    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    http_status = F.regexp_extract(txt, r' HTTP/1\.1" (\d{3}) ', 1)
+    kv_code = F.regexp_extract(txt, r"\bcode=(\d{3})\b", 1)
+    is_err = (
+        (http_status >= F.lit("500")) & (http_status != F.lit(""))
+        | (kv_code >= F.lit("500")) & (kv_code != F.lit(""))
+        | txt.contains('"level":"ERROR"')
+        | txt.rlike(r"\blevel=ERROR\b")
+    )
+    rows = tx.select(
+        tool.alias("tool"),
+        F.col(conv_col).alias("__conv"),
+        is_err.cast("int").alias("__err"),
+    )
+    out = rows.groupBy("tool").agg(
+        F.count("*").cast("long").alias("n_calls"),
+        F.sum("__err").cast("long").alias("n_errors"),
+        F.countDistinct("__conv").cast("long").alias("n_convs"),
+        F.countDistinct(
+            F.when(F.col("__err") == 1, F.col("__conv"))
+        ).cast("long").alias("n_err_convs"),
+    )
+    return out.withColumn(
+        "error_rate", F.col("n_errors") / F.col("n_calls")
+    ).select(
+        "tool", "n_calls", "n_errors", "error_rate", "n_convs", "n_err_convs"
+    )
+
+
+# public, hand-written refusal markers (the standard over-refusal
+# audit phrases; lowercase substring match after normalization)
+REFUSAL_PATTERNS: list[str] = [
+    "i can't help",
+    "i cannot help",
+    "i can't assist",
+    "i cannot assist",
+    "i'm sorry, but",
+    "i am unable to",
+    "i won't be able to",
+    "as an ai",
+]
+
+
+def refusal_scan(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+    patterns: list[str] | None = None,
+) -> DataFrame:
+    """Refusal-rate audit over one role's turns: per conversation, how
+    many *role* turns contain a refusal phrase (case-insensitive
+    substring over whitespace-normalized text) — the curation signal
+    both directions care about (drop over-refusing SFT data; keep
+    refusals for safety sets).
+
+    Returns ``(conv_col, n_turns, n_refusals, refusal_ratio,
+    first_refusal_idx)`` — ``first_refusal_idx`` is the smallest
+    ``turn_idx`` whose text refused (NULL if none). Conversations
+    without *role* turns are absent.
+
+    Scale shape: the phrase test is one codegen expression (lower +
+    whitespace collapse + N ``contains`` ORs — no regex alternation
+    blowup, no Python); the rollup is a single map-side-combinable
+    groupBy on conv. One exchange, skinny rows.
+    """
+    pats = REFUSAL_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("refusal_scan: patterns must be non-empty")
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+    )
+    hit = None
+    for p in pats:
+        c = norm.contains(p.lower())
+        hit = c if hit is None else (hit | c)
+    out = (
+        tx.filter(F.col(role_col) == role)
+        .select(
+            F.col(conv_col),
+            F.col("turn_idx").alias("__idx"),
+            hit.cast("int").alias("__hit"),
+        )
+        .groupBy(conv_col)
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("__hit").cast("long").alias("n_refusals"),
+            F.min(F.when(F.col("__hit") == 1, F.col("__idx"))).alias(
+                "first_refusal_idx"
+            ),
+        )
+    )
+    return out.select(
+        conv_col,
+        "n_turns",
+        "n_refusals",
+        (F.col("n_refusals") / F.col("n_turns")).alias("refusal_ratio"),
+        "first_refusal_idx",
+    )
+
+
+def context_growth(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    budget_tokens: int = 512,
+) -> DataFrame:
+    """Context-window accounting per trajectory: each turn enters the
+    model with all PRIOR turns as context; this reports where each
+    conversation crosses *budget_tokens* and how big it ends up — the
+    signal that drives truncate_context / conversation_examples
+    packing choices upstream of SFT assembly.
+
+    Token counts are whitespace tokens (the repo-wide baseline
+    tokenizer; swap in bpe_tokenize for exact counts). For each turn,
+    ``context = Σ tokens of turns with smaller turn_idx``.
+
+    Returns ``(conv_col, n_turns, total_tokens, peak_context,
+    first_over_idx, n_over)`` — ``first_over_idx`` the smallest
+    ``turn_idx`` whose ENTERING context exceeds the budget (NULL if
+    never), ``n_over`` how many turns entered over budget,
+    ``peak_context`` the context size of the last turn.
+
+    Scale shape: ONE exchange — the running sum is a window over
+    ``partitionBy(conv) orderBy(idx)`` (rows-unbounded-preceding, the
+    streaming frame Spark evaluates in O(n) without re-scans), and the
+    per-conversation rollup keys on conv so the window's partitioning
+    already satisfies it. Only (conv, idx, int) rows shuffle.
+    """
+    ntok = F.when(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+        F.lit(0),
+    ).otherwise(
+        F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    )
+    w = (
+        W.partitionBy(conv_col)
+        .orderBy("__idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rows = tx.select(
+        F.col(conv_col), F.col(idx_col).alias("__idx"), ntok.alias("__n")
+    ).select(
+        F.col(conv_col),
+        F.col("__idx"),
+        F.col("__n"),
+        (F.sum("__n").over(w) - F.col("__n")).alias("__ctx"),
+    )
+    over = F.col("__ctx") > F.lit(budget_tokens)
+    return rows.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum("__n").cast("long").alias("total_tokens"),
+        F.max("__ctx").cast("long").alias("peak_context"),
+        F.min(F.when(over, F.col("__idx"))).alias("first_over_idx"),
+        F.sum(over.cast("int")).cast("long").alias("n_over"),
+    )

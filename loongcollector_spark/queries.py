@@ -4989,3 +4989,358 @@ def _reorder_for_driver(queries: dict, first: list[str]) -> dict:
 
 
 QUERIES = _reorder_for_driver(QUERIES, _DRIVER_FIRST)
+
+
+# ---------------------------------------------------------------- round-4
+# session-5 batch: agent-trajectory analytics + corpus statistics.
+# Registered AFTER the driver-window reorder on purpose: the r4 window
+# (first 50) is already committed to the never-checked r3 backlog; these
+# append at the tail and lead the r5 _DRIVER_FIRST rotation (NOTES.md
+# "Round-5 prep"). Oracle-tested at sf0.001/sf0.01 by
+# tests/test_queries_oracle.py exactly like every other entry.
+
+
+def _mask_sql(x: str) -> str:
+    """DuckDB twin of loganalytics.mask_log_line (the log_templates
+    oracle's proven regex chain, shared)."""
+    return (
+        "trim(regexp_replace("
+        "regexp_replace("
+        "regexp_replace("
+        "regexp_replace(" + x + ","
+        " '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),"
+        " '\\b[0-9a-fA-F]{8,}\\b', '<HEX>', 'g'),"
+        " '\\b\\d+(?:\\.\\d+)?', '<NUM>', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
+def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent loop detection: longest run of consecutive identical
+    (tool, masked-text-template) steps per conversation. The output
+    carries no hash columns, so the PRODUCTION xxhash64 state kernel
+    runs here and still value-matches the oracle (state fingerprints
+    only mediate equality); the DuckDB twin compares the raw
+    tool+template state through the same lag/running-sum windows."""
+    from .operators.trajectory import agent_loops
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return agent_loops(tx, loop_threshold=3)
+
+
+ORACLES["agent_loops"] = f"""
+    WITH transcripts AS ({_TX}),
+    st AS (
+      SELECT conv_id, turn_idx,
+             coalesce(nullif(trim(tool), ''), '<none>') AS tool,
+             coalesce(nullif(trim(tool), ''), '<none>') || chr(1) ||
+               {_mask_sql("coalesce(text, '')")} AS state
+      FROM transcripts
+    ),
+    chg AS (
+      SELECT conv_id, turn_idx, tool, state,
+             CASE WHEN lag(state) OVER w IS NOT DISTINCT FROM state
+                  THEN 0 ELSE 1 END AS c
+      FROM st
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    seg AS (
+      SELECT conv_id, tool,
+             sum(c) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s
+      FROM chg
+    ),
+    runs AS (
+      SELECT conv_id, s, CAST(count(*) AS BIGINT) AS run,
+             min(tool) AS rtool
+      FROM seg GROUP BY conv_id, s
+    ),
+    rk AS (
+      SELECT conv_id, run, rtool,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY run DESC, s ASC) AS rn
+      FROM runs
+    )
+    SELECT conv_id,
+           CAST(sum(run) AS BIGINT) AS n_steps,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           max(run) AS max_run,
+           min(CASE WHEN rn = 1 THEN rtool END) AS loop_tool,
+           max(run) >= 3 AS looped
+    FROM rk GROUP BY conv_id
+"""
+
+
+def q_tool_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool trajectory error labeling from the parsed status
+    fields (HTTP >= 500 / code=5xx / level ERROR), value-matched
+    against a DuckDB conditional-aggregate twin including both exact
+    distinct-conversation counts."""
+    from .operators.trajectory import tool_errors
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return tool_errors(tx)
+
+
+ORACLES["tool_errors"] = f"""
+    WITH transcripts AS ({_TX}),
+    t AS (
+      SELECT coalesce(nullif(trim(tool), ''), '<none>') AS tool,
+             conv_id,
+             CASE WHEN
+                    (regexp_extract(text, ' HTTP/1\\.1" (\\d{{3}}) ', 1) >= '500'
+                     AND regexp_extract(text, ' HTTP/1\\.1" (\\d{{3}}) ', 1) <> '')
+                 OR (regexp_extract(text, '\\bcode=(\\d{{3}})\\b', 1) >= '500'
+                     AND regexp_extract(text, '\\bcode=(\\d{{3}})\\b', 1) <> '')
+                 OR contains(text, '"level":"ERROR"')
+                 OR regexp_matches(text, '\\blevel=ERROR\\b')
+             THEN 1 ELSE 0 END AS err
+      FROM transcripts
+    )
+    SELECT tool,
+           CAST(count(*) AS BIGINT) AS n_calls,
+           CAST(sum(err) AS BIGINT) AS n_errors,
+           sum(err) / (1.0 * count(*)) AS error_rate,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(count(DISTINCT CASE WHEN err = 1 THEN conv_id END) AS BIGINT)
+             AS n_err_convs
+    FROM t GROUP BY tool
+"""
+
+
+def q_refusal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refusal-rate audit per conversation. The log-dialect fixture
+    contains no refusal phrases, so the QUERY (not the operator)
+    deterministically injects one onto assistant turns with
+    ``turn_idx % 11 = 3`` — identically in both engines (the
+    url_hygiene augmentation convention) — making counts, ratios and
+    first-refusal indexes non-trivial."""
+    from .operators.trajectory import refusal_scan
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    aug = tx.withColumn(
+        "text",
+        F.when(
+            (F.col("role") == "assistant") & (F.col("turn_idx") % 11 == 3),
+            F.concat(F.lit("I cannot help with that. "), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    return refusal_scan(aug)
+
+
+from .operators.trajectory import REFUSAL_PATTERNS as _REFUSALS
+
+_REFUSAL_OR = " OR ".join(
+    "contains(nt, '{}')".format(p.lower().replace("'", "''"))
+    for p in _REFUSALS
+)
+
+ORACLES["refusal_scan"] = f"""
+    WITH transcripts AS ({_TX}),
+    aug AS (
+      SELECT conv_id, turn_idx, role,
+             CASE WHEN role = 'assistant' AND mod(turn_idx, 11) = 3
+                  THEN 'I cannot help with that. ' || coalesce(text, '')
+                  ELSE text END AS text
+      FROM transcripts
+    ),
+    n AS (
+      SELECT conv_id, turn_idx,
+             regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')
+               AS nt
+      FROM aug WHERE role = 'assistant'
+    ),
+    h AS (
+      SELECT conv_id, turn_idx,
+             CASE WHEN {_REFUSAL_OR} THEN 1 ELSE 0 END AS hit
+      FROM n
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(hit) AS BIGINT) AS n_refusals,
+           sum(hit) / (1.0 * count(*)) AS refusal_ratio,
+           min(CASE WHEN hit = 1 THEN turn_idx END) AS first_refusal_idx
+    FROM h GROUP BY conv_id
+"""
+
+
+def q_context_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window accounting per conversation (whitespace-token
+    running sums, 512-token budget), value-matched against a DuckDB
+    running-window twin."""
+    from .operators.trajectory import context_growth
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return context_growth(tx, budget_tokens=512)
+
+
+ORACLES["context_growth"] = f"""
+    WITH transcripts AS ({_TX}),
+    t AS (
+      SELECT conv_id, turn_idx,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                              '\\s+')) END AS n
+      FROM transcripts
+    ),
+    c AS (
+      SELECT conv_id, turn_idx, n,
+             sum(n) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n AS ctx
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(max(ctx) AS BIGINT) AS peak_context,
+           min(CASE WHEN ctx > 512 THEN turn_idx END) AS first_over_idx,
+           CAST(sum(CASE WHEN ctx > 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over
+    FROM c GROUP BY conv_id
+"""
+
+
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection-sampling selection over the documents table:
+    candidate groups are ``doc_id % 25``, the score is the distinct
+    normalized-token count (a deterministic stand-in for a reward
+    model), winner + runner-up margin per group — value-matched
+    against a DuckDB rank-window twin."""
+    from .operators.assemble import best_of_n
+    from .operators.dedup import _norm_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        (F.col("doc_id") % 25).alias("grp"),
+        F.col("doc_id"),
+        F.size(
+            F.array_distinct(
+                F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+            )
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    return best_of_n(scored, "grp", "score", "doc_id")
+
+
+ORACLES["best_of_n"] = """
+    WITH s AS (
+      SELECT mod(doc_id, 25) AS grp, doc_id,
+             CAST(len(list_distinct(string_split(
+               trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')))
+               AS BIGINT) AS score
+      FROM documents
+    ),
+    r AS (
+      SELECT grp, doc_id, score,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM s
+    ),
+    c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_candidates
+          FROM s GROUP BY grp),
+    t AS (
+      SELECT grp,
+             max(CASE WHEN rn = 1 THEN doc_id END) AS winner_id,
+             max(CASE WHEN rn = 1 THEN score END) AS best_score,
+             max(CASE WHEN rn = 2 THEN score END) AS second_score
+      FROM r WHERE rn <= 2 GROUP BY grp
+    )
+    SELECT c.grp, c.n_candidates, t.winner_id, t.best_score,
+           t.second_score,
+           t.best_score - coalesce(t.second_score, t.best_score) AS margin
+    FROM c JOIN t USING (grp)
+    WHERE c.n_candidates >= 2
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the documents vocabulary; both
+    engines compute identical ln/covar_pop/var_pop/corr moments,
+    rounded to 6 dp (the lm_perplexity convention for transcendental
+    outputs)."""
+    from .operators.text import zipf_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs)
+
+
+ORACLES["zipf_fit"] = """
+    WITH tok AS (
+      SELECT unnest(string_split(
+               trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ),
+    v AS (
+      SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY t
+    ),
+    r AS (
+      SELECT c,
+             ln(CAST(row_number() OVER (ORDER BY c DESC, t ASC) AS DOUBLE))
+               AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(CASE WHEN var_pop(x) = 0 THEN NULL
+                 ELSE covar_pop(x, y) / var_pop(x) END, 6) AS slope,
+           round(CASE WHEN var_pop(x) = 0 THEN NULL
+                 ELSE avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x)
+                 END, 6) AS intercept,
+           round(CASE WHEN var_pop(x) * var_pop(y) = 0 THEN NULL
+                 ELSE covar_pop(x, y) * covar_pop(x, y)
+                      / (var_pop(x) * var_pop(y)) END, 6) AS r2
+    FROM r
+"""
+
+
+def q_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix conversation families (first-3-turn masked
+    templates, md5 oracle kernel since the group fingerprint is an
+    output column), value-matched against a DuckDB ordered string_agg
+    twin."""
+    from .operators.dedup import prefix_groups
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return prefix_groups(tx, k=3, hash_mode="md5")
+
+
+_PFX_UNIT = _mask_sql("coalesce(text, '')")
+
+ORACLES["prefix_groups"] = f"""
+    WITH transcripts AS ({_TX}),
+    h AS (
+      SELECT conv_id, CAST(turn_idx AS BIGINT) AS i,
+             {_MD5L.format(x=_PFX_UNIT)} AS f
+      FROM transcripts WHERE turn_idx < 3
+    ),
+    s AS (
+      SELECT conv_id,
+             string_agg(i || ':' || f, '|' ORDER BY i, f) AS sig
+      FROM h GROUP BY conv_id
+    )
+    SELECT {_MD5L.format(x='sig')} AS prefix_fp,
+           CAST(count(*) AS BIGINT) AS n_convs,
+           min(conv_id) AS rep_conv
+    FROM s GROUP BY sig HAVING count(*) >= 2
+"""
+
+
+QUERIES["agent_loops"] = q_agent_loops
+QUERIES["tool_errors"] = q_tool_errors
+QUERIES["refusal_scan"] = q_refusal_scan
+QUERIES["context_growth"] = q_context_growth
+QUERIES["best_of_n"] = q_best_of_n
+QUERIES["zipf_fit"] = q_zipf_fit
+QUERIES["prefix_groups"] = q_prefix_groups
