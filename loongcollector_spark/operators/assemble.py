@@ -317,7 +317,8 @@ def best_of_n(
     its confidence margin) feeds the next training round. Complements
     :func:`preference_pairs`, which pairs best against WORST; the
     best-vs-second margin is the rejection-sampling confidence signal
-    (margin 0 ⇒ the "winner" is a coin flip).
+    (margin 0 ⇒ the "winner" is a coin flip; margin NULL ⇒ a
+    singleton group with no runner-up at all).
 
     Ties break on ascending *id_col*, so the output is a pure function
     of the input set (struct-ordering, no nondeterministic ``max_by``).
@@ -363,13 +364,13 @@ def best_of_n(
     out = counts.join(top2, group_col).filter(
         F.col("n_candidates") >= min_candidates
     )
+    # margin is NULL for a singleton group (no runner-up existed) —
+    # distinct from margin 0, a genuine best-vs-second tie
     return out.select(
         group_col,
         "n_candidates",
         "winner_id",
         "best_score",
         "second_score",
-        (F.col("best_score") - F.coalesce(F.col("second_score"), F.col("best_score"))).alias(
-            "margin"
-        ),
+        (F.col("best_score") - F.col("second_score")).alias("margin"),
     )

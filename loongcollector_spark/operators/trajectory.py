@@ -44,6 +44,14 @@ __all__ = [
 ]
 
 
+def _tool_label(tool_col: str, none_label: str) -> Column:
+    """The shared tool-label convention (tool_transitions,
+    aggregate.py): NULL/blank tool → *none_label*."""
+    return F.coalesce(
+        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
+    )
+
+
 def _state_fp(tool: Column, template: Column, hash_mode: str) -> Column:
     """8-byte fingerprint of a trajectory step state (tool + masked
     text template). ``xxhash64`` is the production kernel; ``md5`` is
@@ -96,9 +104,7 @@ def agent_loops(
     """
     from .loganalytics import mask_log_line
 
-    tool = F.coalesce(
-        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
-    )
+    tool = _tool_label(tool_col, none_label)
     template = mask_log_line(F.coalesce(F.col(text_col), F.lit("")))
     state = _state_fp(tool, template, hash_mode)
 
@@ -117,7 +123,15 @@ def agent_loops(
                 F.lit(0),
             ).otherwise(F.lit(1)),
         )
-        .withColumn("__seg", F.sum("__chg").over(wi))
+        # ROWS frame, not the default RANGE: duplicate turn_idx values
+        # must not lump into one cumulative value (the DuckDB twin pins
+        # ROWS UNBOUNDED PRECEDING..CURRENT ROW)
+        .withColumn(
+            "__seg",
+            F.sum("__chg").over(
+                wi.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
     )
     # the tool label is constant within a run (it is part of the state
     # fingerprint), so min() is an exact — and deterministic — pick
@@ -169,15 +183,15 @@ def tool_errors(
     (tool, conv[, flag]) per map task after partial aggregation, never
     the turns themselves.
     """
-    tool = F.coalesce(
-        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
-    )
+    tool = _tool_label(tool_col, none_label)
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    http_status = F.regexp_extract(txt, r' HTTP/1\.1" (\d{3}) ', 1)
+    # any HTTP protocol version, status at a space or end of line;
+    # regexp_extract yields '' (never >= '500') or exactly 3 digits
+    http_status = F.regexp_extract(txt, r' HTTP/[0-9.]+" (\d{3})(?: |$)', 1)
     kv_code = F.regexp_extract(txt, r"\bcode=(\d{3})\b", 1)
     is_err = (
-        (http_status >= F.lit("500")) & (http_status != F.lit(""))
-        | (kv_code >= F.lit("500")) & (kv_code != F.lit(""))
+        (http_status >= F.lit("500"))
+        | (kv_code >= F.lit("500"))
         | txt.contains('"level":"ERROR"')
         | txt.rlike(r"\blevel=ERROR\b")
     )
@@ -219,6 +233,7 @@ def refusal_scan(
     tx: DataFrame,
     *,
     conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
     role: str = "assistant",
@@ -232,7 +247,7 @@ def refusal_scan(
 
     Returns ``(conv_col, n_turns, n_refusals, refusal_ratio,
     first_refusal_idx)`` — ``first_refusal_idx`` is the smallest
-    ``turn_idx`` whose text refused (NULL if none). Conversations
+    *idx_col* whose text refused (NULL if none). Conversations
     without *role* turns are absent.
 
     Scale shape: the phrase test is one codegen expression (lower +
@@ -254,7 +269,7 @@ def refusal_scan(
         tx.filter(F.col(role_col) == role)
         .select(
             F.col(conv_col),
-            F.col("turn_idx").alias("__idx"),
+            F.col(idx_col).alias("__idx"),
             hit.cast("int").alias("__hit"),
         )
         .groupBy(conv_col)

@@ -1997,6 +1997,23 @@ ORACLES["timestamp_roundtrip"] = f"""
 
 # DuckDB twin of operators.dedup._md5_long (60-bit positive hash)
 _MD5L = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
+
+
+def _mask_sql(x: str) -> str:
+    """DuckDB twin of loganalytics.mask_log_line (shared by the
+    log_templates / agent_loops / prefix_groups oracles)."""
+    return (
+        "trim(regexp_replace("
+        "regexp_replace("
+        "regexp_replace("
+        "regexp_replace(" + x + ","
+        " '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),"
+        " '\\b[0-9a-fA-F]{8,}\\b', '<HEX>', 'g'),"
+        " '\\b\\d+(?:\\.\\d+)?', '<NUM>', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
 # DuckDB twin of operators.dedup._norm_text
 def _minhash_oracle_sql(
     k: int = 5, num_perm: int = 64, bands: int = 16, threshold: float = 0.5
@@ -2771,14 +2788,7 @@ def q_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["log_templates"] = f"""
     WITH transcripts AS ({_TX}),
     masked AS (
-      SELECT trim(regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(text,
-                     '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
-                   '\\b[0-9a-fA-F]{{8,}}\\b', '<HEX>', 'g'),
-                 '\\b\\d+(?:\\.\\d+)?', '<NUM>', 'g'),
-               '\\s+', ' ', 'g')) AS template,
+      SELECT {_mask_sql("text")} AS template,
              text AS raw
       FROM transcripts
     )
@@ -5000,21 +5010,6 @@ QUERIES = _reorder_for_driver(QUERIES, _DRIVER_FIRST)
 # tests/test_queries_oracle.py exactly like every other entry.
 
 
-def _mask_sql(x: str) -> str:
-    """DuckDB twin of loganalytics.mask_log_line (the log_templates
-    oracle's proven regex chain, shared)."""
-    return (
-        "trim(regexp_replace("
-        "regexp_replace("
-        "regexp_replace("
-        "regexp_replace(" + x + ","
-        " '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),"
-        " '\\b[0-9a-fA-F]{8,}\\b', '<HEX>', 'g'),"
-        " '\\b\\d+(?:\\.\\d+)?', '<NUM>', 'g'),"
-        " '\\s+', ' ', 'g'))"
-    )
-
-
 def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agent loop detection: longest run of consecutive identical
     (tool, masked-text-template) steps per conversation. The output
@@ -5091,10 +5086,9 @@ ORACLES["tool_errors"] = f"""
       SELECT coalesce(nullif(trim(tool), ''), '<none>') AS tool,
              conv_id,
              CASE WHEN
-                    (regexp_extract(text, ' HTTP/1\\.1" (\\d{{3}}) ', 1) >= '500'
-                     AND regexp_extract(text, ' HTTP/1\\.1" (\\d{{3}}) ', 1) <> '')
-                 OR (regexp_extract(text, '\\bcode=(\\d{{3}})\\b', 1) >= '500'
-                     AND regexp_extract(text, '\\bcode=(\\d{{3}})\\b', 1) <> '')
+                    regexp_extract(text, ' HTTP/[0-9.]+" (\\d{{3}})( |$)',
+                                   1) >= '500'
+                 OR regexp_extract(text, '\\bcode=(\\d{{3}})\\b', 1) >= '500'
                  OR contains(text, '"level":"ERROR"')
                  OR regexp_matches(text, '\\blevel=ERROR\\b')
              THEN 1 ELSE 0 END AS err
@@ -5256,7 +5250,7 @@ ORACLES["best_of_n"] = """
     )
     SELECT c.grp, c.n_candidates, t.winner_id, t.best_score,
            t.second_score,
-           t.best_score - coalesce(t.second_score, t.best_score) AS margin
+           t.best_score - t.second_score AS margin
     FROM c JOIN t USING (grp)
     WHERE c.n_candidates >= 2
 """

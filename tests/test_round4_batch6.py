@@ -70,7 +70,7 @@ def test_agent_loops_tie_breaks_to_earliest_run(spark):
     assert r["max_run"] == 2 and r["loop_tool"] == "t1"
 
 
-def test_agent_loops_null_text_and_tool(spark, loop_tx):
+def test_agent_loops_null_text_and_tool(spark):
     rows = [
         ("c1", 0, "a", None, None),
         ("c1", 1, "a", None, ""),
@@ -121,9 +121,12 @@ def test_tool_errors_status_edge_is_5xx_only(spark):
         ("c1", 1, "t", 'GET /x HTTP/1.1" 500 9', "a"),
         ("c1", 2, "t", "code=499 ok", "a"),
         ("c1", 3, "t", "code=599 bad", "a"),
+        # any protocol version; status may end the line
+        ("c1", 4, "t", 'GET /x HTTP/2" 503 7', "a"),
+        ("c1", 5, "t", 'GET /x HTTP/1.0" 502', "a"),
     ]
     r = tool_errors(spark.createDataFrame(rows, TX_SCHEMA)).collect()[0]
-    assert r["n_errors"] == 2
+    assert r["n_errors"] == 4
 
 
 # ----------------------------------------------------------- refusal_scan
@@ -208,7 +211,7 @@ def test_best_of_n_min_candidates_one_keeps_singletons(spark):
     df = spark.createDataFrame([(2, 20, 50.0)], "grp int, cand_id long, score double")
     r = best_of_n(df, "grp", "score", "cand_id", min_candidates=1).collect()[0]
     assert r["winner_id"] == 20 and r["second_score"] is None
-    assert r["margin"] == 0.0  # coalesce(second, best)
+    assert r["margin"] is None  # no runner-up existed: NULL, not 0
     with pytest.raises(ValueError):
         best_of_n(df, "grp", "score", "cand_id", min_candidates=0)
 
