@@ -161,6 +161,10 @@ HEADLINE = [
     "best_of_n",
     "zipf_fit",
     "prefix_groups",
+    "trajectory_outcome",
+    "turn_gaps",
+    "source_overlap",
+    "fertility_report",
 ]
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "dedup_components",
     "split_leakage",
     "prefix_groups",
+    "source_overlap",
 ]
 
 # deterministic odd seeds for minhash permutations (fixed, public math)
@@ -1024,4 +1025,106 @@ def prefix_groups(
             F.min(conv_col).alias("rep_conv"),
         )
         .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus sources — the provenance
+    analytics a mixture designer runs before weighting sources: two
+    crawls/dumps with high gram overlap are near-copies and should not
+    both be upweighted (the cross-source complement of in-corpus
+    dedup). Unit is the distinct *k*-token gram of the normalized
+    text.
+
+    Returns one row per unordered source pair ``(src_a, src_b,
+    grams_a, grams_b, grams_common, jaccard, containment)`` with
+    ``src_a < src_b``; ``containment`` is ``common / min(a, b)`` (the
+    near-copy signal even when sizes differ wildly).
+
+    Scale shape: grams build per-row as ``zip_with`` over k slices of
+    a materialized token array (the dsir HOF-discipline shape — no
+    outer-expression re-eval), dedup to (gram, source) with map-side
+    partial aggregation (the boilerplate gram shared by 10^6 docs of
+    one source collapses per map task), then ONE groupBy gram
+    collecting the ≤ |sources| set — per-gram state is bounded by the
+    source count, NOT the corpus, so the hottest gram costs the same
+    as any other. Pair expansion and the final pair count run on the
+    gram-vocabulary table; per-source totals are a broadcast join of
+    |sources| rows. The corpus text never shuffles.
+    """
+    if k < 1:
+        raise ValueError("source_overlap: k must be >= 1")
+    norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    tokenized = docs.filter(F.length(norm) > 0).select(
+        F.col(source_col).alias("__src"), F.split(norm, " ").alias("__tk")
+    )
+    tk = F.col("__tk")
+    n_g = F.greatest(F.size(tk) - (k - 1), F.lit(0))
+    gram = F.slice(tk, 1, n_g)
+    for i in range(1, k):
+        gram = F.zip_with(
+            gram,
+            F.slice(tk, 1 + i, n_g),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    pairs = (
+        tokenized.select("__src", F.explode(gram).alias("__g"))
+        .groupBy("__g", "__src")
+        .agg(F.lit(1).alias("__one"))
+    )
+    totals = pairs.groupBy("__src").agg(
+        F.count("*").cast("long").alias("__total")
+    )
+    per_gram = pairs.groupBy("__g").agg(
+        F.sort_array(F.collect_set("__src")).alias("__srcs")
+    )
+    # unordered pairs from the sorted ≤|sources| array; lambdas touch
+    # only lambda variables and the materialized __srcs column
+    expanded = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__srcs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("__srcs"),
+                            i + 2,
+                            F.greatest(
+                                F.size(F.col("__srcs")) - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
+    common = expanded.groupBy(
+        F.col("__p.a").alias("src_a"), F.col("__p.b").alias("src_b")
+    ).agg(F.count("*").cast("long").alias("grams_common"))
+    ta = totals.select(
+        F.col("__src").alias("src_a"), F.col("__total").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("__src").alias("src_b"), F.col("__total").alias("grams_b")
+    )
+    out = common.join(F.broadcast(ta), "src_a").join(F.broadcast(tb), "src_b")
+    union = F.col("grams_a") + F.col("grams_b") - F.col("grams_common")
+    return out.select(
+        "src_a",
+        "src_b",
+        "grams_a",
+        "grams_b",
+        "grams_common",
+        (F.col("grams_common") / union).alias("jaccard"),
+        (
+            F.col("grams_common")
+            / F.least(F.col("grams_a"), F.col("grams_b"))
+        ).alias("containment"),
     )

@@ -40,6 +40,7 @@ __all__ = [
     "dedup_lines",
     "pmi_collocations",
     "zipf_fit",
+    "fertility_report",
 ]
 
 # tiny public stopword lists per language for the n-gram/stopword
@@ -1410,4 +1411,56 @@ def zipf_fit(
             "intercept"
         ),
         F.round(r2, round_dp).alias("r2"),
+    )
+
+
+def fertility_report(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility report per corpus stratum (language by
+    default): characters per whitespace token and per BPE-ish regex
+    token, and the regex/whitespace fertility ratio — the table a
+    tokenizer-budget review reads to see which languages pay more
+    tokens per character (the classic multilingual-fertility audit).
+
+    Token definitions are the repo-wide baselines from
+    :func:`token_stats` (whitespace split; ``_TOKEN_REGEX`` pieces).
+    Returns ``(group_col, n_docs, n_chars, n_ws_tokens, n_re_tokens,
+    chars_per_ws_token, chars_per_re_token, re_per_ws)``; ratio
+    columns are NULL for a stratum with zero tokens.
+
+    Scale shape: per-row codegen counting (no explode — counts only,
+    never materialized token rows), then ONE map-side-combinable
+    groupBy on the low-cardinality stratum. The cheapest whole-corpus
+    pass in the module.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_ws = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(txt), r"\s+"))
+    )
+    n_re = F.size(F.regexp_extract_all(txt, F.lit(_TOKEN_REGEX), 0))
+    agg = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(txt)).cast("long").alias("n_chars"),
+        F.sum(n_ws).cast("long").alias("n_ws_tokens"),
+        F.sum(n_re).cast("long").alias("n_re_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_chars",
+        "n_ws_tokens",
+        "n_re_tokens",
+        F.try_divide(F.col("n_chars"), F.col("n_ws_tokens")).alias(
+            "chars_per_ws_token"
+        ),
+        F.try_divide(F.col("n_chars"), F.col("n_re_tokens")).alias(
+            "chars_per_re_token"
+        ),
+        F.try_divide(F.col("n_re_tokens"), F.col("n_ws_tokens")).alias(
+            "re_per_ws"
+        ),
     )

@@ -16,6 +16,10 @@ from that ordered stream before the transcripts become SFT/RLHF data:
 * :func:`context_growth` — running context-size accounting per
   conversation: where each trajectory crosses a token budget and how
   much context the final turn carries.
+* :func:`trajectory_outcome` — per-conversation resolved / failed /
+  abandoned verdict from the final turn plus the error history.
+* :func:`turn_gaps` — exact-microsecond inter-turn gap profile per
+  conversation (session-break and stall triage).
 
 Scale design (10^12-turn table): every operator here is one exchange
 on ``conv_col`` — the shared transcript partitioning — or one
@@ -40,6 +44,8 @@ __all__ = [
     "tool_errors",
     "refusal_scan",
     "context_growth",
+    "trajectory_outcome",
+    "turn_gaps",
     "REFUSAL_PATTERNS",
 ]
 
@@ -185,16 +191,7 @@ def tool_errors(
     """
     tool = _tool_label(tool_col, none_label)
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    # any HTTP protocol version, status at a space or end of line;
-    # regexp_extract yields '' (never >= '500') or exactly 3 digits
-    http_status = F.regexp_extract(txt, r' HTTP/[0-9.]+" (\d{3})(?: |$)', 1)
-    kv_code = F.regexp_extract(txt, r"\bcode=(\d{3})\b", 1)
-    is_err = (
-        (http_status >= F.lit("500"))
-        | (kv_code >= F.lit("500"))
-        | txt.contains('"level":"ERROR"')
-        | txt.rlike(r"\blevel=ERROR\b")
-    )
+    is_err = _error_flag(txt)
     rows = tx.select(
         tool.alias("tool"),
         F.col(conv_col).alias("__conv"),
@@ -346,4 +343,121 @@ def context_growth(
         F.max("__ctx").cast("long").alias("peak_context"),
         F.min(F.when(over, F.col("__idx"))).alias("first_over_idx"),
         F.sum(over.cast("int")).cast("long").alias("n_over"),
+    )
+
+
+def _error_flag(txt: Column) -> Column:
+    """The shared error signal (tool_errors, trajectory_outcome): HTTP
+    5xx in an access-log turn, ``code=5xx`` in a key-value turn, or an
+    ERROR level in a structured/kv turn. Any HTTP protocol version;
+    the status may end the line; regexp_extract yields '' (never >=
+    '500') or exactly three digits."""
+    http_status = F.regexp_extract(txt, r' HTTP/[0-9.]+" (\d{3})(?: |$)', 1)
+    kv_code = F.regexp_extract(txt, r"\bcode=(\d{3})\b", 1)
+    return (
+        (http_status >= F.lit("500"))
+        | (kv_code >= F.lit("500"))
+        | txt.contains('"level":"ERROR"')
+        | txt.rlike(r"\blevel=ERROR\b")
+    )
+
+
+def trajectory_outcome(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    text_col: str = "text",
+    resolver_role: str = "assistant",
+    none_label: str = "<none>",
+) -> DataFrame:
+    """Per-conversation outcome labeling — the trajectory-level verdict
+    an RLHF/SFT curation pass filters on before anything else: did the
+    agent finish cleanly, die on an error, or just stop?
+
+    The label is a pure function of the FINAL turn (highest *idx_col*)
+    plus the error history: ``failed`` if the final turn carries the
+    shared error signal (:func:`tool_errors`' definition), ``resolved``
+    if it is a clean *resolver_role* turn, else ``abandoned`` (the
+    conversation ends mid-flight on a user/tool/system turn).
+
+    Returns ``(conv_col, n_turns, n_errors, last_idx, last_role,
+    last_tool, outcome)``.
+
+    Scale shape: ONE map-side-combinable groupBy on *conv_col* — the
+    final turn is a ``max`` of a (idx, role, tool, err) struct, the
+    error count a conditional sum, so a Zipf-hot 10^6-turn
+    conversation collapses per map task and the shuffle carries one
+    skinny struct row per (conv, task). No window, no text shuffle.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    last = F.max(
+        F.struct(
+            F.col(idx_col).alias("i"),
+            F.col(role_col).alias("r"),
+            _tool_label(tool_col, none_label).alias("t"),
+            _error_flag(txt).alias("e"),
+        )
+    )
+    agg = tx.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(_error_flag(txt).cast("int")).cast("long").alias("n_errors"),
+        last.alias("__last"),
+    )
+    return agg.select(
+        conv_col,
+        "n_turns",
+        "n_errors",
+        F.col("__last.i").alias("last_idx"),
+        F.col("__last.r").alias("last_role"),
+        F.col("__last.t").alias("last_tool"),
+        F.when(F.col("__last.e"), F.lit("failed"))
+        .when(F.col("__last.r") == resolver_role, F.lit("resolved"))
+        .otherwise(F.lit("abandoned"))
+        .alias("outcome"),
+    )
+
+
+def turn_gaps(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    break_us: int = 300_000_000,
+) -> DataFrame:
+    """Inter-turn time-gap profile per conversation: exact-microsecond
+    deltas between consecutive turns (by *idx_col*), the signal behind
+    session-break decisions and stalled-trajectory triage — distinct
+    from :func:`..aggregate.conversation_latency` (role-pair response
+    time) and ``sessionize`` (window ASSIGNMENT); this reports the gap
+    DISTRIBUTION shape per conversation.
+
+    Returns ``(conv_col, n_turns, n_gaps, total_gap_us, max_gap_us,
+    n_breaks)`` — ``n_breaks`` counts gaps above *break_us* (default
+    5 minutes). All outputs are exact integers (``unix_micros``), so
+    any engine reproduces them bit-for-bit.
+
+    Scale shape: ONE exchange — the lag window partitions on
+    *conv_col* and the rollup keys on it, so the window's partitioning
+    satisfies the aggregation. Only (conv, idx, long) rows shuffle.
+    """
+    w = W.partitionBy(conv_col).orderBy("__idx")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rows = tx.select(
+        F.col(conv_col), F.col(idx_col).alias("__idx"), us.alias("__us")
+    ).select(
+        F.col(conv_col),
+        (F.col("__us") - F.lag("__us").over(w)).alias("__gap"),
+    )
+    return rows.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.count("__gap").cast("long").alias("n_gaps"),
+        F.sum("__gap").cast("long").alias("total_gap_us"),
+        F.max("__gap").cast("long").alias("max_gap_us"),
+        F.sum(
+            F.when(F.col("__gap") > F.lit(break_us), 1).otherwise(0)
+        ).cast("long").alias("n_breaks"),
     )

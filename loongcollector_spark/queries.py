@@ -5338,3 +5338,170 @@ QUERIES["context_growth"] = q_context_growth
 QUERIES["best_of_n"] = q_best_of_n
 QUERIES["zipf_fit"] = q_zipf_fit
 QUERIES["prefix_groups"] = q_prefix_groups
+
+
+# error-signal SQL twin (trajectory._error_flag)
+_ERR_SQL = (
+    "(regexp_extract(text, ' HTTP/[0-9.]+\" (\\d{3})( |$)', 1) >= '500'"
+    " OR regexp_extract(text, '\\bcode=(\\d{3})\\b', 1) >= '500'"
+    " OR contains(text, '\"level\":\"ERROR\"')"
+    " OR regexp_matches(text, '\\blevel=ERROR\\b'))"
+)
+
+
+def q_trajectory_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation resolved/failed/abandoned verdict from the
+    final turn + error history, value-matched against a DuckDB
+    rank-window twin replicating the struct-max tie order."""
+    from .operators.trajectory import trajectory_outcome
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return trajectory_outcome(tx)
+
+
+ORACLES["trajectory_outcome"] = f"""
+    WITH transcripts AS ({_TX}),
+    t AS (
+      SELECT conv_id, turn_idx, role,
+             coalesce(nullif(trim(tool), ''), '<none>') AS tool,
+             CASE WHEN {_ERR_SQL} THEN 1 ELSE 0 END AS err
+      FROM transcripts
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY conv_id
+               ORDER BY turn_idx DESC, role DESC, tool DESC, err DESC
+             ) AS rn
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(err) AS BIGINT) AS n_errors,
+           max(CASE WHEN rn = 1 THEN turn_idx END) AS last_idx,
+           min(CASE WHEN rn = 1 THEN role END) AS last_role,
+           min(CASE WHEN rn = 1 THEN tool END) AS last_tool,
+           min(CASE WHEN rn = 1 THEN
+                 CASE WHEN err = 1 THEN 'failed'
+                      WHEN role = 'assistant' THEN 'resolved'
+                      ELSE 'abandoned' END
+               END) AS outcome
+    FROM r GROUP BY conv_id
+"""
+
+
+def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-turn gap profile per conversation in exact integer
+    microseconds (unix_micros vs epoch_us, the asof_join convention);
+    the 30 000-second break threshold splits the fixture's gap
+    distribution ~45/55 so n_breaks is non-trivial."""
+    from .operators.trajectory import turn_gaps
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return turn_gaps(tx, break_us=30_000_000_000)
+
+
+ORACLES["turn_gaps"] = f"""
+    WITH transcripts AS ({_TX}),
+    g AS (
+      SELECT conv_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx) AS gap
+      FROM transcripts
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS total_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           CAST(sum(CASE WHEN gap > 30000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_breaks
+    FROM g GROUP BY conv_id
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram overlap between document sources, value-matched
+    against a DuckDB generate_series gram twin with a distinct
+    self-join."""
+    from .operators.dedup import source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_overlap(docs, k=3)
+
+
+ORACLES["source_overlap"] = """
+    WITH toks AS (
+      SELECT source,
+             string_split(
+               trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS tk
+      FROM documents
+      WHERE length(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) > 0
+    ),
+    g AS (
+      SELECT source,
+             tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
+      FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS u(i)
+    ),
+    ps AS (SELECT DISTINCT gram, source FROM g),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS total
+            FROM ps GROUP BY source),
+    com AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS grams_common
+      FROM ps a JOIN ps b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, ta.total AS grams_a, tb.total AS grams_b,
+           grams_common,
+           grams_common / (ta.total + tb.total - grams_common) AS jaccard,
+           grams_common / least(ta.total, tb.total) AS containment
+    FROM com
+    JOIN tot ta ON ta.source = src_a
+    JOIN tot tb ON tb.source = src_b
+"""
+
+
+def q_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language over the documents table,
+    value-matched against a DuckDB conditional-aggregate twin with the
+    same whitespace/regex token definitions."""
+    from .operators.text import fertility_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fertility_report(docs)
+
+
+ORACLES["fertility_report"] = """
+    WITH t AS (
+      SELECT lang,
+             length(coalesce(text, '')) AS nc,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                              '\\s+')) END AS nw,
+             len(regexp_extract_all(coalesce(text, ''),
+                 '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS nr
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(nr) AS BIGINT) AS n_re_tokens,
+           CASE WHEN sum(nw) = 0 THEN NULL
+                ELSE sum(nc) / (1.0 * sum(nw)) END AS chars_per_ws_token,
+           CASE WHEN sum(nr) = 0 THEN NULL
+                ELSE sum(nc) / (1.0 * sum(nr)) END AS chars_per_re_token,
+           CASE WHEN sum(nw) = 0 THEN NULL
+                ELSE sum(nr) / (1.0 * sum(nw)) END AS re_per_ws
+    FROM t GROUP BY lang
+"""
+
+
+QUERIES["trajectory_outcome"] = q_trajectory_outcome
+QUERIES["turn_gaps"] = q_turn_gaps
+QUERIES["source_overlap"] = q_source_overlap
+QUERIES["fertility_report"] = q_fertility_report

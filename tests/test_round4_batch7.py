@@ -1,0 +1,171 @@
+"""Round-4 session-5 second batch: trajectory_outcome, turn_gaps,
+source_overlap, fertility_report — hand-checked semantics beyond the
+DuckDB oracle match, plus exchange-shape pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.dedup import source_overlap
+from loongcollector_spark.operators.text import fertility_report
+from loongcollector_spark.operators.trajectory import (
+    trajectory_outcome,
+    turn_gaps,
+)
+
+TX_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string"
+)
+TXT_SCHEMA = TX_SCHEMA + ", ts timestamp"
+
+
+# ------------------------------------------------------ trajectory_outcome
+
+
+def test_trajectory_outcome_hand_checked(spark):
+    rows = [
+        # ends on a clean assistant turn -> resolved (1 earlier error)
+        ("c1", 0, "user", "q", None),
+        ("c1", 1, "tool", "code=503 boom", "search"),
+        ("c1", 2, "assistant", "done", None),
+        # ends on an erroring turn -> failed
+        ("c2", 0, "user", "q", None),
+        ("c2", 1, "tool", 'GET /x HTTP/1.1" 500 1', "code"),
+        # ends on a user turn -> abandoned
+        ("c3", 0, "user", "hello?", None),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in trajectory_outcome(spark.createDataFrame(rows, TX_SCHEMA))
+        .collect()
+    }
+    c1 = out["c1"]
+    assert c1["outcome"] == "resolved" and c1["n_errors"] == 1
+    assert c1["last_idx"] == 2 and c1["last_role"] == "assistant"
+    assert c1["last_tool"] == "<none>"
+    c2 = out["c2"]
+    assert c2["outcome"] == "failed" and c2["last_tool"] == "code"
+    c3 = out["c3"]
+    assert c3["outcome"] == "abandoned" and c3["n_errors"] == 0
+
+
+def test_trajectory_outcome_failed_beats_resolved(spark):
+    # the FINAL turn is an assistant turn that itself errors -> failed
+    rows = [("c1", 0, "assistant", "level=ERROR crashed", None)]
+    r = trajectory_outcome(spark.createDataFrame(rows, TX_SCHEMA)).collect()[0]
+    assert r["outcome"] == "failed"
+
+
+# --------------------------------------------------------------- turn_gaps
+
+
+def test_turn_gaps_hand_checked(spark):
+    rows = [
+        ("c1", 0, "u", "a", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "a", "b", None, "2024-01-01 00:00:01"),       # 1 s
+        ("c1", 2, "u", "c", None, "2024-01-01 00:10:01"),       # 600 s
+        ("c2", 0, "u", "solo", None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, TX_SCHEMA + ", ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["conv_id"]: r for r in turn_gaps(df, break_us=300_000_000).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 3 and c1["n_gaps"] == 2
+    assert c1["total_gap_us"] == 601_000_000
+    assert c1["max_gap_us"] == 600_000_000
+    assert c1["n_breaks"] == 1  # only the 600 s gap exceeds 300 s
+    c2 = out["c2"]
+    assert c2["n_gaps"] == 0 and c2["total_gap_us"] is None
+    assert c2["max_gap_us"] is None and c2["n_breaks"] == 0
+
+
+# ----------------------------------------------------------- source_overlap
+
+
+def test_source_overlap_hand_checked(spark):
+    rows = [
+        # srcA: grams {a b c, b c d}; srcB: grams {a b c}; srcC: {x y z}
+        (1, "a b c d", "A"),
+        (2, "a b c", "B"),
+        (3, "x y z", "C"),
+        # a second A doc repeating a gram must NOT double-count it
+        (4, "a b c", "A"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r for r in source_overlap(docs, k=3).collect()}
+    ab = out[("A", "B")]
+    assert ab["grams_a"] == 2 and ab["grams_b"] == 1
+    assert ab["grams_common"] == 1
+    assert ab["jaccard"] == pytest.approx(1 / 2)
+    assert ab["containment"] == pytest.approx(1.0)
+    # C shares nothing -> pairs with zero common grams are absent
+    assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_source_overlap_short_docs_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", "A"), (2, "a b", "B")], "doc_id long, text string, source string"
+    )
+    # docs shorter than k contribute no grams at all
+    assert source_overlap(docs, k=3).count() == 0
+    with pytest.raises(ValueError):
+        source_overlap(docs, k=0)
+
+
+# --------------------------------------------------------- fertility_report
+
+
+def test_fertility_report_hand_checked(spark):
+    rows = [
+        (1, "ab cd", "en"),     # 5 chars, 2 ws, 2 re tokens
+        (2, "a,b", "en"),       # 3 chars, 1 ws, 3 re tokens (a , b)
+        (3, "", "de"),          # 0 everything
+        (4, None, "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in fertility_report(docs).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["n_chars"] == 8
+    assert en["n_ws_tokens"] == 3 and en["n_re_tokens"] == 5
+    assert en["chars_per_ws_token"] == pytest.approx(8 / 3)
+    assert en["re_per_ws"] == pytest.approx(5 / 3)
+    de = out["de"]
+    assert de["n_chars"] == 0 and de["n_ws_tokens"] == 0
+    assert de["chars_per_ws_token"] is None and de["re_per_ws"] is None
+
+
+# ------------------------------------------------------------- plan pins
+
+
+def test_round4_batch7_plan_pins(spark):
+    """trajectory_outcome / fertility_report are ONE map-side-
+    combinable groupBy each; turn_gaps one conv exchange shared by the
+    lag window and the rollup; source_overlap spends four hash
+    exchanges, all on gram/source-reduced tables (gram-source dedup,
+    per-gram set, per-source totals, pair counts) with broadcast total
+    joins. No Python nodes, no single-partition moves."""
+    tx = spark.createDataFrame(
+        [("c", 0, "assistant", "t", "x")], TX_SCHEMA
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    docs = spark.createDataFrame(
+        [(1, "a b c", "A", "en")], "doc_id long, text string, source string, lang string"
+    )
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def shape(df):
+            p = df._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+            return (
+                p.count("Exchange hashpartitioning"),
+                p.count("Exchange SinglePartition"),
+                p.count("BroadcastExchange"),
+            )
+
+        assert shape(trajectory_outcome(tx)) == (1, 0, 0)
+        assert shape(turn_gaps(tx)) == (1, 0, 0)
+        assert shape(fertility_report(docs)) == (1, 0, 0)
+        h, s, b = shape(source_overlap(docs))
+        assert h == 4 and s == 0 and b == 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
