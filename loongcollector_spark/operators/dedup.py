@@ -77,6 +77,24 @@ def _norm_text(col):
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def _kgram_fold(tk, k: int):
+    """k-gram array via folded ``zip_with`` over k slices of a
+    MATERIALIZED token-array column — the HOF-discipline shape
+    (dsir._gram_rows lesson: lambdas touch only their lambda
+    variables, never an outer expression, so nothing re-evaluates per
+    element). Clamped to the empty array for inputs shorter than *k*.
+    Shared by source_overlap and text.ngram_novelty."""
+    n_g = F.greatest(F.size(tk) - (k - 1), F.lit(0))
+    grams = F.slice(tk, 1, n_g)
+    for j in range(2, k + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(tk, j, n_g),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return grams
+
+
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1042,10 +1060,13 @@ def source_overlap(
     dedup). Unit is the distinct *k*-token gram of the normalized
     text.
 
-    Returns one row per unordered source pair ``(src_a, src_b,
-    grams_a, grams_b, grams_common, jaccard, containment)`` with
-    ``src_a < src_b``; ``containment`` is ``common / min(a, b)`` (the
-    near-copy signal even when sizes differ wildly).
+    Returns one row per unordered source pair that shares at least
+    one gram — ``(src_a, src_b, grams_a, grams_b, grams_common,
+    jaccard, containment)`` with ``src_a < src_b``; ``containment``
+    is ``common / min(a, b)`` (the near-copy signal even when sizes
+    differ wildly). Fully disjoint pairs are ABSENT from the output
+    (jaccard 0 — at web scale materializing the zero cells of the
+    |sources|² matrix is the caller's choice, not the default).
 
     Scale shape: grams build per-row as ``zip_with`` over k slices of
     a materialized token array (the dsir HOF-discipline shape — no
@@ -1064,20 +1085,10 @@ def source_overlap(
     tokenized = docs.filter(F.length(norm) > 0).select(
         F.col(source_col).alias("__src"), F.split(norm, " ").alias("__tk")
     )
-    tk = F.col("__tk")
-    n_g = F.greatest(F.size(tk) - (k - 1), F.lit(0))
-    gram = F.slice(tk, 1, n_g)
-    for i in range(1, k):
-        gram = F.zip_with(
-            gram,
-            F.slice(tk, 1 + i, n_g),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    pairs = (
-        tokenized.select("__src", F.explode(gram).alias("__g"))
-        .groupBy("__g", "__src")
-        .agg(F.lit(1).alias("__one"))
-    )
+    gram = _kgram_fold(F.col("__tk"), k)
+    pairs = tokenized.select(
+        "__src", F.explode(gram).alias("__g")
+    ).distinct()
     totals = pairs.groupBy("__src").agg(
         F.count("*").cast("long").alias("__total")
     )

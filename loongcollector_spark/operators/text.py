@@ -60,19 +60,26 @@ _EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "it", "on", "for", "as", "are"
 _TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
+def _ws_token_count(txt):
+    """Whitespace-token count of a (non-NULL) text expression — the
+    repo-wide baseline tokenizer (token_stats, fertility_report)."""
+    return F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(txt), r"\s+"))
+    )
+
+
+def _re_token_count(txt):
+    """BPE-ish regex-token count (``_TOKEN_REGEX`` pieces)."""
+    return F.size(F.regexp_extract_all(txt, F.lit(_TOKEN_REGEX), 0))
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + regex (BPE-ish) tokens +
     char length. Integer outputs (stable across engines)."""
-    ws = F.split(F.trim(F.col(text_col)), r"\s+")
     return (
         df.withColumn("n_chars_calc", F.length(text_col))
-        .withColumn(
-            "n_ws_tokens",
-            F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(ws)),
-        )
-        .withColumn(
-            "n_re_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_REGEX), 0))
-        )
+        .withColumn("n_ws_tokens", _ws_token_count(F.col(text_col)))
+        .withColumn("n_re_tokens", _re_token_count(F.col(text_col)))
     )
 
 
@@ -543,25 +550,14 @@ def ngram_novelty(
 
     Returns ``(id_col, n_grams, n_novel, novelty)``.
     """
-    from .dedup import _norm_text
+    from .dedup import _kgram_fold, _norm_text
 
     if k <= 0:
         raise ValueError("ngram_novelty: k must be positive")
     toks = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
-    tk = F.col("__tk")
-    # k-grams via folded zip_with over k slices: lambdas touch ONLY
-    # their lambda variables — a slice/element_at of the token
-    # EXPRESSION inside an interpreted HOF lambda would re-run the
-    # norm-regex split per element (the dsir._gram_rows lesson; see
-    # also dedup._shingle_rows)
-    n_g = F.size(tk) - (k - 1)
-    grams = F.slice(tk, 1, n_g)
-    for j in range(2, k + 1):
-        grams = F.zip_with(
-            grams,
-            F.slice(tk, j, n_g),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
+    # k-grams via the shared folded-zip_with helper (HOF discipline:
+    # lambdas touch only lambda variables — the dsir._gram_rows lesson)
+    grams = _kgram_fold(F.col("__tk"), k)
     g = (
         docs.select(id_col, toks.alias("__tk"))
         .filter(F.size("__tk") >= k)
@@ -1438,10 +1434,8 @@ def fertility_report(
     pass in the module.
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    n_ws = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(txt), r"\s+"))
-    )
-    n_re = F.size(F.regexp_extract_all(txt, F.lit(_TOKEN_REGEX), 0))
+    n_ws = _ws_token_count(txt)
+    n_re = _re_token_count(txt)
     agg = docs.groupBy(group_col).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.length(txt)).cast("long").alias("n_chars"),

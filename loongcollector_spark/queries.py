@@ -5080,18 +5080,21 @@ def q_tool_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_errors(tx)
 
 
+# error-signal SQL twin (trajectory._error_flag)
+_ERR_SQL = (
+    "(regexp_extract(text, ' HTTP/[0-9.]+\" (\\d{3})( |$)', 1) >= '500'"
+    " OR regexp_extract(text, '\\bcode=(\\d{3})\\b', 1) >= '500'"
+    " OR contains(text, '\"level\":\"ERROR\"')"
+    " OR regexp_matches(text, '\\blevel=ERROR\\b'))"
+)
+
+
 ORACLES["tool_errors"] = f"""
     WITH transcripts AS ({_TX}),
     t AS (
       SELECT coalesce(nullif(trim(tool), ''), '<none>') AS tool,
              conv_id,
-             CASE WHEN
-                    regexp_extract(text, ' HTTP/[0-9.]+" (\\d{{3}})( |$)',
-                                   1) >= '500'
-                 OR regexp_extract(text, '\\bcode=(\\d{{3}})\\b', 1) >= '500'
-                 OR contains(text, '"level":"ERROR"')
-                 OR regexp_matches(text, '\\blevel=ERROR\\b')
-             THEN 1 ELSE 0 END AS err
+             CASE WHEN {_ERR_SQL} THEN 1 ELSE 0 END AS err
       FROM transcripts
     )
     SELECT tool,
@@ -5339,14 +5342,6 @@ QUERIES["best_of_n"] = q_best_of_n
 QUERIES["zipf_fit"] = q_zipf_fit
 QUERIES["prefix_groups"] = q_prefix_groups
 
-
-# error-signal SQL twin (trajectory._error_flag)
-_ERR_SQL = (
-    "(regexp_extract(text, ' HTTP/[0-9.]+\" (\\d{3})( |$)', 1) >= '500'"
-    " OR regexp_extract(text, '\\bcode=(\\d{3})\\b', 1) >= '500'"
-    " OR contains(text, '\"level\":\"ERROR\"')"
-    " OR regexp_matches(text, '\\blevel=ERROR\\b'))"
-)
 
 
 def q_trajectory_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,6 @@ from loongcollector_spark.operators.trajectory import (
 TX_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string"
 )
-TXT_SCHEMA = TX_SCHEMA + ", ts timestamp"
 
 
 # ------------------------------------------------------ trajectory_outcome
