@@ -165,6 +165,7 @@ HEADLINE = [
     "turn_gaps",
     "source_overlap",
     "fertility_report",
+    "sft_gate",
 ]
 
 

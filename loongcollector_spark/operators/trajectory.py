@@ -20,6 +20,8 @@ from that ordered stream before the transcripts become SFT/RLHF data:
   abandoned verdict from the final turn plus the error history.
 * :func:`turn_gaps` — exact-microsecond inter-turn gap profile per
   conversation (session-break and stall triage).
+* :func:`sft_gate` — the composed conversation-level keep/drop
+  verdict (outcome × loop × context budget) an SFT export runs first.
 
 Scale design (10^12-turn table): every operator here is one exchange
 on ``conv_col`` — the shared transcript partitioning — or one
@@ -46,6 +48,7 @@ __all__ = [
     "context_growth",
     "trajectory_outcome",
     "turn_gaps",
+    "sft_gate",
     "REFUSAL_PATTERNS",
 ]
 
@@ -460,4 +463,60 @@ def turn_gaps(
         F.sum(
             F.when(F.col("__gap") > F.lit(break_us), 1).otherwise(0)
         ).cast("long").alias("n_breaks"),
+    )
+
+
+def sft_gate(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    loop_threshold: int = 3,
+    budget_tokens: int = 512,
+    max_over_budget: int = 0,
+    require_outcome: str = "resolved",
+) -> DataFrame:
+    """The conversation-level SFT admission gate: compose
+    :func:`trajectory_outcome`, :func:`agent_loops` and
+    :func:`context_growth` into one keep/drop verdict per conversation
+    — the first pass an SFT assembly job (jobs/run_sft_export.py)
+    runs before any example is rendered. A conversation is kept iff
+    its outcome equals *require_outcome*, it never looped past
+    *loop_threshold*, and at most *max_over_budget* turns entered over
+    the *budget_tokens* context budget.
+
+    Returns ``(conv_col, outcome, max_run, n_over, keep,
+    drop_reason)`` — ``drop_reason`` names the FIRST failing gate in
+    (outcome, loop, budget) order, NULL when kept, so curation
+    dashboards can attribute losses.
+
+    Scale shape: all three inputs aggregate 10^12 turns down to one
+    row per conversation on the SAME key, each with its documented
+    one-exchange shape; the two joins then run on conversation-count
+    tables already hashed on *conv_col* (no re-shuffle of turn data,
+    at most sorts for the merge). Nothing here touches turn text a
+    second time.
+    """
+    outcome = trajectory_outcome(tx, conv_col=conv_col).select(
+        conv_col, "outcome"
+    )
+    loops = agent_loops(
+        tx, conv_col=conv_col, loop_threshold=loop_threshold
+    ).select(conv_col, "max_run", "looped")
+    ctx = context_growth(
+        tx, conv_col=conv_col, budget_tokens=budget_tokens
+    ).select(conv_col, "n_over")
+    joined = outcome.join(loops, conv_col).join(ctx, conv_col)
+    bad_outcome = F.col("outcome") != require_outcome
+    bad_loop = F.col("looped")
+    bad_budget = F.col("n_over") > max_over_budget
+    return joined.select(
+        conv_col,
+        "outcome",
+        "max_run",
+        "n_over",
+        (~bad_outcome & ~bad_loop & ~bad_budget).alias("keep"),
+        F.when(bad_outcome, F.lit("outcome"))
+        .when(bad_loop, F.lit("loop"))
+        .when(bad_budget, F.lit("budget"))
+        .alias("drop_reason"),
     )

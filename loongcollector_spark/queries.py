@@ -5500,3 +5500,35 @@ QUERIES["trajectory_outcome"] = q_trajectory_outcome
 QUERIES["turn_gaps"] = q_turn_gaps
 QUERIES["source_overlap"] = q_source_overlap
 QUERIES["fertility_report"] = q_fertility_report
+
+
+def q_sft_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed conversation-level SFT admission gate (outcome ×
+    loop × context budget). The oracle embeds the three sub-oracles
+    VERBATIM as CTE bodies, so the composite can never drift from the
+    individually-verified parts."""
+    from .operators.trajectory import sft_gate
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return sft_gate(tx)
+
+
+ORACLES["sft_gate"] = f"""
+    WITH o AS ({ORACLES["trajectory_outcome"]}),
+    l AS ({ORACLES["agent_loops"]}),
+    c AS ({ORACLES["context_growth"]})
+    SELECT o.conv_id, o.outcome, l.max_run, c.n_over,
+           (o.outcome = 'resolved' AND NOT (l.max_run >= 3)
+            AND NOT (c.n_over > 0)) AS keep,
+           CASE WHEN o.outcome <> 'resolved' THEN 'outcome'
+                WHEN l.max_run >= 3 THEN 'loop'
+                WHEN c.n_over > 0 THEN 'budget'
+           END AS drop_reason
+    FROM o
+    JOIN l ON l.conv_id = o.conv_id
+    JOIN c ON c.conv_id = o.conv_id
+"""
+
+
+QUERIES["sft_gate"] = q_sft_gate

@@ -168,3 +168,53 @@ def test_round4_batch7_plan_pins(spark):
         assert h == 4 and s == 0 and b == 2
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+# ---------------------------------------------------------------- sft_gate
+
+
+def test_sft_gate_hand_checked(spark):
+    from loongcollector_spark.operators.trajectory import sft_gate
+
+    rows = [
+        # kept: resolved, no loop, under budget
+        ("c1", 0, "user", "q", None),
+        ("c1", 1, "assistant", "fine", None),
+        # dropped on outcome (ends on user)
+        ("c2", 0, "user", "q", None),
+        # dropped on loop (3 identical masked states) — outcome is
+        # resolved, so the loop gate is the FIRST failing one
+        ("c3", 0, "assistant", "retry 1", "t"),
+        ("c3", 1, "assistant", "retry 2", "t"),
+        ("c3", 2, "assistant", "retry 3", "t"),
+        # dropped on budget: a 3-token turn then budget-2 overflow
+        ("c4", 0, "user", "a b c", None),
+        ("c4", 1, "assistant", "ok", None),
+    ]
+    df = spark.createDataFrame(rows, TX_SCHEMA)
+    out = {
+        r["conv_id"]: r
+        for r in sft_gate(df, budget_tokens=2).collect()
+    }
+    assert out["c1"]["keep"] is True and out["c1"]["drop_reason"] is None
+    assert out["c2"]["drop_reason"] == "outcome"
+    assert out["c3"]["drop_reason"] == "loop" and out["c3"]["max_run"] == 3
+    assert out["c4"]["drop_reason"] == "budget" and out["c4"]["n_over"] == 1
+
+
+def test_sft_gate_plan_is_turn_data_single_pass_per_signal(spark):
+    """The composite joins three conversation-level tables; no
+    single-partition exchange appears and no Python nodes — each
+    signal's one documented turn-data exchange plus the join plumbing
+    on conversation-count tables."""
+    from loongcollector_spark.operators.trajectory import sft_gate
+
+    tx = spark.createDataFrame([("c", 0, "assistant", "t", "x")], TX_SCHEMA)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = sft_gate(tx)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert p.count("Exchange SinglePartition") == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
