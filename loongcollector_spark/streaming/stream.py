@@ -36,6 +36,7 @@ __all__ = [
     "stateful_conv_counter",
     "stateful_rate_limit",
     "stream_dedup_exact",
+    "stream_loop_alert",
 ]
 
 
@@ -370,4 +371,83 @@ def read_sketch_rollup(spark: SparkSession, base_path: str) -> DataFrame:
         spark.read.parquet(base_path)
         .groupBy("depth", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def stream_loop_alert(
+    stream_df: DataFrame,
+    *,
+    loop_threshold: int = 3,
+) -> DataFrame:
+    """Streaming agent-loop detector — the continuous-ingest twin of
+    :func:`..operators.trajectory.agent_loops` for a pipeline that
+    watches trajectories WHILE they run instead of after export.
+
+    The step state (tool + masked text template, the agent_loops
+    definition) is fingerprinted JVM-side BEFORE the stateful
+    operator, so per-conversation state is three longs and a compare —
+    never text in Python. Per micro-batch and conversation the update
+    emits ``(conv_id, n_steps, cur_run, max_run, looped)``; ``looped``
+    flips true the moment any run reaches *loop_threshold*, batches
+    earlier than the loop's completion never see it (the alert
+    semantics a monitor wants).
+
+    Ordering contract: rows WITHIN a micro-batch are sorted by
+    turn_idx before folding; ACROSS batches the fold consumes arrival
+    order, so a run split across out-of-order files may under-count —
+    the file source's modification-time ordering (append-only log
+    chunks, the input_file model) preserves it. The batch operator is
+    the authoritative retrospective twin; parity is pinned in
+    test_streaming.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.loganalytics import mask_log_line
+    from ..operators.trajectory import _state_fp, _tool_label
+
+    fp = _state_fp(
+        _tool_label("tool", "<none>"),
+        mask_log_line(F.coalesce(F.col("text"), F.lit(""))),
+        "xxhash64",
+    )
+    skinny = stream_df.select(
+        F.col("conv_id"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        fp.alias("__fp"),
+    )
+    out_schema = (
+        "conv_id string, n_steps long, cur_run long, max_run long, "
+        "looped boolean"
+    )
+    state_schema = "last long, run long, mx long, n long"
+
+    def update(key, pdfs, state: GroupState):
+        last, run, mx, n = state.get if state.exists else (None, 0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            for f in pdf["__fp"]:
+                f = int(f)
+                run = run + 1 if f == last else 1
+                last = f
+                if run > mx:
+                    mx = run
+                n += 1
+        state.update((last, run, mx, n))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_steps": [n],
+                "cur_run": [run],
+                "max_run": [mx],
+                "looped": [mx >= loop_threshold],
+            }
+        )
+
+    return skinny.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -359,3 +359,76 @@ def test_stream_sketch_rollup_equals_batch_cms(spark, tx_path, tmp_path):
     }
     assert est["assistant"] >= exact["assistant"]
     assert est["tool"] >= exact["tool"]
+
+
+def test_stream_loop_alert_parity_and_state_carry(spark, sf_dir, tmp_path):
+    """(a) One ordered input consumed by the stream yields exactly the
+    batch agent_loops max_run per conversation (the retrospective
+    twin); (b) a run SPLIT across two micro-batches is still counted
+    whole — the three-long state carries the open run across
+    triggers."""
+    import os
+
+    from loongcollector_spark.operators.trajectory import agent_loops
+    from loongcollector_spark.streaming.stream import (
+        read_transcript_stream,
+        stream_loop_alert,
+    )
+
+    # (a) parity over the sf fixture, single trigger = single batch
+    src = str(tmp_path / "ordered")
+    tx = load_transcripts(spark, sf_dir)
+    tx.orderBy("conv_id", "turn_idx").coalesce(1).write.parquet(src)
+    q = (
+        stream_loop_alert(read_transcript_stream(spark, src, max_files_per_trigger=64))
+        .writeStream.format("memory")
+        .queryName("loop_alerts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_loop"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.conv_id: (r.max_run, r.looped)
+        for r in spark.sql(
+            "select conv_id, max(max_run) as max_run, max(looped) as looped "
+            "from loop_alerts group by conv_id"
+        ).collect()
+    }
+    want = {
+        r.conv_id: (r.max_run, r.looped)
+        for r in agent_loops(tx).select("conv_id", "max_run", "looped").collect()
+    }
+    assert got == want
+
+    # (b) cross-batch state: a 4-step run split 2+2 over two files
+    rows1 = [("cx", 0, "a", "retry 1", "t"), ("cx", 1, "a", "retry 2", "t")]
+    rows2 = [("cx", 2, "a", "retry 3", "t"), ("cx", 3, "a", "retry 4", "t")]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string"
+    src2 = str(tmp_path / "split")
+    spark.createDataFrame(rows1, schema).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ).coalesce(1).write.parquet(src2)
+    spark.createDataFrame(rows2, schema).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:01"))
+    ).coalesce(1).write.mode("append").parquet(src2)
+    # force deterministic file order for maxFilesPerTrigger=1: the file
+    # source orders by modification time
+    files = sorted(
+        f for f in os.listdir(src2) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        os.utime(os.path.join(src2, f), (1700000000 + i, 1700000000 + i))
+    q2 = (
+        stream_loop_alert(read_transcript_stream(spark, src2, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("loop_split")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_split"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    mx = spark.sql("select max(max_run) as m from loop_split").collect()[0].m
+    assert mx == 4  # the open run survived the batch boundary
