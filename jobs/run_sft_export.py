@@ -19,7 +19,13 @@ Usage::
         --output <examples path> \
         [--max-tokens 1024] \
         [--pack-output <sequences path>] [--seq-len 512] \
-        [--shards 64]
+        [--shards 64] \
+        [--gate [--gate-budget-tokens 8192] [--gate-loop-threshold 3]]
+
+With ``--gate`` the trajectory.sft_gate verdict runs first (resolved
+outcome, no loop past the threshold, context under budget) and only
+admitted conversations are exported; the JSON report carries per-
+drop-reason counts.
 """
 
 from __future__ import annotations
@@ -41,6 +47,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--pack-output")
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument(
+        "--gate",
+        action="store_true",
+        help="apply trajectory.sft_gate first: keep only resolved, "
+        "non-looping, in-budget conversations",
+    )
+    ap.add_argument("--gate-budget-tokens", type=int, default=8192)
+    ap.add_argument("--gate-loop-threshold", type=int, default=3)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession, functions as F
@@ -56,6 +70,29 @@ def main(argv: list[str] | None = None) -> None:
     apply_runtime_confs(spark)
     t0 = time.time()
     tx = spark.read.parquet(args.input)
+    gate_report = None
+    if args.gate:
+        from loongcollector_spark.operators.trajectory import sft_gate
+
+        verdicts = sft_gate(
+            tx,
+            loop_threshold=args.gate_loop_threshold,
+            budget_tokens=args.gate_budget_tokens,
+        )
+        # drop-reason attribution for the report (conversation-count
+        # table; cheap), then a broadcast-friendly semi join keeps only
+        # admitted conversations — turn text never joins wide
+        gate_report = {
+            (r["drop_reason"] or "kept"): r["n"]
+            for r in verdicts.groupBy("drop_reason")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        tx = tx.join(
+            verdicts.filter(F.col("keep")).select("conv_id"),
+            "conv_id",
+            "left_semi",
+        )
     ex = conversation_examples(tx, max_tokens=args.max_tokens)
     # stable example key for downstream joins/dedup AND the packing id:
     # collision-free composite (pack_sequences requires a true primary
@@ -74,6 +111,8 @@ def main(argv: list[str] | None = None) -> None:
         "n_examples": spark.read.parquet(args.output).count(),
         "examples_path": args.output,
     }
+    if gate_report is not None:
+        report["gate"] = gate_report
     if args.pack_output:
         packed = pack_sequences(
             spark.read.parquet(args.output),
