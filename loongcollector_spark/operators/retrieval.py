@@ -227,14 +227,18 @@ def tfidf_topk_terms(
             F.explode(tok_arr).alias("term"),
         )
     )
+    # persist: df, N and the join all reuse the tf table — without it
+    # Catalyst re-derives the whole explode+groupBy subtree once per
+    # consumer (measured 3× the work at sf0.1). The cached table is the
+    # REDUCED (doc, term) distinct pairs, 24 B/row-ish; long-lived
+    # sessions clear it between corpora (the minhash persist note).
     tf = toks.groupBy(id_col, "term").agg(
         F.count("*").alias("__tf"), F.max("__dl").alias("__dl")
-    )
+    ).persist()
     dfr = tf.groupBy("term").agg(F.count("*").alias("__df"))
-    n = (
-        docs.filter(F.length(norm) > 0)
-        .agg(F.count("*").alias("__n_docs"))
-    )
+    # N from the same persisted table: every surviving doc has >= 1
+    # term row, so distinct ids == docs with non-empty normalized text
+    n = tf.agg(F.countDistinct(id_col).alias("__n_docs"))
     scored = tf.join(dfr, "term").crossJoin(F.broadcast(n))
     tfidf = (
         F.col("__tf").cast("double") / F.col("__dl")
