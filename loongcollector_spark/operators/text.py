@@ -380,7 +380,13 @@ def lm_perplexity(
             F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
         ).alias("__tok"),
     )
-    doc_tok = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__dc"))
+    # persist: vocab/total and the scored join each consume doc_tok —
+    # without it Catalyst re-derives the corpus explode per consumer
+    # (the tfidf lesson); the cached table is the REDUCED (doc, token)
+    # distinct pairs
+    doc_tok = (
+        toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__dc")).persist()
+    )
     vocab = doc_tok.groupBy("__tok").agg(F.sum("__dc").alias("__vc"))
     total = vocab.agg(F.sum("__vc").alias("__total"))
     scored = doc_tok.join(vocab, "__tok").crossJoin(F.broadcast(total))
@@ -978,7 +984,14 @@ def bigram_lm_perplexity(
     pr = docs.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
         F.col(id_col), F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
     )
-    doc_big = pr.groupBy(id_col, "__w1", "__w2").agg(F.count("*").alias("__dc"))
+    # persist: model/ctx/vsize and the scored join all consume doc_big
+    # (the tfidf lesson — unpersisted, the corpus explode re-runs per
+    # consumer); cached rows are the reduced (doc, w1, w2) pairs
+    doc_big = (
+        pr.groupBy(id_col, "__w1", "__w2")
+        .agg(F.count("*").alias("__dc"))
+        .persist()
+    )
     model = doc_big.groupBy("__w1", "__w2").agg(F.sum("__dc").alias("__bc"))
     ctx = model.groupBy("__w1").agg(F.sum("__bc").alias("__cc"))
     vsize = model.agg(F.countDistinct("__w2").alias("__vs"))
@@ -1300,16 +1313,21 @@ def pmi_collocations(
         F.slice(F.col("__tk"), 1, n - 1).alias("w1"),
         F.slice(F.col("__tk"), 2, n - 1).alias("w2"),
     )
+    # persist both reduced tables: pc feeds totals + the scored join,
+    # uni feeds totals + two joins — unpersisted, each consumer
+    # re-derives the corpus explode (the tfidf lesson)
     pc = (
         base.select(F.explode(pairs).alias("__p"))
         .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("pair_count"))
+        .persist()
     )
     uni = (
         base.select(F.explode(F.col("__tk")).alias("__w"))
         .groupBy("__w")
         .agg(F.count("*").alias("__uc"))
+        .persist()
     )
     totals = uni.agg(
         F.sum("__uc").alias("__n_tok"),
