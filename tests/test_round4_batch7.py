@@ -218,3 +218,51 @@ def test_sft_gate_plan_is_turn_data_single_pass_per_signal(spark):
         assert p.count("Exchange SinglePartition") == 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+# ------------------------------------------------- parallelism invariance
+
+
+def test_session5_ops_are_parallelism_invariant(spark, sf_dir):
+    """The north-rule rerun-stability contract: identical results at 2
+    and 16 input partitions for every session-5 operator whose output
+    is a pure function of the input SET (no rank/limit ordering
+    games). Catches accidental dependence on partition iteration
+    order — lag/lead windows, struct-max ties, collect_list order."""
+    from loongcollector_spark.operators.dedup import prefix_groups
+    from loongcollector_spark.operators.trajectory import (
+        agent_loops,
+        context_growth,
+        sft_gate,
+        tool_errors,
+        trajectory_outcome,
+        turn_gaps,
+    )
+    from loongcollector_spark.sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    for op in (
+        agent_loops,
+        context_growth,
+        tool_errors,
+        trajectory_outcome,
+        turn_gaps,
+        sft_gate,
+        prefix_groups,
+    ):
+        a = sorted(map(tuple, op(tx.repartition(2)).collect()))
+        b = sorted(map(tuple, op(tx.repartition(16)).collect()))
+        assert a == b, f"{op.__name__} diverges across parallelism"
+
+
+def test_best_of_n_invariant_under_row_order(spark):
+    from loongcollector_spark.operators.assemble import best_of_n
+
+    rows = [(i % 7, i, float((i * 37) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp int, cand_id long, score double")
+    a = sorted(map(tuple, best_of_n(df, "grp", "score", "cand_id").collect()))
+    shuffled = df.orderBy(F.rand(seed=7)).repartition(13)
+    b = sorted(
+        map(tuple, best_of_n(shuffled, "grp", "score", "cand_id").collect())
+    )
+    assert a == b
