@@ -166,6 +166,7 @@ HEADLINE = [
     "source_overlap",
     "fertility_report",
     "sft_gate",
+    "conv_split",
 ]
 
 

@@ -5532,3 +5532,53 @@ ORACLES["sft_gate"] = f"""
 
 
 QUERIES["sft_gate"] = q_sft_gate
+
+
+def q_conv_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level train/val/test assignment over transcripts —
+    the leakage-safe split for dialogue data (a doc-level split of
+    turns would put one conversation's turns in several splits, the
+    exact failure split_leakage measures). Reuses split_assign keyed
+    on conv_id; by construction no conversation spans two splits, so
+    the report is the per-split composition: conversations, turns and
+    whitespace tokens."""
+    from .operators.sketch import split_assign
+    from .operators.text import _ws_token_count
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    assigned = split_assign(
+        tx, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="conv_id"
+    )
+    return assigned.groupBy("split").agg(
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(_ws_token_count(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+ORACLES["conv_split"] = f"""
+    WITH transcripts AS ({_TX}),
+    a AS (
+      SELECT conv_id, text,
+             CASE WHEN mod({_MD5L.format(x='conv_id')}, 1000000) < 50000
+                    THEN 'test'
+                  WHEN mod({_MD5L.format(x='conv_id')}, 1000000) < 950000
+                    THEN 'train'
+                  ELSE 'val' END AS split
+      FROM transcripts
+    )
+    SELECT split,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                                '\\s+')) END) AS BIGINT)
+             AS n_tokens
+    FROM a GROUP BY split
+"""
+
+
+QUERIES["conv_split"] = q_conv_split
