@@ -167,6 +167,7 @@ HEADLINE = [
     "fertility_report",
     "sft_gate",
     "conv_split",
+    "conv_contamination",
 ]
 
 

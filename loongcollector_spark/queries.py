@@ -5582,3 +5582,95 @@ ORACLES["conv_split"] = f"""
 
 
 QUERIES["conv_split"] = q_conv_split
+
+
+def q_conv_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-level decontamination: a deterministic 1-in-10
+    conversation bucket plays the held-out eval set; every OTHER
+    conversation's turns are scanned for shared word 8-grams against
+    it, rolled up per conversation. Grams run over RAW normalized text
+    (n=8, not the GPT-3 n=13, because fixture turns are ~20 tokens) —
+    template-masked grams saturate at ratio 1.0 on machine-generated
+    logs, while raw 8-grams span event-specific fields and measure
+    real per-conversation overlap (0.2-0.4 on the fixture)."""
+    from .operators.dedup import _md5_long
+    from .operators.text import benchmark_contamination
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    keyed = tx.select(
+        F.concat(
+            F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")
+        ).alias("tid"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (_md5_long(F.col("conv_id")) % 10).alias("__b"),
+    )
+    bench = keyed.filter(F.col("__b") == 0)
+    scan = keyed.filter(F.col("__b") != 0)
+    per_turn = benchmark_contamination(scan, bench, id_col="tid", n=8)
+    # gram-level hit share, not any-hit: templated logs share their
+    # constant regions with ANY eval slice, so the boolean saturates at
+    # 1; the fraction of a conversation's distinct grams seen in eval
+    # is the discriminative dialogue-contamination signal
+    return (
+        per_turn.select(
+            F.substring_index("tid", "#", 1).alias("conv_id"),
+            "n_grams",
+            "n_hit",
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_hit").cast("long").alias("n_hit"),
+            (F.sum("n_hit") / F.sum("n_grams")).alias("hit_ratio"),
+        )
+    )
+
+
+_PFX_NORM_MT = (
+    "trim(regexp_replace(regexp_replace(lower(mt),"
+    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+ORACLES["conv_contamination"] = f"""
+    WITH transcripts AS ({_TX}),
+    m AS (
+      SELECT conv_id,
+             conv_id || '#' || turn_idx AS tid,
+             coalesce(text, '') AS mt,
+             mod({_MD5L.format(x='conv_id')}, 10) AS b
+      FROM transcripts
+    ),
+    norm AS (
+      SELECT conv_id, tid, b, string_split({_PFX_NORM_MT}, ' ') AS tk
+      FROM m
+    ),
+    g AS (
+      SELECT conv_id, tid, b,
+             list_distinct(
+               CASE WHEN len(tk) >= 8
+                    THEN [array_to_string(tk[i:i+7], ' ')
+                          for i in generate_series(1, len(tk) - 7)]
+                    ELSE [array_to_string(tk, ' ')] END) AS gr
+      FROM norm
+    ),
+    bench AS (SELECT DISTINCT unnest(gr) AS s FROM g WHERE b = 0),
+    docg AS (SELECT conv_id, tid, unnest(gr) AS s FROM g WHERE b != 0),
+    per AS (
+      SELECT conv_id, tid,
+             count(*) AS ng,
+             sum(CASE WHEN bm.s IS NOT NULL THEN 1 ELSE 0 END) AS nh
+      FROM docg d LEFT JOIN bench bm ON d.s = bm.s
+      GROUP BY conv_id, tid
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(ng) AS BIGINT) AS n_grams,
+           CAST(sum(nh) AS BIGINT) AS n_hit,
+           sum(nh) / (1.0 * sum(ng)) AS hit_ratio
+    FROM per GROUP BY conv_id
+"""
+
+
+QUERIES["conv_contamination"] = q_conv_contamination
