@@ -312,34 +312,44 @@ def benchmark_contamination(
     document's distinct-n-gram count, ``n_hit`` how many of those occur
     anywhere in *bench*, and ``contaminated`` is ``1`` iff any did.
 
-    Scale design: n-grams come from :func:`dedup._shingle_rows`
-    (posexplode + window lead — whole-stage codegen, one shuffle on
-    *id_col*; docs shorter than *n* tokens contribute one whole-text
-    gram). The benchmark side is distinct-projected and BROADCAST —
-    eval benchmarks are MBs against a 100 TB corpus, so the
-    contamination probe is a map-side semi-join: no shuffle of the
-    corpus grams by gram value, no skew exposure on hot n-grams. Drop
-    the hint (join as-is) only if the benchmark outgrows executor
+    Scale design: per-document distinct n-grams are built ROW-LOCAL
+    (``array_distinct`` over the shared :func:`..dedup._kgram_fold`
+    zip_with builder; docs shorter than *n* tokens contribute one
+    whole-text gram — the _shingle_rows fallback), so the corpus
+    never shuffles by gram value and never sorts: the exploded grams
+    flow straight into a BROADCAST left join against the
+    distinct-projected benchmark (eval benchmarks are MBs against a
+    100 TB corpus) and ONE skinny groupBy on *id_col* counts grams
+    and hits together. The previous shingle-window + distinct shape
+    sorted every corpus gram row by id — measured >10 min for 24 M
+    turns where this shape needs one 24 M-row reduced shuffle. Drop
+    the broadcast hint only if the benchmark outgrows executor
     memory.
     """
-    from .dedup import _shingle_rows
+    from .dedup import _kgram_fold, _norm_text
 
-    doc_grams = _shingle_rows(docs, text_col, n, id_col).distinct()
-    bench_grams = _shingle_rows(bench, text_col, n, id_col).select(
-        "shingle"
-    ).distinct()
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit"))
+    def per_doc_grams(df):
+        tk = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        d = df.select(F.col(id_col), tk.alias("__tk"))
+        grams = F.when(
+            F.size(F.col("__tk")) < n,
+            F.array(F.array_join(F.col("__tk"), " ")),
+        ).otherwise(F.array_distinct(_kgram_fold(F.col("__tk"), n)))
+        return d.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+    bench_grams = (
+        per_doc_grams(bench).select("shingle").distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-    return totals.join(hits, id_col, "left").select(
-        id_col,
-        "n_grams",
-        n_hit.alias("n_hit"),
-        (n_hit > 0).cast("int").alias("contaminated"),
+    flagged = per_doc_grams(docs).join(
+        F.broadcast(bench_grams), "shingle", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        F.max(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias(
+            "contaminated"
+        ),
     )
 
 

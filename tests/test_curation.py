@@ -445,8 +445,9 @@ def test_benchmark_contamination_semantics(spark):
 
 
 def test_benchmark_contamination_broadcasts_bench(spark, docs):
-    # the benchmark probe must be a broadcast semi-join: no shuffle of
-    # the corpus grams by gram value at 100 TB
+    # the benchmark probe must be a broadcast join and the corpus must
+    # never shuffle or sort by gram value at 100 TB — the only hash
+    # exchange is the final skinny per-doc rollup
     bench = docs.limit(5)
     plan = (
         text.benchmark_contamination(docs, bench, n=4)
@@ -454,7 +455,9 @@ def test_benchmark_contamination_broadcasts_bench(spark, docs):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(shingle" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # groupBy(doc_id)
 
 
 def test_lm_perplexity_semantics(spark):
