@@ -429,10 +429,12 @@ def mixture_report(
     n_toks = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(txt), r"\s+"))
     )
+    # persist: totals and the final share projection both consume per
+    # (the tfidf recompute lesson)
     per = docs.groupBy(strata_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(n_toks).alias("n_tokens"),
-    )
+    ).persist()
     totals = per.agg(
         F.sum("n_docs").alias("__td"), F.sum("n_tokens").alias("__tt")
     )
@@ -1129,7 +1131,9 @@ def vocab_report(
             F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
         ).alias("__tok")
     )
-    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+    # persist: head and report both consume the vocab table (the tfidf
+    # recompute lesson — unpersisted, the token explode runs twice)
+    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__c")).persist()
     head = (
         vocab.orderBy(F.desc("__c"), F.asc("__tok"))
         .limit(top_n)
