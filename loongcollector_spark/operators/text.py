@@ -480,7 +480,8 @@ def temperature_mixture(
     """
     from .dedup import _hash_bucket
 
-    per = docs.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    # persist: totals and rates both consume per (tfidf recompute lesson)
+    per = docs.groupBy(strata_col).agg(F.count("*").alias("n_docs")).persist()
     totals = per.agg(
         F.sum("n_docs").alias("__n"),
         F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias(
