@@ -74,11 +74,14 @@ def main(argv: list[str] | None = None) -> None:
     if args.gate:
         from loongcollector_spark.operators.trajectory import sft_gate
 
+        # persist: the report collect AND the admission semi join both
+        # consume the verdicts (three turn-data passes otherwise run
+        # twice); the cached table is conversation-count-sized
         verdicts = sft_gate(
             tx,
             loop_threshold=args.gate_loop_threshold,
             budget_tokens=args.gate_budget_tokens,
-        )
+        ).persist()
         # drop-reason attribution for the report (conversation-count
         # table; cheap), then a broadcast-friendly semi join keeps only
         # admitted conversations — turn text never joins wide

@@ -311,6 +311,10 @@ def benchmark_contamination(
     ``(id_col, n_grams, n_hit, contaminated)`` where ``n_grams`` is the
     document's distinct-n-gram count, ``n_hit`` how many of those occur
     anywhere in *bench*, and ``contaminated`` is ``1`` iff any did.
+    Input contract: *id_col* uniquely identifies a document (one row
+    per document — every caller here satisfies this); duplicate-id
+    rows would aggregate into one output row with grams deduplicated
+    per ROW, not across the id.
 
     Scale design: per-document distinct n-grams are built ROW-LOCAL
     (``array_distinct`` over the shared :func:`..dedup._kgram_fold`

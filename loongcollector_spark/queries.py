@@ -5599,8 +5599,11 @@ def q_conv_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tx = load_transcripts(spark, sf_dir)
     keyed = tx.select(
+        # \x01 separator, not '#': conv ids must round-trip through
+        # substring_index even if they ever contain printable
+        # punctuation (the _state_fp convention)
         F.concat(
-            F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")
+            F.col("conv_id"), F.lit("\x01"), F.col("turn_idx").cast("string")
         ).alias("tid"),
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
         (_md5_long(F.col("conv_id")) % 10).alias("__b"),
@@ -5614,7 +5617,7 @@ def q_conv_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the discriminative dialogue-contamination signal
     return (
         per_turn.select(
-            F.substring_index("tid", "#", 1).alias("conv_id"),
+            F.substring_index("tid", "\x01", 1).alias("conv_id"),
             "n_grams",
             "n_hit",
         )
@@ -5628,23 +5631,14 @@ def q_conv_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PFX_NORM_MT = (
-    "trim(regexp_replace(regexp_replace(lower(mt),"
-    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
-)
-
 ORACLES["conv_contamination"] = f"""
     WITH transcripts AS ({_TX}),
-    m AS (
-      SELECT conv_id,
-             conv_id || '#' || turn_idx AS tid,
-             coalesce(text, '') AS mt,
-             mod({_MD5L.format(x='conv_id')}, 10) AS b
-      FROM transcripts
-    ),
     norm AS (
-      SELECT conv_id, tid, b, string_split({_PFX_NORM_MT}, ' ') AS tk
-      FROM m
+      SELECT conv_id,
+             conv_id || chr(1) || turn_idx AS tid,
+             mod({_MD5L.format(x='conv_id')}, 10) AS b,
+             string_split({_NORM_C}, ' ') AS tk
+      FROM transcripts
     ),
     g AS (
       SELECT conv_id, tid, b,

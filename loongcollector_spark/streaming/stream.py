@@ -189,7 +189,18 @@ def stateful_rate_limit(
     def update(key, pdfs, state: GroupState):
         tokens, last = state.get if state.exists else (float(burst), None)
         out = []
-        for pdf in pdfs:
+        # concat BEFORE sorting: the group arrives as multiple Arrow
+        # chunks in arbitrary post-shuffle order, and a per-chunk sort
+        # would feed the bucket out of event-time order for groups
+        # larger than arrow.maxRecordsPerBatch (the stream_loop_alert
+        # lesson)
+        chunks = list(pdfs)
+        whole = (
+            (pd.concat(chunks) if len(chunks) > 1 else chunks[0])
+            if chunks
+            else None
+        )
+        for pdf in ([] if whole is None else [whole]):
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             keep = []
             epoch = pd.Timestamp("1970-01-01")
@@ -385,7 +396,8 @@ def stream_loop_alert(
 
     The step state (tool + masked text template, the agent_loops
     definition) is fingerprinted JVM-side BEFORE the stateful
-    operator, so per-conversation state is three longs and a compare —
+    operator, so per-conversation state is four longs (last
+    fingerprint, current run, max run, step count) and a compare —
     never text in Python. Per micro-batch and conversation the update
     emits ``(conv_id, n_steps, cur_run, max_run, looped)``; ``looped``
     flips true the moment any run reaches *loop_threshold*, batches
@@ -424,7 +436,13 @@ def stream_loop_alert(
 
     def update(key, pdfs, state: GroupState):
         last, run, mx, n = state.get if state.exists else (None, 0, 0, 0)
-        for pdf in pdfs:
+        # the group arrives as MULTIPLE Arrow chunks (bounded by
+        # arrow.maxRecordsPerBatch) in arbitrary post-shuffle order —
+        # sorting per chunk would interleave turn ranges and mis-count
+        # runs for >chunk-size conversations; concat THEN sort once
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values("turn_idx", kind="mergesort")
             for f in pdf["__fp"]:
                 f = int(f)

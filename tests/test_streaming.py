@@ -410,15 +410,18 @@ def test_stream_loop_alert_parity_and_state_carry(spark, sf_dir, tmp_path):
     spark.createDataFrame(rows1, schema).withColumn(
         "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
     ).coalesce(1).write.parquet(src2)
+    first = {f for f in os.listdir(src2) if f.endswith(".parquet")}
     spark.createDataFrame(rows2, schema).withColumn(
         "ts", F.to_timestamp(F.lit("2024-01-01 00:00:01"))
     ).coalesce(1).write.mode("append").parquet(src2)
-    # force deterministic file order for maxFilesPerTrigger=1: the file
-    # source orders by modification time
-    files = sorted(
+    second = {
         f for f in os.listdir(src2) if f.endswith(".parquet")
-    )
-    for i, f in enumerate(files):
+    } - first
+    # force deterministic WRITE-ORDER processing for
+    # maxFilesPerTrigger=1 (the file source orders by modification
+    # time): stamp the rows1 file older than the rows2 file — part
+    # file NAMES are random uuids, so sorting them would not do it
+    for i, f in enumerate(sorted(first) + sorted(second)):
         os.utime(os.path.join(src2, f), (1700000000 + i, 1700000000 + i))
     q2 = (
         stream_loop_alert(read_transcript_stream(spark, src2, max_files_per_trigger=1))
