@@ -168,6 +168,8 @@ HEADLINE = [
     "sft_gate",
     "conv_split",
     "conv_contamination",
+    "conv_windows",
+    "rm_pairs",
 ]
 
 

@@ -40,7 +40,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["conversation_examples", "render_chat", "best_of_n"]
+__all__ = [
+    "conversation_examples",
+    "render_chat",
+    "best_of_n",
+    "conv_windows",
+    "rm_pairs",
+]
 
 
 def conversation_examples(
@@ -373,4 +379,151 @@ def best_of_n(
         "best_score",
         "second_score",
         (F.col("best_score") - F.col("second_score")).alias("margin"),
+    )
+
+
+def conv_windows(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    k: int = 4,
+    stride: int = 2,
+) -> DataFrame:
+    """Sliding k-turn windows over each conversation — the chunking
+    step a conversation-RAG index runs (the dialogue counterpart of
+    :func:`..chunking.chunk_documents`, which windows TOKENS of flat
+    documents; here the unit is the turn, so windows never cut a turn
+    and every window is a coherent dialogue fragment). Windows start
+    every *stride* turns (dense positions, not raw ``turn_idx``
+    values, so gap-y conversations window identically to dense ones)
+    and contain up to *k* consecutive turns rendered as ``role: text``
+    lines; the tail windows shorter than *k* are kept (the final
+    context matters most for retrieval).
+
+    Returns ``(conv_col, window_idx, start_idx, n_turns, n_tokens,
+    window_text)`` — ``window_idx`` dense per conversation,
+    ``start_idx`` the first turn's *idx_col*.
+
+    Scale shape: ONE exchange — the dense position, the k ``lead``
+    columns and nothing else run over the shared conv window; the
+    stride filter is a per-row predicate on the dense position. A
+    Zipf-hot conversation is one spilling sort, then O(turns·k/stride)
+    sequential work. No collect_list, no per-group arrays.
+    """
+    if k < 1:
+        raise ValueError("conv_windows: k must be >= 1")
+    if stride < 1:
+        raise ValueError("conv_windows: stride must be >= 1")
+    line = F.concat(
+        F.coalesce(F.col(role_col), F.lit("")),
+        F.lit(": "),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    w = W.partitionBy(conv_col).orderBy("__idx")
+    base = tx.select(
+        F.col(conv_col),
+        F.col(idx_col).alias("__idx"),
+        line.alias("__line"),
+    ).select(
+        F.col(conv_col),
+        F.col("__idx"),
+        (F.row_number().over(w) - 1).alias("__pos"),
+        F.col("__line"),
+        *[
+            F.lead("__line", i).over(w).alias(f"__l{i}")
+            for i in range(1, k)
+        ],
+    )
+    parts = [F.col("__line")] + [F.col(f"__l{i}") for i in range(1, k)]
+    # concat_ws skips NULL leads, so tail windows shorten naturally
+    window_text = F.concat_ws("\n", *parts)
+    n_turns = sum(
+        (F.when(c.isNotNull(), 1).otherwise(0) for c in parts[1:]),
+        F.lit(1),
+    )
+    wins = base.filter(F.col("__pos") % stride == 0).select(
+        F.col(conv_col),
+        (F.col("__pos") / stride).cast("int").alias("window_idx"),
+        F.col("__idx").alias("start_idx"),
+        n_turns.cast("int").alias("n_turns"),
+        window_text.alias("window_text"),
+    )
+    n_tokens = F.when(
+        F.length(F.trim(F.col("window_text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("window_text")), r"\s+")))
+    return wins.select(
+        conv_col,
+        "window_idx",
+        "start_idx",
+        "n_turns",
+        n_tokens.cast("long").alias("n_tokens"),
+        "window_text",
+    )
+
+
+def rm_pairs(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    response_role: str = "assistant",
+    k: int = 3,
+) -> DataFrame:
+    """(context, response) pair extraction for reward-model / critic
+    training: every *response_role* turn becomes one example whose
+    context is the previous *k* turns rendered as ``role: text``
+    lines — the dataset shape RM training consumes (complements
+    :func:`preference_pairs`, which needs MULTIPLE responses per
+    prompt; this emits every response with its real multi-turn
+    context).
+
+    Returns ``(conv_col, idx_col, n_context_turns, context_text,
+    response_text)``; responses with no prior turns are kept with an
+    empty context (a conversation-opening assistant turn is still a
+    trainable example).
+
+    Scale shape: ONE exchange — k ``lag`` columns over the shared conv
+    window, then a per-row filter on the role. No self-joins, no
+    arrays, no Python.
+    """
+    if k < 1:
+        raise ValueError("rm_pairs: k must be >= 1")
+    line = F.concat(
+        F.coalesce(F.col(role_col), F.lit("")),
+        F.lit(": "),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    base = tx.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col).alias("__role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+        line.alias("__line"),
+    ).select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col("__role"),
+        F.col("__text"),
+        *[
+            F.lag("__line", i).over(w).alias(f"__c{i}")
+            for i in range(k, 0, -1)
+        ],
+    )
+    ctx_parts = [F.col(f"__c{i}") for i in range(k, 0, -1)]
+    n_ctx = sum(
+        (F.when(c.isNotNull(), 1).otherwise(0) for c in ctx_parts),
+        F.lit(0),
+    )
+    return base.filter(F.col("__role") == response_role).select(
+        conv_col,
+        idx_col,
+        n_ctx.cast("int").alias("n_context_turns"),
+        F.concat_ws("\n", *ctx_parts).alias("context_text"),
+        F.col("__text").alias("response_text"),
     )

@@ -5668,3 +5668,97 @@ ORACLES["conv_contamination"] = f"""
 
 
 QUERIES["conv_contamination"] = q_conv_contamination
+
+
+def q_conv_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 4-turn / stride-2 conversation windows for RAG
+    indexing, value-matched against a DuckDB lead-window twin (any
+    character difference in any rendered window breaks the hash)."""
+    from .operators.assemble import conv_windows
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return conv_windows(tx, k=4, stride=2)
+
+
+ORACLES["conv_windows"] = f"""
+    WITH transcripts AS ({_TX}),
+    b AS (
+      SELECT conv_id, turn_idx,
+             coalesce(role, '') || ': ' || coalesce(text, '') AS line,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+               AS pos
+      FROM transcripts
+    ),
+    l AS (
+      SELECT conv_id, turn_idx, pos, line,
+             lead(line, 1) OVER w AS l1,
+             lead(line, 2) OVER w AS l2,
+             lead(line, 3) OVER w AS l3
+      FROM b
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    wnd AS (
+      SELECT conv_id,
+             CAST(pos / 2 AS INT) AS window_idx,
+             turn_idx AS start_idx,
+             CAST(1 + (CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS INT) AS n_turns,
+             array_to_string(
+               list_filter([line, l1, l2, l3], x -> x IS NOT NULL),
+               chr(10)) AS window_text
+      FROM l WHERE mod(pos, 2) = 0
+    )
+    SELECT conv_id, window_idx, start_idx, n_turns,
+           CAST(CASE WHEN length(trim(window_text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(window_text), '\\s+'))
+                END AS BIGINT) AS n_tokens,
+           window_text
+    FROM wnd
+"""
+
+
+def q_rm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(context, response) reward-model pair extraction (3-turn
+    context, assistant responses), value-matched against a DuckDB
+    lag-window twin."""
+    from .operators.assemble import rm_pairs
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    return rm_pairs(tx, k=3)
+
+
+ORACLES["rm_pairs"] = f"""
+    WITH transcripts AS ({_TX}),
+    b AS (
+      SELECT conv_id, turn_idx, role,
+             coalesce(text, '') AS resp,
+             coalesce(role, '') || ': ' || coalesce(text, '') AS line
+      FROM transcripts
+    ),
+    l AS (
+      SELECT conv_id, turn_idx, role, resp,
+             lag(line, 3) OVER w AS c3,
+             lag(line, 2) OVER w AS c2,
+             lag(line, 1) OVER w AS c1
+      FROM b
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT conv_id, turn_idx,
+           CAST((CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END)
+              AS INT) AS n_context_turns,
+           coalesce(array_to_string(
+             list_filter([c3, c2, c1], x -> x IS NOT NULL), chr(10)), '')
+             AS context_text,
+           resp AS response_text
+    FROM l WHERE role = 'assistant'
+"""
+
+
+QUERIES["conv_windows"] = q_conv_windows
+QUERIES["rm_pairs"] = q_rm_pairs

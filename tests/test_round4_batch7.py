@@ -266,3 +266,92 @@ def test_best_of_n_invariant_under_row_order(spark):
         map(tuple, best_of_n(shuffled, "grp", "score", "cand_id").collect())
     )
     assert a == b
+
+
+# --------------------------------------------- conv_windows / rm_pairs
+
+
+def test_conv_windows_hand_checked(spark):
+    from loongcollector_spark.operators.assemble import conv_windows
+
+    rows = [
+        ("c1", 0, "user", "a", None),
+        ("c1", 1, "assistant", "b", None),
+        ("c1", 2, "user", "c", None),
+        ("c1", 3, "assistant", "d", None),
+        ("c1", 4, "user", "e", None),
+    ]
+    out = {
+        r["window_idx"]: r
+        for r in conv_windows(
+            spark.createDataFrame(rows, TX_SCHEMA), k=3, stride=2
+        ).collect()
+    }
+    # windows start at dense positions 0, 2, 4
+    assert set(out) == {0, 1, 2}
+    w0 = out[0]
+    assert w0["start_idx"] == 0 and w0["n_turns"] == 3
+    assert w0["window_text"] == "user: a\nassistant: b\nuser: c"
+    assert w0["n_tokens"] == 6  # 3 role tags + 3 words
+    w2 = out[2]
+    assert w2["n_turns"] == 1 and w2["window_text"] == "user: e"
+
+
+def test_conv_windows_gapped_idx_and_validation(spark):
+    from loongcollector_spark.operators.assemble import conv_windows
+
+    # gap-y turn_idx values window by DENSE position, not idx value
+    rows = [
+        ("c1", 10, "u", "a", None),
+        ("c1", 50, "a", "b", None),
+        ("c1", 99, "u", "c", None),
+    ]
+    out = conv_windows(
+        spark.createDataFrame(rows, TX_SCHEMA), k=2, stride=2
+    ).collect()
+    assert {(r["window_idx"], r["start_idx"]) for r in out} == {(0, 10), (1, 99)}
+    with pytest.raises(ValueError):
+        conv_windows(spark.createDataFrame(rows, TX_SCHEMA), k=0)
+    with pytest.raises(ValueError):
+        conv_windows(spark.createDataFrame(rows, TX_SCHEMA), stride=0)
+
+
+def test_rm_pairs_hand_checked(spark):
+    from loongcollector_spark.operators.assemble import rm_pairs
+
+    rows = [
+        ("c1", 0, "assistant", "hi", None),       # opener: empty context
+        ("c1", 1, "user", "q1", None),
+        ("c1", 2, "assistant", "a1", None),
+        ("c1", 3, "user", "q2", None),
+        ("c1", 4, "tool", "t1", "search"),
+        ("c1", 5, "assistant", "a2", None),
+    ]
+    out = {
+        r["turn_idx"]: r
+        for r in rm_pairs(spark.createDataFrame(rows, TX_SCHEMA), k=2).collect()
+    }
+    assert set(out) == {0, 2, 5}
+    assert out[0]["n_context_turns"] == 0 and out[0]["context_text"] == ""
+    assert out[2]["n_context_turns"] == 2
+    assert out[2]["context_text"] == "assistant: hi\nuser: q1"
+    assert out[2]["response_text"] == "a1"
+    assert out[5]["context_text"] == "user: q2\ntool: t1"
+    with pytest.raises(ValueError):
+        rm_pairs(spark.createDataFrame(rows, TX_SCHEMA), k=0)
+
+
+def test_conv_windows_rm_pairs_plan_pins(spark):
+    from loongcollector_spark.operators.assemble import conv_windows, rm_pairs
+
+    tx = spark.createDataFrame([("c", 0, "assistant", "t", "x")], TX_SCHEMA)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for fn in (conv_windows, rm_pairs):
+            p = fn(tx)._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+            assert p.count("Exchange hashpartitioning") == 1
+            assert p.count("Exchange SinglePartition") == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
