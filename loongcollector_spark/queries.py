@@ -5762,3 +5762,87 @@ ORACLES["rm_pairs"] = f"""
 
 QUERIES["conv_windows"] = q_conv_windows
 QUERIES["rm_pairs"] = q_rm_pairs
+
+
+# ---------------------------------------------------------------- round-5
+# driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
+# "Round-5 prep").
+#
+# The driver checks the FIRST 50 queries() entries. Rounds 1-4 verified
+# registry positions 1-100 (CORRECTNESS_r0{1..4}.json, zero failures).
+# The 24 session-5 trajectory/transcript queries below were registered
+# AFTER the round-4 reorder and sit past the window; lead with them so
+# round 5 closes driver coverage at 124/124. New round-5 queries go in
+# _DRIVER_FIRST_R5_NEW so they land inside the window too; the remaining
+# slots backfill with round-3-green entries (CORRECTNESS_r03.json).
+
+_DRIVER_FIRST_R5_SESSION5 = [
+    "tool_transitions",
+    "self_repetition",
+    "split_leakage",
+    "render_chat",
+    "preference_pairs",
+    "json_validity",
+    "truncation_artifacts",
+    "fim_split",
+    "agent_loops",
+    "tool_errors",
+    "refusal_scan",
+    "context_growth",
+    "best_of_n",
+    "zipf_fit",
+    "prefix_groups",
+    "trajectory_outcome",
+    "turn_gaps",
+    "source_overlap",
+    "fertility_report",
+    "sft_gate",
+    "conv_split",
+    "conv_contamination",
+    "conv_windows",
+    "rm_pairs",
+]
+
+# New round-5 registrations (must be driver-checked this round).
+_DRIVER_FIRST_R5_NEW: list[str] = []
+
+# r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
+# pad the window to exactly 50.
+_DRIVER_FIRST_R5_BACKFILL = [
+    "parse_nginx",
+    "parse_kv",
+    "parse_json",
+    "route_counts",
+    "routed_rows",
+    "routed_text",
+    "conv_stats",
+    "enrich_dictmap",
+    "filter_regex",
+    "filter_expression_tree",
+    "rate_limit",
+    "stable_order",
+    "pack_groups",
+    "merge_transcript",
+    "dedup_exact",
+    "fingerprint",
+    "token_stats",
+    "quality_signals",
+    "asof_join",
+    "pii_scan",
+    "latency_percentiles",
+    "grok",
+    "sessionize",
+    "apsara",
+    "minhash_dedup",
+    "language_id",
+]
+
+_DRIVER_FIRST_R5 = (
+    _DRIVER_FIRST_R5_SESSION5
+    + _DRIVER_FIRST_R5_NEW
+    + _DRIVER_FIRST_R5_BACKFILL[
+        : max(0, 50 - len(_DRIVER_FIRST_R5_SESSION5) - len(_DRIVER_FIRST_R5_NEW))
+    ]
+)
+
+QUERIES = _reorder_for_driver(QUERIES, _DRIVER_FIRST_R5)
