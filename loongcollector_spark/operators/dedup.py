@@ -972,6 +972,7 @@ def prefix_groups(
     mask_templates: bool = True,
     hash_mode: str = "xxhash64",
     min_convs: int = 2,
+    dense: bool = False,
 ) -> DataFrame:
     """Shared-prefix conversation grouping: conversations whose first
     *k* turns carry the same text (template-masked by default) are one
@@ -987,6 +988,17 @@ def prefix_groups(
     *min_convs* conversations — ``rep_conv`` the smallest conv id (the
     deterministic representative to keep). Conversations shorter than
     *k* turns group by their full prefix.
+
+    Turn-index contract (ADVICE r4): the default path selects the
+    prefix with ``idx_col < k``, which REQUIRES 0-based contiguous
+    turn indices (the transcripts-table contract). For inputs with
+    1-based or offset indices, pass ``dense=True``: turns are ranked
+    by ``row_number`` over *idx_col* per conversation and the first
+    *k* dense positions form the prefix. The dense path windows the
+    whole conversation (one extra exchange; per-key state is still
+    one row at a time through the rank), so prefer the default when
+    the 0-based contract holds — the filter there prunes at the scan
+    and bounds pre-aggregation state to k rows per conversation.
 
     Scale shape: the ``turn_idx < k`` filter bounds per-conversation
     state BEFORE any aggregation (pushes into the scan), so the
@@ -1013,11 +1025,24 @@ def prefix_groups(
         unit = mask_log_line(unit)
     fp = F.xxhash64(unit) if hash_mode == "xxhash64" else _md5_long(unit)
 
-    heads = tx.filter(F.col(idx_col) < k).select(
-        F.col(conv_col),
-        F.col(idx_col).cast("long").alias("__i"),
-        fp.alias("__f"),
-    )
+    if dense:
+        from pyspark.sql import Window as W
+
+        rk = F.row_number().over(
+            W.partitionBy(conv_col).orderBy(F.col(idx_col).cast("long"))
+        )
+        heads = (
+            tx.select(F.col(conv_col), F.col(idx_col), fp.alias("__f"))
+            .withColumn("__i", (rk - 1).cast("long"))
+            .filter(F.col("__i") < k)
+            .select(conv_col, "__i", "__f")
+        )
+    else:
+        heads = tx.filter(F.col(idx_col) < k).select(
+            F.col(conv_col),
+            F.col(idx_col).cast("long").alias("__i"),
+            fp.alias("__f"),
+        )
     sig = F.concat_ws(
         "|",
         F.transform(

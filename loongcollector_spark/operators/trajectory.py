@@ -216,7 +216,11 @@ def tool_errors(
 
 
 # public, hand-written refusal markers (the standard over-refusal
-# audit phrases; lowercase substring match after normalization)
+# audit phrases; lowercase substring match after normalization —
+# curly apostrophes fold to ASCII ' and the text is space-padded, so
+# patterns may anchor word boundaries with literal spaces). The short
+# marker "as an ai" is enumerated in bounded forms so 'as an airline'
+# / 'as an aid' no longer false-positive (ADVICE r4).
 REFUSAL_PATTERNS: list[str] = [
     "i can't help",
     "i cannot help",
@@ -225,7 +229,13 @@ REFUSAL_PATTERNS: list[str] = [
     "i'm sorry, but",
     "i am unable to",
     "i won't be able to",
-    "as an ai",
+    " as an ai ",
+    " as an ai,",
+    " as an ai.",
+    " as an ai;",
+    " as an ai:",
+    " as an ai!",
+    " as an ai?",
 ]
 
 
@@ -250,6 +260,12 @@ def refusal_scan(
     *idx_col* whose text refused (NULL if none). Conversations
     without *role* turns are absent.
 
+    Normalization: lowercase, Unicode curly apostrophes (U+2018/
+    U+2019) folded to ASCII ``'`` (LLM output routinely emits "I
+    can’t"), whitespace collapsed, then the text is padded with one
+    leading and trailing space so patterns can bound words with
+    literal spaces (see the ``" as an ai "`` family above).
+
     Scale shape: the phrase test is one codegen expression (lower +
     whitespace collapse + N ``contains`` ORs — no regex alternation
     blowup, no Python); the rollup is a single map-side-combinable
@@ -259,11 +275,18 @@ def refusal_scan(
     if not pats:
         raise ValueError("refusal_scan: patterns must be non-empty")
     norm = F.regexp_replace(
-        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        F.translate(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            "’‘",
+            "''",
+        ),
+        r"\s+",
+        " ",
     )
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
     hit = None
     for p in pats:
-        c = norm.contains(p.lower())
+        c = padded.contains(p.lower())
         hit = c if hit is None else (hit | c)
     out = (
         tx.filter(F.col(role_col) == role)
@@ -349,17 +372,28 @@ def context_growth(
     )
 
 
+def _code_5xx(status: Column) -> Column:
+    """True iff the 3-digit status string is numerically in 500..599.
+    regexp_extract yields '' on no-match → NULL through nullif →
+    coalesce false; codes 600-999 no longer flag (ADVICE r4: the old
+    lexicographic ``>= '500'`` matched them)."""
+    return F.coalesce(
+        F.nullif(status, F.lit("")).cast("int").between(500, 599),
+        F.lit(False),
+    )
+
+
 def _error_flag(txt: Column) -> Column:
     """The shared error signal (tool_errors, trajectory_outcome): HTTP
     5xx in an access-log turn, ``code=5xx`` in a key-value turn, or an
     ERROR level in a structured/kv turn. Any HTTP protocol version;
-    the status may end the line; regexp_extract yields '' (never >=
-    '500') or exactly three digits."""
+    the status may end the line; 5xx is a numeric range test (600-999
+    are NOT errors)."""
     http_status = F.regexp_extract(txt, r' HTTP/[0-9.]+" (\d{3})(?: |$)', 1)
     kv_code = F.regexp_extract(txt, r"\bcode=(\d{3})\b", 1)
     return (
-        (http_status >= F.lit("500"))
-        | (kv_code >= F.lit("500"))
+        _code_5xx(http_status)
+        | _code_5xx(kv_code)
         | txt.contains('"level":"ERROR"')
         | txt.rlike(r"\blevel=ERROR\b")
     )

@@ -5080,10 +5080,14 @@ def q_tool_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_errors(tx)
 
 
-# error-signal SQL twin (trajectory._error_flag)
+# error-signal SQL twin (trajectory._error_flag): 5xx is a NUMERIC
+# range test (ADVICE r4 — lexicographic >= '500' also matched 600-999)
 _ERR_SQL = (
-    "(regexp_extract(text, ' HTTP/[0-9.]+\" (\\d{3})( |$)', 1) >= '500'"
-    " OR regexp_extract(text, '\\bcode=(\\d{3})\\b', 1) >= '500'"
+    "(coalesce(CAST(nullif(regexp_extract(text,"
+    " ' HTTP/[0-9.]+\" (\\d{3})( |$)', 1), '') AS INT)"
+    " BETWEEN 500 AND 599, false)"
+    " OR coalesce(CAST(nullif(regexp_extract(text,"
+    " '\\bcode=(\\d{3})\\b', 1), '') AS INT) BETWEEN 500 AND 599, false)"
     " OR contains(text, '\"level\":\"ERROR\"')"
     " OR regexp_matches(text, '\\blevel=ERROR\\b'))"
 )
@@ -5147,8 +5151,10 @@ ORACLES["refusal_scan"] = f"""
     ),
     n AS (
       SELECT conv_id, turn_idx,
-             regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')
-               AS nt
+             ' ' || regexp_replace(
+               replace(replace(lower(coalesce(text, '')),
+                       '’', ''''), '‘', ''''),
+               '\\s+', ' ', 'g') || ' ' AS nt
       FROM aug WHERE role = 'assistant'
     ),
     h AS (

@@ -410,7 +410,12 @@ def stream_loop_alert(
     the file source's modification-time ordering (append-only log
     chunks, the input_file model) preserves it. The batch operator is
     the authoritative retrospective twin; parity is pinned in
-    test_streaming.
+    test_streaming. Violations are DETECTED, not silently absorbed
+    (ADVICE r4): the state tracks the highest turn_idx folded so far
+    and ``ooo_regressions`` counts rows that arrived in a later batch
+    with a smaller index — a non-zero value tells the monitor this
+    conversation's run counts are a lower bound and the batch twin
+    should re-derive them.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -430,12 +435,14 @@ def stream_loop_alert(
     )
     out_schema = (
         "conv_id string, n_steps long, cur_run long, max_run long, "
-        "looped boolean"
+        "looped boolean, ooo_regressions long"
     )
-    state_schema = "last long, run long, mx long, n long"
+    state_schema = "last long, run long, mx long, n long, hi long, ooo long"
 
     def update(key, pdfs, state: GroupState):
-        last, run, mx, n = state.get if state.exists else (None, 0, 0, 0)
+        last, run, mx, n, hi, ooo = (
+            state.get if state.exists else (None, 0, 0, 0, None, 0)
+        )
         # the group arrives as MULTIPLE Arrow chunks (bounded by
         # arrow.maxRecordsPerBatch) in arbitrary post-shuffle order —
         # sorting per chunk would interleave turn ranges and mis-count
@@ -444,14 +451,20 @@ def stream_loop_alert(
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values("turn_idx", kind="mergesort")
-            for f in pdf["__fp"]:
-                f = int(f)
+            for f, i in zip(pdf["__fp"], pdf["turn_idx"]):
+                f, i = int(f), int(i)
+                # cross-batch order regression: a prior batch already
+                # folded a higher turn_idx, so this row is late
+                if hi is not None and i < hi:
+                    ooo += 1
+                if hi is None or i > hi:
+                    hi = i
                 run = run + 1 if f == last else 1
                 last = f
                 if run > mx:
                     mx = run
                 n += 1
-        state.update((last, run, mx, n))
+        state.update((last, run, mx, n, hi, ooo))
         yield pd.DataFrame(
             {
                 "conv_id": [key[0]],
@@ -459,6 +472,7 @@ def stream_loop_alert(
                 "cur_run": [run],
                 "max_run": [mx],
                 "looped": [mx >= loop_threshold],
+                "ooo_regressions": [ooo],
             }
         )
 

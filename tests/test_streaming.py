@@ -433,5 +433,8 @@ def test_stream_loop_alert_parity_and_state_carry(spark, sf_dir, tmp_path):
         .start()
     )
     q2.awaitTermination(120)
-    mx = spark.sql("select max(max_run) as m from loop_split").collect()[0].m
-    assert mx == 4  # the open run survived the batch boundary
+    row = spark.sql(
+        "select max(max_run) as m, max(ooo_regressions) as o from loop_split"
+    ).collect()[0]
+    assert row.m == 4  # the open run survived the batch boundary
+    assert row.o == 0  # ordered arrival -> no regression flagged
