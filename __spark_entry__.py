@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from loongcollector_spark.cache import release_persisted  # noqa: E402
 from loongcollector_spark.queries import ORACLES, QUERIES  # noqa: E402
 from loongcollector_spark.session import apply_runtime_confs  # noqa: E402
 
@@ -26,6 +27,10 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_runtime_confs(spark)
+        # free the PREVIOUS query's tracked persist handles (cache.py):
+        # the driver has collected that result by the time it invokes
+        # the next query, so its caches are dead weight from here on
+        release_persisted()
         return fn(spark, sf_dir)
 
     return run

@@ -596,6 +596,8 @@ def main() -> None:
             scaling_sj = None
         spin_caps.append(round(_host_spin_capacity(), 3))
 
+    from loongcollector_spark.cache import release_persisted
+
     spark = get_spark("bench", cores=CPUS)
     bench_queries = _bench_queries()
     q_secs: dict[str, float] = {}
@@ -610,6 +612,7 @@ def main() -> None:
         # repeats immediately with the cache intact: the code-change
         # signal, free of cache-protocol artifacts.
         bench_queries[name](spark, SF_DIR).count()  # warm-up: codegen, listing
+        release_persisted()  # drop tracked persist handles (cache.py)
         spark.catalog.clearCache()
         t0 = time.monotonic()
         df = bench_queries[name](spark, SF_DIR)
@@ -618,6 +621,7 @@ def main() -> None:
         t0 = time.monotonic()
         bench_queries[name](spark, SF_DIR).count()
         q_secs_warm[name] = round(time.monotonic() - t0, 3)
+        release_persisted()
         spark.catalog.clearCache()
         print(
             f"# {name}: cold {q_secs[name]:.3f}s warm {q_secs_warm[name]:.3f}s "

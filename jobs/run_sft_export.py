@@ -77,11 +77,15 @@ def main(argv: list[str] | None = None) -> None:
         # persist: the report collect AND the admission semi join both
         # consume the verdicts (three turn-data passes otherwise run
         # twice); the cached table is conversation-count-sized
-        verdicts = sft_gate(
-            tx,
-            loop_threshold=args.gate_loop_threshold,
-            budget_tokens=args.gate_budget_tokens,
-        ).persist()
+        from loongcollector_spark.cache import persisted
+
+        verdicts = persisted(
+            sft_gate(
+                tx,
+                loop_threshold=args.gate_loop_threshold,
+                budget_tokens=args.gate_budget_tokens,
+            )
+        )
         # drop-reason attribution for the report (conversation-count
         # table; cheap), then a broadcast-friendly semi join keeps only
         # admitted conversations — turn text never joins wide
@@ -128,6 +132,9 @@ def main(argv: list[str] | None = None) -> None:
         report["seq_len"] = args.seq_len
         report["pack_path"] = args.pack_output
     report["wall_sec"] = round(time.time() - t0, 3)
+    from loongcollector_spark.cache import release_persisted
+
+    release_persisted()  # free the gate verdict cache (ADVICE r4)
     print(json.dumps(report))
 
 

@@ -400,15 +400,16 @@ def minhash_dedup_pairs(
     """
     rows_per_band = num_perm // bands
     # flat-column signature path: cache because three consumers read
-    # it (band bucketing + both sides of the verify join). NOTE: the
-    # cache lives until the session ends or the caller releases it —
-    # long-lived sessions running many corpora should
-    # spark.catalog.clearCache() (or unpersist via the returned plan's
-    # InMemoryRelation) between runs; the signature table is
-    # 8·num_perm B/doc.
-    sigs = _minhash_wide_from_text(
-        df.select(id_col, text_col), text_col, k, num_perm, id_col, hash_mode
-    ).persist()
+    # it (band bucketing + both sides of the verify join). Tracked by
+    # cache.persisted: callers release via cache.release_persisted()
+    # between corpora; the signature table is 8·num_perm B/doc.
+    from ..cache import persisted
+
+    sigs = persisted(
+        _minhash_wide_from_text(
+            df.select(id_col, text_col), text_col, k, num_perm, id_col, hash_mode
+        )
+    )
     mcols = [f"__m{p}" for p in range(1, num_perm + 1)]
     # band buckets as flat xxhash64 of each band's columns (md5/oracle
     # mode: the concatenated values themselves — engine-portable, and
@@ -791,10 +792,11 @@ def duplicate_spans(
     # tokenize pass runs twice over the corpus. Lifetime: until the
     # caller's action completes and Spark evicts LRU; same contract as
     # the minhash signature cache (minhash_dedup_pairs).
-    wins = (
+    from ..cache import persisted
+
+    wins = persisted(
         _window_rows(docs, text_col, k, id_col)
         .select(F.col(id_col), "pos", hasher(F.col("__win")).alias("__wh"))
-        .persist()
     )
     dup = (
         wins.groupBy("__wh")

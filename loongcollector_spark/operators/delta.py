@@ -121,11 +121,15 @@ def token_drift(
     cn = counts(new, "count_new")
     # persist: totals and the scored projection both consume joined —
     # unpersisted, BOTH corpus token scans run twice (tfidf lesson)
-    joined = co.join(cn, "term", "full_outer").select(
-        "term",
-        F.coalesce("count_old", F.lit(0)).alias("count_old"),
-        F.coalesce("count_new", F.lit(0)).alias("count_new"),
-    ).persist()
+    from ..cache import persisted
+
+    joined = persisted(
+        co.join(cn, "term", "full_outer").select(
+            "term",
+            F.coalesce("count_old", F.lit(0)).alias("count_old"),
+            F.coalesce("count_new", F.lit(0)).alias("count_new"),
+        )
+    )
     totals = joined.agg(
         F.sum("count_old").alias("__n_old"),
         F.sum("count_new").alias("__n_new"),

@@ -41,6 +41,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import persisted
 from .dedup import _norm_text
 
 __all__ = ["bm25_score", "bm25_topk", "index_stats", "tfidf_topk_terms"]
@@ -232,9 +233,11 @@ def tfidf_topk_terms(
     # consumer (measured 3× the work at sf0.1). The cached table is the
     # REDUCED (doc, term) distinct pairs, 24 B/row-ish; long-lived
     # sessions clear it between corpora (the minhash persist note).
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count("*").alias("__tf"), F.max("__dl").alias("__dl")
-    ).persist()
+    tf = persisted(
+        toks.groupBy(id_col, "term").agg(
+            F.count("*").alias("__tf"), F.max("__dl").alias("__dl")
+        )
+    )
     dfr = tf.groupBy("term").agg(F.count("*").alias("__df"))
     # N from the same persisted table: every surviving doc has >= 1
     # term row, so distinct ids == docs with non-empty normalized text

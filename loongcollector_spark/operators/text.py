@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import persisted
+
 __all__ = [
     "token_stats",
     "quality_signals",
@@ -398,8 +400,8 @@ def lm_perplexity(
     # without it Catalyst re-derives the corpus explode per consumer
     # (the tfidf lesson); the cached table is the REDUCED (doc, token)
     # distinct pairs
-    doc_tok = (
-        toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__dc")).persist()
+    doc_tok = persisted(
+        toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__dc"))
     )
     vocab = doc_tok.groupBy("__tok").agg(F.sum("__dc").alias("__vc"))
     total = vocab.agg(F.sum("__vc").alias("__total"))
@@ -435,10 +437,12 @@ def mixture_report(
     )
     # persist: totals and the final share projection both consume per
     # (the tfidf recompute lesson)
-    per = docs.groupBy(strata_col).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(n_toks).alias("n_tokens"),
-    ).persist()
+    per = persisted(
+        docs.groupBy(strata_col).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_toks).alias("n_tokens"),
+        )
+    )
     totals = per.agg(
         F.sum("n_docs").alias("__td"), F.sum("n_tokens").alias("__tt")
     )
@@ -485,7 +489,9 @@ def temperature_mixture(
     from .dedup import _hash_bucket
 
     # persist: totals and rates both consume per (tfidf recompute lesson)
-    per = docs.groupBy(strata_col).agg(F.count("*").alias("n_docs")).persist()
+    per = persisted(
+        docs.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    )
     totals = per.agg(
         F.sum("n_docs").alias("__n"),
         F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias(
@@ -1004,10 +1010,8 @@ def bigram_lm_perplexity(
     # persist: model/ctx/vsize and the scored join all consume doc_big
     # (the tfidf lesson — unpersisted, the corpus explode re-runs per
     # consumer); cached rows are the reduced (doc, w1, w2) pairs
-    doc_big = (
-        pr.groupBy(id_col, "__w1", "__w2")
-        .agg(F.count("*").alias("__dc"))
-        .persist()
+    doc_big = persisted(
+        pr.groupBy(id_col, "__w1", "__w2").agg(F.count("*").alias("__dc"))
     )
     model = doc_big.groupBy("__w1", "__w2").agg(F.sum("__dc").alias("__bc"))
     ctx = model.groupBy("__w1").agg(F.sum("__bc").alias("__cc"))
@@ -1138,7 +1142,7 @@ def vocab_report(
     )
     # persist: head and report both consume the vocab table (the tfidf
     # recompute lesson — unpersisted, the token explode runs twice)
-    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__c")).persist()
+    vocab = persisted(toks.groupBy("__tok").agg(F.count("*").alias("__c")))
     head = (
         vocab.orderBy(F.desc("__c"), F.asc("__tok"))
         .limit(top_n)
@@ -1335,18 +1339,16 @@ def pmi_collocations(
     # persist both reduced tables: pc feeds totals + the scored join,
     # uni feeds totals + two joins — unpersisted, each consumer
     # re-derives the corpus explode (the tfidf lesson)
-    pc = (
+    pc = persisted(
         base.select(F.explode(pairs).alias("__p"))
         .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("pair_count"))
-        .persist()
     )
-    uni = (
+    uni = persisted(
         base.select(F.explode(F.col("__tk")).alias("__w"))
         .groupBy("__w")
         .agg(F.count("*").alias("__uc"))
-        .persist()
     )
     totals = uni.agg(
         F.sum("__uc").alias("__n_tok"),

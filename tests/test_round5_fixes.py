@@ -161,3 +161,63 @@ def test_stream_loop_alert_flags_out_of_order_batches(spark, tmp_path):
     ).collect()[0]
     assert row.o == 2  # turns 0 and 1 both arrived after turn 3 was folded
     assert row.m >= 2  # counts remain a lower bound, not garbage
+
+
+# ------------------------------------------------------- persist tracking
+
+
+def test_persisted_operators_release_cleanly(spark, sf_dir):
+    """Every operator that persists a reduced intermediate routes it
+    through cache.persisted; after the consuming action +
+    release_persisted() no persisted RDDs remain (VERDICT r4 item 4)."""
+    from loongcollector_spark.cache import persisted, release_persisted
+    from loongcollector_spark.operators.delta import token_drift
+    from loongcollector_spark.operators.retrieval import tfidf_topk_terms
+    from loongcollector_spark.operators.text import (
+        bigram_lm_perplexity,
+        lm_perplexity,
+        mixture_report,
+        pmi_collocations,
+        temperature_mixture,
+        vocab_report,
+    )
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_persisted()
+    spark.catalog.clearCache()
+    assert n_cached() == 0
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    runs = [
+        lambda: lm_perplexity(docs).count(),
+        lambda: mixture_report(docs).count(),
+        lambda: temperature_mixture(docs).count(),
+        lambda: bigram_lm_perplexity(docs).count(),
+        lambda: vocab_report(docs).count(),
+        lambda: pmi_collocations(docs).count(),
+        lambda: tfidf_topk_terms(docs).count(),
+        lambda: token_drift(old, docs).count(),
+    ]
+    for run in runs:
+        run()
+        assert n_cached() > 0  # the persist actually happened
+        released = release_persisted()
+        assert released >= 1
+        assert n_cached() == 0  # and the release actually freed it
+
+
+def test_persist_scope_releases_on_exit(spark):
+    from loongcollector_spark.cache import persist_scope, persisted
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    df = spark.range(10)
+    with persist_scope():
+        persisted(df).count()
+        assert n_cached() == base + 1
+    assert n_cached() == base
