@@ -111,3 +111,96 @@ def test_timeseries_plans_single_exchange_no_python(spark, sf_dir):
                                   text_col="text"))
     assert len(re.findall(r"\(\d+\) Exchange", tplan)) == 1
     assert "Window" not in tplan
+
+
+# ----------------------------------------------------- block engines (r5)
+
+
+def test_rolling_count_block_engine_exact_parity(spark, sf_dir):
+    """The bucket-decomposed engine is EXACTLY the window engine
+    (integer counts), including tied timestamps and bucket edges."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = {
+        r["event_id"]: r["rolling_n"]
+        for r in rolling_count(ev, window_seconds=3600).collect()
+    }
+    b = {
+        r["event_id"]: r["rolling_n"]
+        for r in rolling_count(ev, window_seconds=3600, engine="block").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_rolling_count_block_engine_bucket_edges(spark):
+    """Hand case across a bucket boundary: W=60, events at 0/59/61/121.
+    61 sees 59+61 (59 is in the previous bucket -> via the copy; 0 is
+    outside [1, 61]); 121 sees 61+121 (61 is exactly W before ->
+    inclusive, and it crosses the bucket edge via the copy)."""
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7),
+        (2, base + timedelta(seconds=59), 7),
+        (3, base + timedelta(seconds=61), 7),
+        (4, base + timedelta(seconds=121), 7),
+    ]
+    df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, user_id: long")
+    out = {
+        r["event_id"]: r["rolling_n"]
+        for r in rolling_count(df, window_seconds=60, engine="block").collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2, 4: 2}
+    # and the window engine agrees on the same input
+    w = {
+        r["event_id"]: r["rolling_n"]
+        for r in rolling_count(df, window_seconds=60).collect()
+    }
+    assert w == out
+
+
+def test_trailing_zscore_block_engine_parity(spark, sf_dir):
+    """Block (prefix-sum + shifted self-join) engine matches the window
+    engine: identical NULL pattern, values equal to float tolerance."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["event_id", "trail_mean", "trail_std", "zscore"]
+    a = {r["event_id"]: r for r in trailing_zscore(ev).select(cols).collect()}
+    b = {
+        r["event_id"]: r
+        for r in trailing_zscore(ev, engine="block").select(cols).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    for k in a:
+        for c in ("trail_mean", "trail_std", "zscore"):
+            va, vb = a[k][c], b[k][c]
+            assert (va is None) == (vb is None), (k, c, va, vb)
+            if va is not None:
+                assert vb == pytest.approx(va, rel=1e-9, abs=1e-9), (k, c)
+
+
+def test_block_engine_plans_decompose_the_key(spark, sf_dir):
+    """Plan pins (VERDICT r4 item 2): the block engines never exchange
+    on the bare key — every data exchange carries the block/bucket/row
+    dimension, so ONE hot key spreads across tasks."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    rplan = plan_of(rolling_count(ev, engine="block"))
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, _grp#\d+", rplan)
+    # the only bare-key exchange shape the window engine would have
+    assert not re.search(r"hashpartitioning\(user_id#\d+L?, \d+\)", rplan)
+
+    zplan = plan_of(trailing_zscore(ev, engine="block"))
+    assert re.search(r"rangepartitioning\(event_type#\d+", zplan)  # block split
+    assert re.search(r"hashpartitioning\(_blk#\d+", zplan)  # per-block window
+    assert re.search(r"hashpartitioning\([^)]*_rn#\d+", zplan) or re.search(
+        r"hashpartitioning\([^)]*_prn#\d+", zplan
+    )  # uniform self-join key
+    # bare-key exchanges allowed ONLY for the tiny kmean/totals aggs —
+    # the data-plane window never partitions by event_type alone
+    assert "Window" in zplan
+
+
+def test_engine_validation(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        trailing_zscore(ev, engine="nope").collect()
+    with pytest.raises(ValueError):
+        rolling_count(ev, engine="nope").collect()
