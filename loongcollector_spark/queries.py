@@ -5770,6 +5770,111 @@ QUERIES["conv_windows"] = q_conv_windows
 QUERIES["rm_pairs"] = q_rm_pairs
 
 
+def q_sft_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SFT export pipeline as ONE Spark plan — the
+    ``jobs/run_sft_export.py --gate --pack-output`` path end-to-end
+    (VERDICT r4 item 5): sft_gate admission (resolved outcome, no loop,
+    in budget) → left-semi join keeps only admitted conversations (turn
+    text never joins wide) → conversation_examples greedy ≤120-token
+    assembly → the job's collision-free ``%012d`` example_id →
+    pack_sequences 256-token LM blocks over the example texts. The
+    oracle composes the verified sub-oracles VERBATIM (sft_gate as a
+    CTE, the conversation_examples recurrence over admitted turns, the
+    pack_sequences prefix-sum/unnest twin keyed on example_id), so the
+    composite is checked token-for-token yet can never drift from the
+    individually-verified parts."""
+    from .operators.assemble import conversation_examples
+    from .operators.packing import pack_sequences
+    from .operators.trajectory import sft_gate
+    from .sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    admitted = tx.join(
+        sft_gate(tx).filter(F.col("keep")).select("conv_id"),
+        "conv_id",
+        "left_semi",
+    )
+    ex = conversation_examples(admitted, max_tokens=120)
+    ex = ex.withColumn(
+        "example_id",
+        F.format_string("%s#%012d", F.col("conv_id"), F.col("example_idx")),
+    )
+    packed = pack_sequences(
+        ex, text_col="example_text", id_col="example_id", seq_len=256
+    )
+    return packed.select(
+        "seq_id",
+        "n_tokens",
+        "n_docs",
+        F.col("first_doc").alias("first_example"),
+        "fp",
+    )
+
+
+ORACLES["sft_export"] = f"""
+    WITH RECURSIVE gate AS ({ORACLES["sft_gate"]}),
+    transcripts AS ({_TX}),
+    adm AS (
+      SELECT t.* FROM transcripts t
+      JOIN gate g ON g.conv_id = t.conv_id
+      WHERE g.keep
+    ),
+    t AS (
+      SELECT conv_id, turn_idx,
+             concat(role, ': ', text) AS line,
+             CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) + 1
+               AS BIGINT) AS n_tok,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+      FROM adm
+    ),
+    rec AS (
+      SELECT conv_id, rn, turn_idx, line, n_tok,
+             0 AS chunk, n_tok AS run
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.conv_id, t.rn, t.turn_idx, t.line, t.n_tok,
+             CASE WHEN rec.run + t.n_tok > 120 AND rec.run > 0
+                  THEN rec.chunk + 1 ELSE rec.chunk END,
+             CASE WHEN rec.run + t.n_tok > 120 AND rec.run > 0
+                  THEN t.n_tok ELSE rec.run + t.n_tok END
+      FROM rec JOIN t ON t.conv_id = rec.conv_id AND t.rn = rec.rn + 1
+    ),
+    ex AS (
+      SELECT printf('%s#%012d', conv_id, chunk) AS example_id,
+             string_agg(line, chr(10) ORDER BY turn_idx) AS example_text
+      FROM rec GROUP BY conv_id, chunk
+    ),
+    d AS (
+      SELECT example_id,
+             list_append(regexp_extract_all(coalesce(example_text, ''),
+                 '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'), '<eos>') AS tk
+      FROM ex
+    ),
+    o AS (
+      SELECT example_id, tk,
+             coalesce(sum(len(tk)) OVER (ORDER BY example_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS g_start
+      FROM d
+    ),
+    u AS (
+      SELECT unnest([{{'g_pos': g_start + i - 1, 'tok': tk[i],
+                      'eid': example_id}}
+                     for i in generate_series(1, len(tk))]) AS s
+      FROM o
+    )
+    SELECT CAST(s.g_pos // 256 AS BIGINT) AS seq_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(count(DISTINCT s.eid) AS INT) AS n_docs,
+           min(s.eid) AS first_example,
+           md5(string_agg(s.tok, ' ' ORDER BY s.g_pos)) AS fp
+    FROM u GROUP BY 1
+"""
+
+QUERIES["sft_export"] = q_sft_export
+
+
 # ---------------------------------------------------------------- round-5
 # driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
 # "Round-5 prep").
@@ -5810,7 +5915,7 @@ _DRIVER_FIRST_R5_SESSION5 = [
 ]
 
 # New round-5 registrations (must be driver-checked this round).
-_DRIVER_FIRST_R5_NEW: list[str] = []
+_DRIVER_FIRST_R5_NEW: list[str] = ["sft_export"]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
 # pad the window to exactly 50.
