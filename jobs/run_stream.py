@@ -41,6 +41,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--continuous", action="store_true")
+    ap.add_argument(
+        "--loop-alert",
+        help="also run the stateful agent-loop monitor "
+        "(streaming.stream_loop_alert) over the same input stream and "
+        "append its per-batch emissions as parquet under this path; "
+        "state checkpoints beside the sink checkpoint, so a stopped "
+        "job resumes open runs across restarts",
+    )
+    ap.add_argument("--loop-threshold", type=int, default=3)
     args = ap.parse_args(argv)
     if args.available_now and args.continuous:
         ap.error("--available-now and --continuous are mutually exclusive")
@@ -56,6 +65,7 @@ def main(argv: list[str] | None = None) -> None:
     from loongcollector_spark.session import apply_runtime_confs
     from loongcollector_spark.streaming.stream import (
         read_transcript_stream,
+        stream_loop_alert,
         stream_pipeline_to_sinks,
     )
 
@@ -71,7 +81,39 @@ def main(argv: list[str] | None = None) -> None:
         args.checkpoint,
         available_now=available_now,
     )
+    aq = None
+    if args.loop_alert:
+        # a SECOND query over the same file source with its own
+        # checkpoint: the sink pipeline and the monitor progress
+        # independently (one slow sink never stalls alerting). Update-
+        # mode emissions append as parquet with the batch id — the
+        # monitor's view is max(max_run)/max(looped) per conv_id.
+        alert_path = args.loop_alert
+
+        def _append_alerts(batch_df, batch_id: int) -> None:
+            from pyspark.sql import functions as F
+
+            batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(alert_path)
+
+        alerts = stream_loop_alert(
+            read_transcript_stream(
+                spark, args.input, max_files_per_trigger=args.max_files_per_trigger
+            ),
+            loop_threshold=args.loop_threshold,
+        )
+        writer = (
+            alerts.writeStream.outputMode("update")
+            .foreachBatch(_append_alerts)
+            .option("checkpointLocation", os.path.join(args.checkpoint, "loop_alert"))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        aq = writer.start()
     q.awaitTermination()
+    if aq is not None:
+        aq.awaitTermination()
 
 
 if __name__ == "__main__":
