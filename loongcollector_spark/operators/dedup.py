@@ -20,6 +20,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -93,6 +95,51 @@ def _kgram_fold(tk, k: int):
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return grams
+
+
+def _kgram_arrow(txt, ks, *, distinct: bool = False, whole_fallback: bool = False):
+    """Arrow-batched twin of ``split + _kgram_fold`` over the
+    NORMALIZED text column: the text ships to Python once per row in
+    an Arrow batch, ``str.split``/``str.join`` (C level) build the
+    gram arrays, and Spark explodes the result. Output contract is
+    byte-identical to the zip_with kernel (parity-pinned in
+    tests/test_round5_fixes.py): per k in *ks*, fewer than k tokens
+    contributes nothing; with *whole_fallback*, a doc shorter than
+    every k contributes the single whole-text gram
+    (benchmark_contamination's short-doc rule); *distinct* keeps the
+    first occurrence per doc (``array_distinct`` semantics).
+
+    Exists because the k-1 interpreted ``zip_with`` folds dominate the
+    heavy corpus passes (SCALE.md round-4: dsir 337 s, source_overlap
+    382 s, contamination 380 s per 2M docs / 24M turns) — Catalyst
+    evaluates HOF lambdas per element in the interpreter, while the
+    Python join is one C call per gram. Normalization stays JVM-side:
+    callers pass the already-normalized text expression, which
+    evaluates once in codegen before the Arrow transfer.
+    """
+    ks = tuple(ks)
+
+    @F.pandas_udf("array<string>")
+    def _grams(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            t = ("" if v is None else v).split(" ")
+            n = len(t)
+            g: list[str] = []
+            for k in ks:
+                if k == 1:
+                    g.extend(t)
+                elif n >= k:
+                    join = " ".join
+                    g.extend(join(t[i : i + k]) for i in range(n - k + 1))
+            if whole_fallback and not g:
+                g = [" ".join(t)]
+            if distinct:
+                g = list(dict.fromkeys(g))
+            out.append(g)
+        return pd.Series(out)
+
+    return _grams(txt)
 
 
 def dedup_exact(
@@ -1079,6 +1126,7 @@ def source_overlap(
     source_col: str = "source",
     text_col: str = "text",
     k: int = 3,
+    gram_engine: str = "arrow",
 ) -> DataFrame:
     """Pairwise n-gram overlap between corpus sources — the provenance
     analytics a mixture designer runs before weighting sources: two
@@ -1109,13 +1157,19 @@ def source_overlap(
     if k < 1:
         raise ValueError("source_overlap: k must be >= 1")
     norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
-    tokenized = docs.filter(F.length(norm) > 0).select(
-        F.col(source_col).alias("__src"), F.split(norm, " ").alias("__tk")
-    )
-    gram = _kgram_fold(F.col("__tk"), k)
-    pairs = tokenized.select(
-        "__src", F.explode(gram).alias("__g")
-    ).distinct()
+    if gram_engine == "arrow":
+        gram_rows = docs.filter(F.length(norm) > 0).select(
+            F.col(source_col).alias("__src"),
+            F.explode(_kgram_arrow(norm, (k,))).alias("__g"),
+        )
+    else:
+        tokenized = docs.filter(F.length(norm) > 0).select(
+            F.col(source_col).alias("__src"), F.split(norm, " ").alias("__tk")
+        )
+        gram_rows = tokenized.select(
+            "__src", F.explode(_kgram_fold(F.col("__tk"), k)).alias("__g")
+        )
+    pairs = gram_rows.distinct()
     totals = pairs.groupBy("__src").agg(
         F.count("*").cast("long").alias("__total")
     )

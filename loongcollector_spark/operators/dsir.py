@@ -34,6 +34,7 @@ def _gram_rows(
     target_pred: Column,
     id_col: str,
     text_col: str,
+    gram_engine: str = "arrow",
 ) -> DataFrame:
     """``(id_col, __is_target, __g)`` rows: unigrams + bigrams of the
     normalized text, exploded.
@@ -48,14 +49,22 @@ def _gram_rows(
     only its lambda variables; the bucket hash is applied AFTER the
     explode in a whole-stage-codegen projection.
     """
+    from .dedup import _kgram_arrow
+
     norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
-    tokenized = docs.filter(F.length(norm) > 0).select(
-        F.col(id_col),
-        # NULL predicate (e.g. lang == 'en' on a NULL lang) means "not
-        # in the target corpus" — coalesce to false so such docs stay
-        # in the raw pool instead of silently vanishing from both
-        F.coalesce(target_pred, F.lit(False)).alias("__is_target"),
-        F.split(norm, " ").alias("__tk"),
+    base = docs.filter(F.length(norm) > 0)
+    # NULL predicate (e.g. lang == 'en' on a NULL lang) means "not
+    # in the target corpus" — coalesce to false so such docs stay
+    # in the raw pool instead of silently vanishing from both
+    is_target = F.coalesce(target_pred, F.lit(False)).alias("__is_target")
+    if gram_engine == "arrow":
+        return base.select(
+            F.col(id_col),
+            is_target,
+            F.explode(_kgram_arrow(norm, (1, 2))).alias("__g"),
+        )
+    tokenized = base.select(
+        F.col(id_col), is_target, F.split(norm, " ").alias("__tk")
     )
     tk = F.col("__tk")
     n_bi = F.size(tk) - 1  # 1-token docs: slice length 0 → no bigrams
@@ -79,6 +88,7 @@ def dsir_weights(
     text_col: str = "text",
     n_buckets: int = 4096,
     hash_mode: str = "xxhash64",
+    gram_engine: str = "arrow",
 ) -> DataFrame:
     """Per-document DSIR importance log-weights.
 
@@ -93,7 +103,7 @@ def dsir_weights(
     target-like. Documents with zero grams carry no evidence and are
     excluded (their weight would be an uninformative 0).
     """
-    g = _gram_rows(docs, target_pred, id_col, text_col)
+    g = _gram_rows(docs, target_pred, id_col, text_col, gram_engine)
     per_bucket = (
         g.select(
             id_col,

@@ -301,6 +301,7 @@ def benchmark_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
+    gram_engine: str = "arrow",
 ) -> DataFrame:
     """Benchmark decontamination scan (the GPT-3 / PaLM technique,
     public papers: Brown et al. 2020 Appendix C, Chowdhery et al. 2022
@@ -332,10 +333,14 @@ def benchmark_contamination(
     the broadcast hint only if the benchmark outgrows executor
     memory.
     """
-    from .dedup import _kgram_fold, _norm_text
+    from .dedup import _kgram_arrow, _kgram_fold, _norm_text
 
     def per_doc_grams(df):
-        tk = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+        if gram_engine == "arrow":
+            grams = _kgram_arrow(norm, (n,), distinct=True, whole_fallback=True)
+            return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        tk = F.split(norm, " ")
         d = df.select(F.col(id_col), tk.alias("__tk"))
         grams = F.when(
             F.size(F.col("__tk")) < n,
@@ -560,6 +565,7 @@ def ngram_novelty(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    gram_engine: str = "arrow",
 ) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a document's
     distinct word *k*-grams whose corpus-wide FIRST occurrence (minimum
@@ -579,19 +585,30 @@ def ngram_novelty(
 
     Returns ``(id_col, n_grams, n_novel, novelty)``.
     """
-    from .dedup import _kgram_fold, _norm_text
+    from .dedup import _kgram_arrow, _kgram_fold, _norm_text
 
     if k <= 0:
         raise ValueError("ngram_novelty: k must be positive")
-    toks = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
-    # k-grams via the shared folded-zip_with helper (HOF discipline:
-    # lambdas touch only lambda variables — the dsir._gram_rows lesson)
-    grams = _kgram_fold(F.col("__tk"), k)
-    g = (
-        docs.select(id_col, toks.alias("__tk"))
-        .filter(F.size("__tk") >= k)
-        .select(id_col, F.explode(F.array_distinct(grams)).alias("__g"))
-    )
+    norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+    if gram_engine == "arrow":
+        # distinct applies Python-side so the Arrow transfer already
+        # carries the deduplicated array; <k-token docs yield [] and
+        # vanish at the explode (the zipwith branch's size filter)
+        g = docs.select(
+            id_col,
+            F.explode(_kgram_arrow(norm, (k,), distinct=True)).alias("__g"),
+        )
+    else:
+        toks = F.split(norm, " ")
+        # k-grams via the shared folded-zip_with helper (HOF discipline:
+        # lambdas touch only lambda variables — the dsir._gram_rows
+        # lesson)
+        grams = _kgram_fold(F.col("__tk"), k)
+        g = (
+            docs.select(id_col, toks.alias("__tk"))
+            .filter(F.size("__tk") >= k)
+            .select(id_col, F.explode(F.array_distinct(grams)).alias("__g"))
+        )
     per_doc = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     firsts = (
         g.groupBy("__g")

@@ -187,7 +187,11 @@ def test_persisted_operators_release_cleanly(spark, sf_dir):
 
     release_persisted()
     spark.catalog.clearCache()
-    assert n_cached() == 0
+    # Baseline, not zero: localCheckpoint RDDs from unrelated earlier
+    # tests in the same session survive clearCache() and are outside
+    # this test's contract (the operators must release what THEY
+    # persisted — assert the delta, not the absolute count).
+    base = n_cached()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     old = docs.filter(F.col("doc_id") % 2 == 0)
@@ -203,10 +207,10 @@ def test_persisted_operators_release_cleanly(spark, sf_dir):
     ]
     for run in runs:
         run()
-        assert n_cached() > 0  # the persist actually happened
+        assert n_cached() > base  # the persist actually happened
         released = release_persisted()
         assert released >= 1
-        assert n_cached() == 0  # and the release actually freed it
+        assert n_cached() == base  # and the release actually freed it
 
 
 def test_persist_scope_releases_on_exit(spark):
@@ -221,3 +225,123 @@ def test_persist_scope_releases_on_exit(spark):
         persisted(df).count()
         assert n_cached() == base + 1
     assert n_cached() == base
+
+
+# ------------------------------------------------- Arrow gram engine parity
+
+
+_GRAM_TEXTS = [
+    (0, None),
+    (1, ""),
+    (2, "one"),
+    (3, "Alpha beta"),
+    (4, "a b c"),
+    (5, "a b c d e f g"),
+    (6, "x x x x x"),  # repeated grams — exercises distinct semantics
+    (7, "Hello, WORLD!  multi   space punct."),
+    (8, " ".join(f"t{i}" for i in range(20))),
+]
+
+
+def _gram_df(spark):
+    return spark.createDataFrame(_GRAM_TEXTS, "doc_id long, text string")
+
+
+def test_kgram_arrow_matches_zipwith_kernel(spark):
+    """The Arrow kernel's output arrays are byte-identical to
+    split + _kgram_fold for every k, including distinct and the
+    whole-text fallback (benchmark_contamination's short-doc rule)."""
+    from loongcollector_spark.operators.dedup import (
+        _kgram_arrow,
+        _kgram_fold,
+        _norm_text,
+    )
+
+    df = _gram_df(spark)
+    norm = _norm_text(F.coalesce(F.col("text"), F.lit("")))
+    tk = F.split(norm, " ")
+    for k in (1, 2, 3, 13):
+        got = df.select("doc_id", _kgram_arrow(norm, (k,)).alias("g"))
+        want = df.select("doc_id", _kgram_fold(tk, k).alias("g"))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"plain k={k}"
+        got_d = df.select(
+            "doc_id", _kgram_arrow(norm, (k,), distinct=True).alias("g")
+        )
+        want_d = df.select(
+            "doc_id", F.array_distinct(_kgram_fold(tk, k)).alias("g")
+        )
+        assert sorted(map(tuple, got_d.collect())) == sorted(
+            map(tuple, want_d.collect())
+        ), f"distinct k={k}"
+        got_w = df.select(
+            "doc_id",
+            _kgram_arrow(norm, (k,), distinct=True, whole_fallback=True).alias(
+                "g"
+            ),
+        )
+        want_w = df.select(
+            "doc_id",
+            F.when(
+                F.size(tk) < k, F.array(F.array_join(tk, " "))
+            ).otherwise(F.array_distinct(_kgram_fold(tk, k))).alias("g"),
+        )
+        assert sorted(map(tuple, got_w.collect())) == sorted(
+            map(tuple, want_w.collect())
+        ), f"whole_fallback k={k}"
+    # the dsir unigram+bigram shape: concat(tk, bigrams)
+    n_bi = F.size(tk) - 1
+    bigrams = F.zip_with(
+        F.slice(tk, 1, n_bi),
+        F.slice(tk, 2, n_bi),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    got_ub = df.select("doc_id", _kgram_arrow(norm, (1, 2)).alias("g"))
+    want_ub = df.select("doc_id", F.concat(tk, bigrams).alias("g"))
+    assert sorted(map(tuple, got_ub.collect())) == sorted(
+        map(tuple, want_ub.collect())
+    )
+
+
+@pytest.mark.parametrize(
+    "op",
+    ["source_overlap", "contamination", "dsir", "novelty"],
+)
+def test_gram_consumers_engine_parity(spark, sf_dir, op):
+    """Each gram-consuming operator returns identical rows under
+    gram_engine='arrow' and 'zipwith' on real testdata."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(250)
+
+    def rows(engine):
+        if op == "source_overlap":
+            from loongcollector_spark.operators.dedup import source_overlap
+
+            out = source_overlap(docs, k=3, gram_engine=engine)
+        elif op == "contamination":
+            from loongcollector_spark.operators.text import (
+                benchmark_contamination,
+            )
+
+            bench = docs.filter(F.col("doc_id") % 10 == 3)
+            out = benchmark_contamination(docs, bench, n=4, gram_engine=engine)
+        elif op == "dsir":
+            from loongcollector_spark.operators.dsir import dsir_weights
+
+            out = dsir_weights(
+                docs, F.col("lang") == "en", gram_engine=engine
+            )
+        else:
+            from loongcollector_spark.operators.text import ngram_novelty
+
+            out = ngram_novelty(docs, k=3, gram_engine=engine)
+        # identical gram multisets guarantee identical integer columns;
+        # float aggregates (dsir's log_weight) accumulate in a different
+        # order per engine, so equality holds only to float-sum noise —
+        # round to 8 decimals (observed divergence ~1e-13 relative)
+        return sorted(
+            tuple(round(v, 8) if isinstance(v, float) else v for v in r)
+            for r in out.collect()
+        )
+
+    assert rows("arrow") == rows("zipwith")
