@@ -63,6 +63,25 @@ def _gram_rows(
             is_target,
             F.explode(_kgram_arrow(norm, (1, 2))).alias("__g"),
         )
+    if gram_engine == "explode":
+        # fully-codegen single-pass (1,2)-grams: zip each token with
+        # its successor (arrays_zip pads the tail with NULL — tokens
+        # themselves are never NULL post-split, so NULL uniquely marks
+        # the last position), then a 1- or 2-element gram array per
+        # position exploded in codegen. Two explodes, zero Python,
+        # zero interpreted HOF, one corpus scan.
+        tk = F.split(norm, " ")
+        zipped = F.arrays_zip(
+            tk.alias("w0"), F.slice(tk, 2, F.size(tk)).alias("w1")
+        )
+        ex = base.select(
+            F.col(id_col), is_target, F.explode(zipped).alias("__p")
+        )
+        w0, w1 = F.col("__p")["w0"], F.col("__p")["w1"]
+        grams = F.when(w1.isNull(), F.array(w0)).otherwise(
+            F.array(w0, F.concat(w0, F.lit(" "), w1))
+        )
+        return ex.select(id_col, "__is_target", F.explode(grams).alias("__g"))
     tokenized = base.select(
         F.col(id_col), is_target, F.split(norm, " ").alias("__tk")
     )

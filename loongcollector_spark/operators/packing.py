@@ -15,14 +15,16 @@ Scale design (the whole point at 100 TB):
 * Tokenisation and per-doc length are **per-row JVM expressions**
   (``regexp_extract_all`` + ``size``) — no Python, no shuffle.
 * The global token offset of every document is an **exact distributed
-  prefix sum**: range-partition on ``doc_id``, per-partition running
-  sum (window partitioned by ``spark_partition_id()`` — bounded
-  state), plus a broadcast join against the tiny per-partition totals
-  table cum-summed on the driver side of the plan (N_partitions rows —
-  the only single-partition window touches that N-row table, never the
-  data).  This is the textbook scalable prefix-sum; a naive
-  ``Window.orderBy(doc_id)`` with no partitionBy would sort the whole
-  corpus into ONE task and is exactly what this implementation avoids.
+  prefix sum**: deterministic monotone blocks on ``doc_id``
+  (:func:`monotone_block_id` — literal cut points from one bounded
+  sample, NOT the physical partition id, which proved inconsistent
+  across plan subtrees), per-block running sum, plus a broadcast join
+  against the tiny per-block totals table cum-summed on the driver
+  side of the plan (N_blocks rows — the only single-partition window
+  touches that N-row table, never the data).  This is the textbook
+  scalable prefix-sum; a naive ``Window.orderBy(doc_id)`` with no
+  partitionBy would sort the whole corpus into ONE task and is exactly
+  what this implementation avoids.
 * Each document then knows which sequences it overlaps and emits one
   *fragment* per overlapped sequence (``slice`` of its token array —
   per-row, no re-tokenisation).  The single data shuffle is the
@@ -50,16 +52,94 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 EOS_TOKEN = "<eos>"
 
 
+def monotone_block_id(
+    df: DataFrame, order_col: str, blocks: int, *, sample_cap: int = 65536
+):
+    """Deterministic, data-derived block id for block-decomposed prefix
+    sums: monotone non-decreasing in *order_col* (binary/ANSI
+    ordering), identical in every plan subtree that evaluates it, and
+    approximately balanced.
+
+    Replaces the previous ``spark_partition_id()`` over
+    ``repartitionByRange`` scheme, which was silently WRONG whenever
+    the blocked DataFrame fed more than one plan subtree: exchange
+    reuse is an optimization, not a guarantee, and Spark's range
+    partitioner seeds its boundary sampler with the RDD id — two
+    executions of the "same" exchange draw DIFFERENT boundaries, the
+    per-row block ids and the per-block totals then disagree, and the
+    cum-sum join silently corrupts every offset. Caught by the round-5
+    24M-row campaign (trailing_zscore block≠window on every run once
+    the upstream plan held a broadcast join; 31/32 blocks had different
+    row counts between the two consumers of one DataFrame);
+    regression-pinned in tests/test_round5_fixes.py.
+
+    Mechanics: ONE bounded driver-side sampling job (hash-systematic
+    1-in-211 sample capped at *sample_cap*; small inputs collect whole
+    and the cuts are exact quantiles) freezes up to ``blocks - 1``
+    ascending cut points as plan LITERALS, and the returned Column is
+    a codegen sum of ``value >= cut`` comparisons. Cut quality affects
+    only block BALANCE — downstream prefix sums are exact under ANY
+    monotone cut, so a lopsided or partition-order-dependent sample
+    can never corrupt values (parallelism-invariance of consumers is
+    preserved). Timestamp/date order columns compare through
+    ``unix_micros``/``unix_date`` images; NULL order values land in
+    block 0 (Spark sorts NULLS FIRST ascending).
+    """
+    c = F.col(order_col)
+    dt = dict(df.dtypes)[order_col]
+    if dt.startswith("timestamp"):
+        v = F.unix_micros(c.cast("timestamp"))
+    elif dt == "date":
+        v = F.unix_date(c)
+    else:
+        v = c
+    if blocks <= 1:
+        return F.lit(0)
+    sample = [
+        r[0]
+        for r in df.select(v.alias("_v"))
+        .filter(F.pmod(F.xxhash64(F.col("_v")), F.lit(211)) == 0)
+        .limit(sample_cap)
+        .collect()
+        if r[0] is not None
+    ]
+    if len(sample) < 4 * blocks:
+        # small table (or ultra-low-cardinality order values): collect
+        # up to the cap directly — for tables under the cap the cuts
+        # are exact quantiles
+        sample = [
+            r[0]
+            for r in df.select(v.alias("_v")).limit(sample_cap).collect()
+            if r[0] is not None
+        ]
+    sample.sort()
+    cuts: list = []
+    for i in range(1, blocks):
+        if not sample:
+            break
+        cut = sample[(i * len(sample)) // blocks]
+        if not cuts or cut > cuts[-1]:
+            cuts.append(cut)
+    if not cuts:
+        return F.lit(0)
+    blk = F.lit(0)
+    for cut in cuts:
+        blk = blk + (v >= F.lit(cut)).cast("int")
+    return F.coalesce(blk, F.lit(0))
+
+
 def _global_offsets(df: DataFrame, n_col: str, order_col: str, parts: int) -> DataFrame:
     """Exact distributed prefix sum of *n_col* in *order_col* order.
 
     Adds ``g_start`` = sum of *n_col* over all rows strictly before
-    this one in *order_col* order.  Range-partition + local window +
-    broadcast of per-partition totals; no global sort, no driver
-    collect.
+    this one in *order_col* order.  Deterministic monotone block id
+    (:func:`monotone_block_id` — literal cut points, NOT the physical
+    partition id) + local window per block + broadcast of per-block
+    totals; no global sort, and the only driver traffic is the bounded
+    cut-point sample.
     """
-    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = df.withColumn(
+        "_pid", monotone_block_id(df, order_col, parts)
     )
     local = W.partitionBy("_pid").orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
     ranged = ranged.withColumn("_local_off", F.coalesce(F.sum(n_col).over(local), F.lit(0)))

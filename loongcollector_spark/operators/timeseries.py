@@ -65,16 +65,26 @@ def _per_key_prefix(
     order — the 0-based per-key row number) and ``_pfx_<c>`` (sum of
     column *c* over those prior rows) for each *c* in *sum_cols*.
 
-    Shape (packing._global_offsets generalized to per-key): range-
-    partition on (key, order) so block id is monotone within each key;
-    per-(block, key) running sums — a hot key splits across ALL blocks,
-    so no task sees more than ~1/blocks of it; the (block × key) totals
-    table (tiny: blocks · n_keys rows) cum-sums per key and broadcasts
-    back. Exactness does not depend on block sizes or boundaries.
+    Shape (packing._global_offsets generalized to per-key): blocks cut
+    on the FIRST order column by :func:`packing.monotone_block_id` —
+    deterministic literal cut points, so every subtree that evaluates
+    the block id agrees by construction (the physical-partition-id
+    version this replaced corrupted offsets whenever the two consumers
+    below re-executed the range exchange: Spark's range sampler is
+    seeded by RDD id — see monotone_block_id's docstring and the
+    regression pin in tests/test_round5_fixes.py). Ties on the first
+    order column share a block, so block id is monotone within each
+    key; per-(block, key) running sums — a hot key splits across ALL
+    blocks, so no task sees more than ~1/blocks of it; the
+    (block × key) totals table (tiny: blocks · n_keys rows) cum-sums
+    per key and broadcasts back. Exactness does not depend on block
+    sizes or boundaries — only balance does.
     """
-    ranged = df.repartitionByRange(
-        blocks, F.col(key_col), *[F.col(c) for c in order_cols]
-    ).withColumn("_blk", F.spark_partition_id())
+    from .packing import monotone_block_id
+
+    ranged = df.withColumn(
+        "_blk", monotone_block_id(df, order_cols[0], blocks)
+    )
     local = (
         W.partitionBy("_blk", key_col)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -85,7 +95,10 @@ def _per_key_prefix(
         out = out.withColumn(
             f"_loc_{c}", F.coalesce(F.sum(c).over(local), F.lit(0.0))
         )
-    totals = ranged.groupBy("_blk", key_col).agg(
+    # totals from the windowed frame (not the raw blocked frame) so the
+    # heavy (_blk, key) exchange is shared with the window when the
+    # optimizer reuses it — correctness no longer depends on that reuse
+    totals = out.groupBy("_blk", key_col).agg(
         F.count(F.lit(1)).alias("_tn"),
         *[F.sum(c).alias(f"_t_{c}") for c in sum_cols],
     )

@@ -188,7 +188,10 @@ def test_block_engine_plans_decompose_the_key(spark, sf_dir):
     assert not re.search(r"hashpartitioning\(user_id#\d+L?, \d+\)", rplan)
 
     zplan = plan_of(trailing_zscore(ev, engine="block"))
-    assert re.search(r"rangepartitioning\(event_type#\d+", zplan)  # block split
+    # block id is literal-cut codegen: no physical-partition-id (and so
+    # no cross-subtree inconsistency) and no range exchange anywhere
+    assert "SPARK_PARTITION_ID" not in zplan
+    assert "rangepartitioning" not in zplan
     assert re.search(r"hashpartitioning\(_blk#\d+", zplan)  # per-block window
     assert re.search(r"hashpartitioning\([^)]*_rn#\d+", zplan) or re.search(
         r"hashpartitioning\([^)]*_prn#\d+", zplan
