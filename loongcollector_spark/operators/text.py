@@ -335,9 +335,9 @@ def benchmark_contamination(
     """
     from .dedup import _kgram_arrow, _kgram_fold, _norm_text
 
-    def per_doc_grams(df):
+    def per_doc_grams(df, engine):
         norm = _norm_text(F.coalesce(F.col(text_col), F.lit("")))
-        if gram_engine == "arrow":
+        if engine == "arrow":
             grams = _kgram_arrow(norm, (n,), distinct=True, whole_fallback=True)
             return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
         tk = F.split(norm, " ")
@@ -348,11 +348,17 @@ def benchmark_contamination(
         ).otherwise(F.array_distinct(_kgram_fold(F.col("__tk"), n)))
         return d.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
+    # the EVAL side always uses the pure-Catalyst builder: it is
+    # broadcast-small by definition so the interpreted fold costs
+    # nothing, and python-eval nodes reset output partitioning — the
+    # arrow builder here would insert a shingle-valued exchange before
+    # the distinct that the codegen path provably avoids (plan-pinned:
+    # test_benchmark_contamination_broadcasts_bench)
     bench_grams = (
-        per_doc_grams(bench).select("shingle").distinct()
+        per_doc_grams(bench, "zipwith").select("shingle").distinct()
         .withColumn("__hit", F.lit(1))
     )
-    flagged = per_doc_grams(docs).join(
+    flagged = per_doc_grams(docs, gram_engine).join(
         F.broadcast(bench_grams), "shingle", "left"
     )
     return flagged.groupBy(id_col).agg(
