@@ -1155,7 +1155,7 @@ def source_overlap(
     source_col: str = "source",
     text_col: str = "text",
     k: int = 3,
-    gram_engine: str = "arrow",
+    gram_engine: str = "zipwith",
 ) -> DataFrame:
     """Pairwise n-gram overlap between corpus sources — the provenance
     analytics a mixture designer runs before weighting sources: two

@@ -34,7 +34,7 @@ def _gram_rows(
     target_pred: Column,
     id_col: str,
     text_col: str,
-    gram_engine: str = "arrow",
+    gram_engine: str = "zipwith",
 ) -> DataFrame:
     """``(id_col, __is_target, __g)`` rows: unigrams + bigrams of the
     normalized text, exploded.
@@ -107,7 +107,7 @@ def dsir_weights(
     text_col: str = "text",
     n_buckets: int = 4096,
     hash_mode: str = "xxhash64",
-    gram_engine: str = "arrow",
+    gram_engine: str = "zipwith",
 ) -> DataFrame:
     """Per-document DSIR importance log-weights.
 
