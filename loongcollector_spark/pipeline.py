@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from .operators import aggregate as agg_ops
 from .operators import enrich, filter as flt, geo, otel, parse, route as rt
+from .spl import compile_spl as _spl_compile
 
 ProcessorFn = Callable[..., DataFrame]
 
@@ -44,11 +45,15 @@ PROCESSORS: dict[str, ProcessorFn] = {
     # params like the reference
     # (plugins/processor/defaultone/processor_default.go:15-20)
     "default": lambda df, **_: df,
-    # processor_spl (core/plugin/processor/ProcessorSPL.h:26-48): run a
-    # query string against the in-flight event group — Spark SQL IS our
-    # SPL engine; the frame is exposed as the configurable view name
-    "spl": lambda df, query, view_name="spl_input": (
-        df.createOrReplaceTempView(view_name) or df.sparkSession.sql(query)
+    # processor_spl (core/plugin/processor/ProcessorSPL.h:26-48): run an
+    # SPL script against the in-flight event group. `script` (the
+    # reference's `Script` param) goes through the real SPL compiler
+    # (spl.py: pipe commands + Presto-dialect expressions → one Catalyst
+    # plan); `query` keeps the original raw-Spark-SQL escape hatch.
+    "spl": lambda df, script=None, query=None, view_name="spl_input", **kw: (
+        _spl_compile(df, script, **kw)
+        if script is not None
+        else (df.createOrReplaceTempView(view_name) or df.sparkSession.sql(query))
     ),
     "parse_regex": parse.parse_regex,
     "parse_grok": parse.parse_grok,

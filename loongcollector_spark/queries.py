@@ -5876,6 +5876,160 @@ QUERIES["sft_export"] = q_sft_export
 
 
 # ---------------------------------------------------------------- round-5
+# SPL compiler queries (spl.py): the reference's processor_spl runs SPL
+# scripts (pipe commands + Presto-dialect expressions) against event
+# groups (core/plugin/processor/ProcessorSPL.h:26-48, unittest surface
+# core/unittest/spl/spl.txt + SplUnittest.cpp). These queries run REAL
+# SPL script text through compile_spl so the driver verifies the whole
+# chain: tokenizer → command parser → expression translation → one
+# Catalyst plan, against hand-written DuckDB twins.
+
+# The docs example shape (docs/cn/plugins/processor/spl/
+# processor-spl-native.md): parse-regexp an access-log line, derive
+# fields with extend, filter, and project a stable column set.
+_SPL_RX = r'^(\S+) - - \[([^\]]+)\] "(\w+) ([^"]*) (\S+)" (\d+) (\d+)'
+_SPL_E2E_SCRIPT = f"""*
+| parse-regexp text, '{_SPL_RX}' as ip, time_local, method, path, protocol, status, body_bytes
+| where status = '500' or status = '404'
+| extend body_kb = cast(body_bytes as double) / 1024.0, item_id = cast(regexp_extract(path, '/item/(\\d+)', 1) as bigint)
+| extend sev = if(status = '500', 'error', 'redirect_or_miss')
+| project conv_id, turn_idx, ip, method, path, status, body_kb, item_id, sev
+"""
+
+
+def q_spl_endtoend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL script end-to-end: parse-regexp → where → extend → project
+    compiled to one Catalyst plan (spl.py; ProcessorSPL.cpp:69,122)."""
+    from .spl import compile_spl
+
+    tx = load_transcripts(spark, sf_dir)
+    return compile_spl(tx, _SPL_E2E_SCRIPT)
+
+
+ORACLES["spl_endtoend"] = f"""
+    WITH transcripts AS ({_TX}),
+    p AS (
+      SELECT conv_id, turn_idx,
+             regexp_extract(text, '{_SPL_RX}', 1) AS ip,
+             regexp_extract(text, '{_SPL_RX}', 3) AS method,
+             regexp_extract(text, '{_SPL_RX}', 4) AS path,
+             regexp_extract(text, '{_SPL_RX}', 6) AS status,
+             regexp_extract(text, '{_SPL_RX}', 7) AS body_bytes
+      FROM transcripts
+      WHERE regexp_matches(text, '{_SPL_RX}')
+    )
+    SELECT conv_id, turn_idx, ip, method, path, status,
+           cast(body_bytes AS DOUBLE) / 1024.0 AS body_kb,
+           cast(regexp_extract(path, '/item/(\\d+)', 1) AS BIGINT) AS item_id,
+           CASE WHEN status = '500' THEN 'error'
+                ELSE 'redirect_or_miss' END AS sev
+    FROM p WHERE status = '500' OR status = '404'
+"""
+
+
+# Function-translation breadth over the kv dialect: parse-kv (str_to_map,
+# keys via the known_keys static-schema fast path), string/number/datetime
+# functions from the Presto dialect (spl.txt extend cases).
+_SPL_FUNC_SCRIPT = """*
+| where text like 'level=%'
+| parse-kv -delims=' ' text
+| extend svc_up = upper(svc), code_i = cast(code as integer)
+| extend dur_ms = cast(regexp_extract(dur, '(\\d+)', 1) as bigint)
+| extend day = date_format(ts, '%Y-%m-%d'), epoch = cast(to_unixtime(ts) as bigint)
+| extend svc_id = split_part(svc, '-', 2)
+| where code_i >= 500
+| project conv_id, turn_idx, svc_up, code_i, dur_ms, day, epoch, svc_id
+"""
+_SPL_KV_KEYS = ["code", "dur", "level", "logNo", "svc"]
+
+
+def q_spl_extend_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL Presto-dialect function surface (upper/cast/regexp_extract/
+    date_format %-formats/to_unixtime/split_part) compiled via spl.py."""
+    from .spl import compile_spl
+
+    tx = load_transcripts(spark, sf_dir)
+    return compile_spl(tx, _SPL_FUNC_SCRIPT, known_keys={"text": _SPL_KV_KEYS})
+
+
+ORACLES["spl_extend_funcs"] = f"""
+    WITH transcripts AS ({_TX}),
+    kv AS (
+      SELECT conv_id, turn_idx, ts,
+             regexp_extract(text, 'svc=(\\S+)', 1) AS svc,
+             regexp_extract(text, 'code=(\\S+)', 1) AS code,
+             regexp_extract(text, 'dur=(\\S+)', 1) AS dur
+      FROM transcripts WHERE text LIKE 'level=%'
+    )
+    SELECT conv_id, turn_idx, upper(svc) AS svc_up,
+           cast(code AS INTEGER) AS code_i,
+           cast(regexp_extract(dur, '(\\d+)', 1) AS BIGINT) AS dur_ms,
+           strftime(ts, '%Y-%m-%d') AS day,
+           cast(floor(epoch(ts)) AS BIGINT) AS epoch,
+           split_part(svc, '-', 2) AS svc_id
+    FROM kv WHERE cast(code AS INTEGER) >= 500
+"""
+
+
+# Multi-dataset .let form (SplUnittest.cpp TestMultiParse): two parse
+# branches over one scan, emitted datasets union by name with missing
+# columns null-filled. Key sets discovered via the bounded JVM inference
+# path (json_object_keys / map_keys) — the dynamic-schema mode.
+_SPL_MULTI_SCRIPT = """.let src = * | where mod(turn_idx, 2) = 0;
+.let kvds = $src | where text like 'level=%' | parse-kv text
+  | project conv_id, turn_idx, level, svc, code;
+$kvds;
+.let jsds = $src | where text like '{%' | parse-json text
+  | project conv_id, turn_idx, level, msg, log_no = logNo;
+$jsds;
+"""
+
+
+def q_spl_multi_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL .let multi-dataset pipeline (SplUnittest.cpp:562-571):
+    branch, parse per-branch, emit both; union-by-name output. The
+    null-filled union columns are normalised to '' for the driver's
+    value-hash compare (unit tests pin the raw NULL semantics)."""
+    from .spl import compile_spl
+
+    tx = load_transcripts(spark, sf_dir)
+    return compile_spl(tx, _SPL_MULTI_SCRIPT).na.fill("")
+
+
+ORACLES["spl_multi_dataset"] = f"""
+    WITH transcripts AS ({_TX}),
+    src AS (SELECT * FROM transcripts WHERE mod(turn_idx, 2) = 0),
+    kv AS (
+      SELECT conv_id, turn_idx,
+             regexp_extract(text, 'level=(\\S+)', 1) AS level,
+             regexp_extract(text, 'svc=(\\S+)', 1) AS svc,
+             regexp_extract(text, 'code=(\\S+)', 1) AS code
+      FROM src WHERE text LIKE 'level=%'
+    ),
+    js AS (
+      SELECT conv_id, turn_idx,
+             json_extract_string(text, '$.level') AS level,
+             json_extract_string(text, '$.msg') AS msg,
+             json_extract_string(text, '$.logNo') AS log_no
+      FROM src WHERE text LIKE '{{%'
+    )
+    SELECT conv_id, turn_idx, coalesce(level, '') AS level,
+           coalesce(svc, '') AS svc, coalesce(code, '') AS code,
+           '' AS msg, '' AS log_no
+    FROM kv
+    UNION ALL
+    SELECT conv_id, turn_idx, coalesce(level, '') AS level, '' AS svc,
+           '' AS code, coalesce(msg, '') AS msg,
+           coalesce(log_no, '') AS log_no
+    FROM js
+"""
+
+QUERIES["spl_endtoend"] = q_spl_endtoend
+QUERIES["spl_extend_funcs"] = q_spl_extend_funcs
+QUERIES["spl_multi_dataset"] = q_spl_multi_dataset
+
+
+# ---------------------------------------------------------------- round-5
 # driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
 # "Round-5 prep").
 #
@@ -5915,7 +6069,12 @@ _DRIVER_FIRST_R5_SESSION5 = [
 ]
 
 # New round-5 registrations (must be driver-checked this round).
-_DRIVER_FIRST_R5_NEW: list[str] = ["sft_export"]
+_DRIVER_FIRST_R5_NEW: list[str] = [
+    "sft_export",
+    "spl_endtoend",
+    "spl_extend_funcs",
+    "spl_multi_dataset",
+]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
 # pad the window to exactly 50.

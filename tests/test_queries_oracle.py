@@ -15,7 +15,10 @@ def _norm(v):
 
 def _rows_to_multiset(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    # repr-keyed sort is total even with NULLs / mixed columns
+    return sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in rows), key=repr
+    )
 
 
 @pytest.fixture(scope="module")
