@@ -6030,6 +6030,217 @@ QUERIES["spl_multi_dataset"] = q_spl_multi_dataset
 
 
 # ---------------------------------------------------------------- round-5
+# sink wire formats beyond SLS/OTLP (SURVEY §2.8's "other sinks" row):
+# Prometheus remote-write (prompb protobuf + snappy block framing), Loki
+# push JSON, Elasticsearch _bulk NDJSON — each exercised encode→decode
+# over real rows, same contract as sls_wire_roundtrip / otlp_wire_spans.
+# All three bound to the deterministic 1-in-8 conversation bucket: the
+# codecs are pure Python and losslessness is volume-independent.
+
+
+def _wire_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import _md5_long
+
+    return (
+        load_transcripts(spark, sf_dir)
+        .filter(_md5_long(F.col("conv_id")) % 8 == 0)
+        .repartition(spark.sparkContext.defaultParallelism, "conv_id")
+    )
+
+
+def q_prom_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote-write wire round-trip (flusher_prometheus,
+    plugins/flusher/prometheus: snappy(prompb.WriteRequest) bodies).
+    Every bucketed turn becomes one single-sample TimeSeries
+    (metric turn_chars, labels role/tool, value=len(text), ts in ms);
+    the blobs decode back through the full wire walk (sources/
+    prom_wire.py, incl. the snappy block decoder) and the decoded
+    samples aggregate per (role, tool) — counts and exact sums must
+    match DuckDB over the parquet."""
+    from .sources.prom_wire import decode_write_request, serialize_remote_write
+
+    rows = _wire_bucket(spark, sf_dir).select(
+        "role",
+        "tool",
+        F.length(F.coalesce("text", F.lit(""))).cast("double").alias("chars"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    blobs = serialize_remote_write(
+        rows,
+        metric_name="turn_chars",
+        value_key="chars",
+        time_ms_key="ts_ms",
+        label_keys=["role", "tool"],
+        max_series=256,
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for blob in pdf["value"]:
+                for s in decode_write_request(bytes(blob)):
+                    val, ts_ms = s["samples"][0]
+                    recs.append(
+                        (s["labels"]["role"], s["labels"]["tool"], val, ts_ms)
+                    )
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["role", "tool", "value", "ts_ms"]
+                )
+
+    decoded = blobs.mapInPandas(
+        decode, schema="role string, tool string, value double, ts_ms long"
+    )
+    return decoded.groupBy("role", "tool").agg(
+        F.count("*").alias("n_samples"),
+        F.sum("value").alias("sum_chars"),
+        F.sum("ts_ms").alias("sum_ts_ms"),
+    )
+
+
+ORACLES["prom_wire_roundtrip"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT role, tool, count(*) AS n_samples,
+           CAST(sum(length(coalesce(text, ''))) AS DOUBLE) AS sum_chars,
+           CAST(sum(epoch_ms(ts)) AS BIGINT) AS sum_ts_ms
+    FROM transcripts
+    WHERE {_MD5L.format(x="conv_id")} % 8 = 0
+    GROUP BY role, tool
+"""
+
+
+def q_loki_push_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loki push-API round-trip (flusher_loki,
+    plugins/flusher/loki/flusher_loki.go:53-164): routed rows become
+    push payloads with labelsets {job, sink, role} and ns-precision
+    values; payloads decode back (sources/loki_push.py) and aggregate
+    per (sink, role)."""
+    from .operators.dedup import _md5_long
+    from .sources.loki_push import decode_loki_push, serialize_loki_push
+
+    routed = (
+        _routed(spark, sf_dir)
+        .filter(_md5_long(F.col("conv_id")) % 8 == 0)
+        .select(
+            "sink",
+            "role",
+            "text",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "sink")
+    )
+    payloads = serialize_loki_push(
+        routed,
+        line_key="text",
+        time_ns_key="ts_ns",
+        label_keys=["sink", "role"],
+        static_labels={"job": "loongcollector"},
+        max_entries=512,
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for payload in pdf["value"]:
+                for labels, ts_ns, line in decode_loki_push(payload):
+                    recs.append(
+                        (labels["sink"], labels["role"], ts_ns, len(line))
+                    )
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["sink", "role", "ts_ns", "chars"]
+                )
+
+    decoded = payloads.mapInPandas(
+        decode, schema="sink string, role string, ts_ns long, chars long"
+    )
+    return decoded.groupBy("sink", "role").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("chars").alias("sum_text_chars"),
+        F.min("ts_ns").alias("min_ts_ns"),
+        F.max("ts_ns").alias("max_ts_ns"),
+    )
+
+
+ORACLES["loki_push_roundtrip"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT {_ROUTE_CASE} AS sink, role, count(*) AS n_lines,
+           CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_text_chars,
+           CAST(min(epoch_ns(ts)) AS BIGINT) AS min_ts_ns,
+           CAST(max(epoch_ns(ts)) AS BIGINT) AS max_ts_ns
+    FROM transcripts
+    WHERE {_MD5L.format(x="conv_id")} % 8 = 0
+    GROUP BY 1, 2
+"""
+
+
+def q_es_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch _bulk round-trip (flusher_elasticsearch,
+    plugins/flusher/elasticsearch/flusher_elasticsearch.go:188-218):
+    dynamic ``lc-%{role}`` index names (fmtstr.FormatIndex convention),
+    JVM-rendered docs, NDJSON bodies decoded back and aggregated per
+    index."""
+    from .sources.es_bulk import decode_es_bulk, serialize_es_bulk
+
+    rows = _wire_bucket(spark, sf_dir).select("role", "conv_id", "turn_idx", "text")
+    bodies = serialize_es_bulk(
+        rows, index_format="lc-%{role}", doc_keys=["conv_id", "turn_idx", "text"],
+        max_docs=512,
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for body in pdf["value"]:
+                for idx, doc in decode_es_bulk(body):
+                    recs.append(
+                        (
+                            idx,
+                            doc["conv_id"],
+                            int(doc["turn_idx"]),
+                            len(doc.get("text") or ""),
+                        )
+                    )
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["es_index", "conv_id", "turn_idx", "chars"]
+                )
+
+    decoded = bodies.mapInPandas(
+        decode,
+        schema="es_index string, conv_id string, turn_idx long, chars long",
+    )
+    return decoded.groupBy("es_index").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("chars").alias("sum_text_chars"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.sum("turn_idx").alias("sum_turn_idx"),
+    )
+
+
+ORACLES["es_bulk_roundtrip"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT concat('lc-', role) AS es_index, count(*) AS n_docs,
+           CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_text_chars,
+           count(DISTINCT conv_id) AS n_convs,
+           CAST(sum(turn_idx) AS BIGINT) AS sum_turn_idx
+    FROM transcripts
+    WHERE {_MD5L.format(x="conv_id")} % 8 = 0
+    GROUP BY 1
+"""
+
+QUERIES["prom_wire_roundtrip"] = q_prom_wire_roundtrip
+QUERIES["loki_push_roundtrip"] = q_loki_push_roundtrip
+QUERIES["es_bulk_roundtrip"] = q_es_bulk_roundtrip
+
+
+# ---------------------------------------------------------------- round-5
 # driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
 # "Round-5 prep").
 #
@@ -6074,6 +6285,9 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "spl_endtoend",
     "spl_extend_funcs",
     "spl_multi_dataset",
+    "prom_wire_roundtrip",
+    "loki_push_roundtrip",
+    "es_bulk_roundtrip",
 ]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
