@@ -1256,3 +1256,123 @@ def source_overlap(
             / F.least(F.col("grams_a"), F.col("grams_b"))
         ).alias("containment"),
     )
+
+
+# ----------------------------------------------------------- winnowing
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash the
+    word *k*-grams, slide a window of *w* consecutive gram hashes, and
+    select each window's minimum (rightmost occurrence on ties). The
+    guarantee: any match of at least w+k-1 tokens shares a fingerprint;
+    expected density 2/(w+1).
+
+    Spark-first shape: ONE window partitioned by document — the
+    rightmost-min-of-window argmin is a single ``min(struct(h, -pos))``
+    over ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` (struct
+    ordering gives the tie-break for free), so a corpus pass costs one
+    doc-keyed exchange + sort, then a distinct on the selected
+    (doc, pos, hash) triples. No all-pairs, no Python.
+
+    Docs with fewer than w full windows still emit fingerprints (the
+    single all-grams window); docs shorter than *k* tokens contribute
+    their whole normalized text as one gram (the shingles() fallback).
+    ``hash_mode='md5'`` is the engine-portable oracle kernel;
+    ``'xxhash64'`` the one-JVM-hash production path.
+
+    Returns one row per fingerprint: (id_col, fp_pos, fp_hash).
+    """
+    toks = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("__p0", "__gram"))
+    h = (
+        _md5_long(F.col("__gram"))
+        if hash_mode == "md5"
+        else F.xxhash64(F.col("__gram"))
+    )
+    pos = (F.col("__p0") + 1).alias("__pos")
+    g = g.select(id_col, pos, h.alias("__h"))
+    win = W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    part = W.partitionBy(id_col)
+    sel = F.min(F.struct(F.col("__h").alias("h"), (-F.col("__pos")).alias("np")))
+    g = g.select(
+        id_col,
+        "__pos",
+        sel.over(win).alias("__sel"),
+        F.count("*").over(part).alias("__n"),
+    )
+    # full windows only (plus the single short-doc window at pos 1)
+    g = g.filter(
+        F.col("__pos") <= F.greatest(F.col("__n") - (w - 1), F.lit(1))
+    )
+    return g.select(
+        F.col(id_col),
+        (-F.col("__sel.np")).alias("fp_pos"),
+        F.col("__sel.h").alias("fp_hash"),
+    ).distinct()
+
+
+def winnowing_pairs(
+    fps: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_bucket: int = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowing
+    fingerprints — the MOSS match step, banded-LSH style: join docs
+    through the fingerprint-hash buckets, never all-pairs. Buckets
+    with more than *max_bucket* distinct docs are dropped
+    deterministically (shared boilerplate saturates them; same cap
+    discipline as the LSH ops — mirror the HAVING in any oracle).
+
+    Returns (doc_a, doc_b, n_shared, n_a, n_b, containment) where
+    containment = shared fingerprint hashes / the smaller doc's
+    distinct fingerprint hashes.
+    """
+    dh = fps.select(F.col(id_col).alias("__doc"), "fp_hash").distinct()
+    totals = dh.groupBy("__doc").agg(F.count("*").cast("long").alias("__n_fp"))
+    ok = (
+        dh.groupBy("fp_hash")
+        .agg(F.countDistinct("__doc").alias("__b"))
+        .filter(F.col("__b") <= max_bucket)
+        .select("fp_hash")
+    )
+    kept = dh.join(ok, "fp_hash")
+    a = kept.select(F.col("fp_hash"), F.col("__doc").alias("doc_a"))
+    b = kept.select(F.col("fp_hash"), F.col("__doc").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    ta = totals.select(F.col("__doc").alias("doc_a"), F.col("__n_fp").alias("n_a"))
+    tb = totals.select(F.col("__doc").alias("doc_b"), F.col("__n_fp").alias("n_b"))
+    out = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        (F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))).alias(
+            "containment"
+        ),
+    )

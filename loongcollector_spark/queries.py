@@ -6240,6 +6240,80 @@ QUERIES["loki_push_roundtrip"] = q_loki_push_roundtrip
 QUERIES["es_bulk_roundtrip"] = q_es_bulk_roundtrip
 
 
+def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup pairs over documents
+    (operators/dedup.py:winnowing_fingerprints/_pairs): k=5 word-gram
+    hashes, w=4 windows, rightmost-min selection via ONE
+    min(struct(h, -pos)) window; pairs join through fingerprint-hash
+    buckets (≤50 docs each), never all-pairs."""
+    from .operators.dedup import winnowing_fingerprints, winnowing_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = winnowing_fingerprints(docs, k=5, w=4, hash_mode="md5")
+    return winnowing_pairs(fps, max_bucket=50, min_shared=2)
+
+
+ORACLES["winnowing_dedup"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(
+        trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS tk
+      FROM documents
+    ),
+    gpos AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1,
+               CASE WHEN len(tk) >= 5 THEN len(tk) - 4 ELSE 1 END)) AS pos
+      FROM toks
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             CASE WHEN len(tk) >= 5
+                  THEN array_to_string(tk[pos:pos+4], ' ')
+                  ELSE array_to_string(tk, ' ') END AS gram
+      FROM gpos
+    ),
+    h AS (
+      SELECT doc_id, pos, {_MD5L.format(x="gram")} AS hv FROM g
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             min({{'h': hv, 'np': -pos}}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM h
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, sel['h'] AS fp_hash
+      FROM s WHERE pos <= greatest(n - 3, 1)
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id
+    ),
+    ok AS (
+      SELECT fp_hash FROM fp GROUP BY fp_hash
+      HAVING count(DISTINCT doc_id) <= 50
+    ),
+    kept AS (SELECT fp.* FROM fp JOIN ok USING (fp_hash)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared, ta.n_fp AS n_a, tb.n_fp AS n_b,
+           CAST(p.n_shared AS DOUBLE) / least(ta.n_fp, tb.n_fp)
+             AS containment
+    FROM p
+    JOIN tot ta ON ta.doc_id = p.doc_a
+    JOIN tot tb ON tb.doc_id = p.doc_b
+"""
+
+QUERIES["winnowing_dedup"] = q_winnowing_dedup
+
+
 # ---------------------------------------------------------------- round-5
 # driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
 # "Round-5 prep").
@@ -6288,6 +6362,7 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "prom_wire_roundtrip",
     "loki_push_roundtrip",
     "es_bulk_roundtrip",
+    "winnowing_dedup",
 ]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
