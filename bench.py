@@ -170,6 +170,15 @@ HEADLINE = [
     "conv_contamination",
     "conv_windows",
     "rm_pairs",
+    # round-5 additions
+    "sft_export",
+    "spl_endtoend",
+    "spl_extend_funcs",
+    "spl_multi_dataset",
+    "prom_wire_roundtrip",
+    "loki_push_roundtrip",
+    "es_bulk_roundtrip",
+    "winnowing_dedup",
 ]
 
 

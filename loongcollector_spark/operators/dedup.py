@@ -271,15 +271,20 @@ def segment_dedup(
 def shingles(
     df: DataFrame, text_col: str = "text", k: int = 5, dest: str = "shingles"
 ) -> DataFrame:
-    """Word k-shingles as an array column (JVM-side: split + transform +
-    slice; no Python)."""
-    toks = F.split(_norm_text(F.col(text_col)), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    """Word k-shingles as an array column (JVM-side, no Python).
+
+    HOF discipline: the token array materializes as a column FIRST and
+    grams build via ``_kgram_fold`` (zip_with over top-level slices) —
+    the previous ``transform(idx, i -> slice(toks, ...))`` shape
+    re-evaluated the normalize-regex + split subtree once per shingle
+    (the dsir._gram_rows lesson; caught again by the round-5 winnowing
+    campaign, 12-min-stuck → 65 s after the rewrite)."""
+    out = df.withColumn("__tk", F.split(_norm_text(F.col(text_col)), " "))
+    tk = F.col("__tk")
+    sh = F.when(F.size(tk) >= k, _kgram_fold(tk, k)).otherwise(
+        F.array(F.concat_ws(" ", tk))
     )
-    return df.withColumn(dest, F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+    return out.withColumn(dest, sh).drop("__tk")
 
 
 def minhash_signatures(
@@ -1292,14 +1297,23 @@ def winnowing_fingerprints(
 
     Returns one row per fingerprint: (id_col, fp_pos, fp_hash).
     """
-    toks = F.split(_norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    g = df.select(F.col(id_col), F.posexplode(grams).alias("__p0", "__gram"))
+    # HOF discipline (the dsir._gram_rows lesson, NOTES.md): materialize
+    # the token array FIRST, build grams with _kgram_fold (zip_with over
+    # top-level slices; lambdas touch only lambda vars) — a transform
+    # whose lambda slices the outer split(norm(text)) expression re-runs
+    # the normalization regex once PER GRAM (measured: 2M-doc campaign
+    # leg went from stuck-at-12-min to seconds after this rewrite).
+    base = df.select(
+        F.col(id_col),
+        F.split(
+            _norm_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("__tk"),
+    )
+    tk = F.col("__tk")
+    grams = F.when(F.size(tk) >= k, _kgram_fold(tk, k)).otherwise(
+        F.array(F.concat_ws(" ", tk))
+    )
+    g = base.select(F.col(id_col), F.posexplode(grams).alias("__p0", "__gram"))
     h = (
         _md5_long(F.col("__gram"))
         if hash_mode == "md5"

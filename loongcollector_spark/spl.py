@@ -752,6 +752,11 @@ class _Ctx:
 
 def _discover_keys(df: DataFrame, keys_col: Column, ctx: _Ctx, what: str) -> list[str]:
     """Bounded JVM key discovery (schema inference; one small job)."""
+    if df.isStreaming:
+        raise SPLError(
+            f"{what}: key inference needs a batch input — pass known_keys "
+            "for streaming frames (the static-schema fast path)"
+        )
     rows = (
         df.select(F.explode(keys_col).alias("k"))
         .where(F.col("k").isNotNull())

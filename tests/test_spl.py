@@ -492,6 +492,40 @@ def test_errors(spark):
         compile_spl(df, "* | extend a = hmac_md5(id, id)")
 
 
+def test_streaming_compatibility(spark, tmp_path):
+    # narrow SPL scripts compile onto streaming frames unchanged; the
+    # same script over the same rows matches the batch twin row-for-row
+    src = tmp_path / "in"
+    rows = [(f"c{i}", f"k={i} v=x{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["conv_id", "text"])
+    df.write.mode("overwrite").parquet(str(src))
+    script = (
+        r"* | parse-kv -delims=' ' text"
+        " | where cast(k as integer) >= 10 | extend tag = upper(v)"
+        " | project conv_id, k, tag"
+    )
+    keys = {"text": ["k", "v"]}
+    batch = compile_spl(spark.read.parquet(str(src)), script, known_keys=keys)
+    stream_in = spark.readStream.schema("conv_id string, text string").parquet(
+        str(src)
+    )
+    out = compile_spl(stream_in, script, known_keys=keys)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("spl_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM spl_stream").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch.collect()))
+    assert len(got) == 10
+    # inference on a streaming frame refuses with a clear message
+    with pytest.raises(SPLError, match="known_keys"):
+        compile_spl(stream_in, "* | parse-kv -delims=' ' text")
+
+
 def test_pipe_inside_string_and_concat_not_split(spark):
     # '|' inside a regex literal and '||' concat must not split commands
     df = spark.createDataFrame([("a|b",)], ["c"])
