@@ -201,20 +201,41 @@ def serialize_remote_write(
     spreads across cores; scale cost is the flusher's, not the query
     plan's (same contract as serialize_sls_loggroups).
     """
+    # hot-loop precomputation: label NAMES are fixed per call, so their
+    # wire prefixes and the spec's sorted order compute once, not per row
+    names = ["__name__"] + list(label_keys)
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    name_pfx = [w.write_string_field(1, n) for n in names]
+    metric_lbl = w.write_len_delimited(
+        1, name_pfx[0] + w.write_string_field(2, metric_name)
+    )
+
     def to_requests(batches):
         import pandas as pd
 
         for pdf in batches:
             blobs: list[bytes] = []
             series: list[bytes] = []
-            for row in pdf.itertuples(index=False):
-                d = row._asdict()
-                labels = [("__name__", metric_name)] + [
-                    (k, "" if d[k] is None else str(d[k])) for k in label_keys
+            label_cols = [pdf[k] for k in label_keys]
+            for val, ts_ms, *lvals in zip(
+                pdf[value_key], pdf[time_ms_key], *label_cols
+            ):
+                vals = [metric_name] + [
+                    "" if v is None else str(v) for v in lvals
                 ]
-                val = float(d[value_key]) if d[value_key] is not None else 0.0
-                ts_ms = int(d[time_ms_key]) if d[time_ms_key] is not None else 0
-                series.append(encode_timeseries(labels, [(val, ts_ms)]))
+                body = b"".join(
+                    metric_lbl
+                    if i == 0
+                    else w.write_len_delimited(
+                        1, name_pfx[i] + w.write_string_field(2, vals[i])
+                    )
+                    for i in order
+                )
+                sample = encode_sample(
+                    float(val) if val is not None else 0.0,
+                    int(ts_ms) if ts_ms is not None else 0,
+                )
+                series.append(body + w.write_len_delimited(2, sample))
                 if len(series) >= max_series:
                     blobs.append(snappy_compress(encode_write_request(series)))
                     series = []
