@@ -461,6 +461,32 @@ def test_docs_example_end_to_end(spark):
     assert out.browser == "aliyun-sdk-java"
 
 
+def test_reference_timestamp_script(spark):
+    # SplUnittest.cpp:658 verbatim: parse-json → date_parse with a 'T'
+    # literal in the %-format → epoch cast with tz offset arithmetic →
+    # project-away without spaces around the pipes
+    df = spark.createDataFrame(
+        [('{"time":"2024-01-02T03:04:05","msg":"m1"}',)], ["content"]
+    )
+    script = (
+        "* | parse-json content | extend ts=date_parse(time, "
+        "'%Y-%m-%dT%H:%i:%S')| extend __time__=cast(to_unixtime(ts) as "
+        "INTEGER)-28800| project-away ts| project-away content"
+    )
+    out = compile_spl(df, script, known_keys={"content": ["time", "msg"]})
+    row = out.collect()[0]
+    assert out.columns == ["time", "msg", "__time__"]
+    # 2024-01-02T03:04:05 UTC = 1704164645; minus the script's 28800
+    assert row["__time__"] == 1704164645 - 28800
+    assert row.msg == "m1"
+
+
+def test_rename_without_spaces(spark):
+    df = spark.createDataFrame([(1,)], ["a1"])
+    out = compile_spl(df, '* | project-rename "__tag__:taiye2"=a1')
+    assert out.columns == ["__tag__:taiye2"]
+
+
 def test_single_plan_no_exchange_for_narrow_script(spark):
     # narrow commands compile to ONE stage: no shuffle in the plan
     df = spark.range(100).select(
