@@ -175,6 +175,7 @@ HEADLINE = [
     "spl_endtoend",
     "spl_extend_funcs",
     "spl_multi_dataset",
+    "spl_stats",
     "prom_wire_roundtrip",
     "loki_push_roundtrip",
     "es_bulk_roundtrip",

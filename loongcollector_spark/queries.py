@@ -6029,6 +6029,38 @@ QUERIES["spl_extend_funcs"] = q_spl_extend_funcs
 QUERIES["spl_multi_dataset"] = q_spl_multi_dataset
 
 
+# stats instruction: the aggregate SPL form (public SLS SPL instruction
+# set) — groupBy compiled from `by`, aggregates through the Presto
+# dialect. One scan, map-side partial aggregation, shuffle on the keys.
+_SPL_STATS_SCRIPT = """*
+| where tool != 'none'
+| stats count(*) as n_turns, sum(turn_idx) as sum_turn,
+        avg(length(text)) as avg_chars, min(ts) as first_ts by role, tool
+| sort by role, tool
+"""
+
+
+def q_spl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL stats aggregation compiled via spl.py (one groupBy plan)."""
+    from .spl import compile_spl
+
+    tx = load_transcripts(spark, sf_dir)
+    return compile_spl(tx, _SPL_STATS_SCRIPT)
+
+
+ORACLES["spl_stats"] = f"""
+    WITH transcripts AS ({_TX})
+    SELECT role, tool, count(*) AS n_turns,
+           CAST(sum(turn_idx) AS BIGINT) AS sum_turn,
+           avg(length(text)) AS avg_chars,
+           min(ts) AS first_ts
+    FROM transcripts WHERE tool != 'none'
+    GROUP BY role, tool ORDER BY role, tool
+"""
+
+QUERIES["spl_stats"] = q_spl_stats
+
+
 # ---------------------------------------------------------------- round-5
 # sink wire formats beyond SLS/OTLP (SURVEY §2.8's "other sinks" row):
 # Prometheus remote-write (prompb protobuf + snappy block framing), Loki
@@ -6359,6 +6391,7 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "spl_endtoend",
     "spl_extend_funcs",
     "spl_multi_dataset",
+    "spl_stats",
     "prom_wire_roundtrip",
     "loki_push_roundtrip",
     "es_bulk_roundtrip",

@@ -20,7 +20,8 @@ surface exercised by the reference's own tests
                 | parse-csv [-delim=','] [-quote='"'] [-strict] col as k1, ...
                 | parse-kv [-delims='=,'] [-kv-sep='='] [-prefix='p']
                            [-mode='overwrite'|'preserve'] col
-                | limit n
+                | stats agg [as name] [, ...] [by col [, col]*]
+                | limit n | head n
                 | sort by col [asc|desc] [, col [asc|desc]]*
 
 This compiler is Spark-first, NOT an engine port: every command becomes a
@@ -235,6 +236,8 @@ _RENAME = {
     "bitwise_arithmetic_shift_right": "shiftright",
     "bitwise_right_shift_arithmetic": "shiftright",
     "date": "to_date",
+    "approx_distinct": "approx_count_distinct",
+    "arbitrary": "any_value",
 }
 
 _UNSUPPORTED = {
@@ -714,6 +717,48 @@ def _split_assign(item: str) -> tuple[str, str]:
     return name, m.group(2).strip()
 
 
+def _split_keyword(rest: str, kw: str) -> tuple[str, str | None]:
+    """Split on the LAST top-level *kw* keyword (quote- AND paren-aware,
+    so ``cast(x as integer)`` never splits a ``stats ... as alias``)."""
+    in_sq = in_dq = False
+    depth = 0
+    i, n, klen = 0, len(rest), len(kw)
+    found = None
+    while i < n:
+        c = rest[i]
+        if in_sq:
+            if c == "'":
+                if i + 1 < n and rest[i + 1] == "'":
+                    i += 2
+                    continue
+                in_sq = False
+        elif in_dq:
+            if c == '"':
+                in_dq = False
+        elif c == "'":
+            in_sq = True
+        elif c == '"':
+            in_dq = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and rest[i : i + klen].lower() == kw
+            and (i == 0 or not (rest[i - 1].isalnum() or rest[i - 1] == "_"))
+            and (
+                i + klen >= n
+                or not (rest[i + klen].isalnum() or rest[i + klen] == "_")
+            )
+        ):
+            found = i
+        i += 1
+    if found is None:
+        return rest, None
+    return rest[:found].rstrip(), rest[found + klen :].strip()
+
+
 def _split_as(rest: str) -> tuple[str, str | None]:
     """Split 'args AS k1, k2' on a top-level AS keyword (quote-aware)."""
     in_sq = in_dq = False
@@ -883,6 +928,28 @@ def _cmd_limit(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
     return df.limit(n)
 
 
+def _cmd_stats(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
+    """``stats agg [as name][, ...] [by col[, col...]]`` — the SPL
+    aggregation instruction (public SLS SPL instruction set; the
+    reference's embedded engine evaluates the same language). Aggregates
+    translate through the Presto dialect (count(*)/sum/avg/min/max/
+    approx_distinct→approx_count_distinct/...)."""
+    head, by_part = _split_keyword(rest, "by")
+    aggs: list[Column] = []
+    for item in _split_top_text(head):
+        expr, alias = _split_keyword(item, "as")
+        col = _expr_col(expr)
+        if alias is not None:
+            col = col.alias(_ident_of(alias))
+        aggs.append(col)
+    if not aggs:
+        raise SPLError("stats needs at least one aggregate expression")
+    if by_part:
+        keys = [F.col(_ident_of(c)) for c in _split_top_text(by_part)]
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
 def _cmd_sort(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
     rest = re.sub(r"^\s*by\b", "", rest, flags=re.IGNORECASE).strip()
     order: list[Column] = []
@@ -1015,7 +1082,9 @@ _COMMANDS: dict[str, Callable[[DataFrame, str, _Ctx], DataFrame]] = {
     "parse-json": _cmd_parse_json,
     "parse-kv": _cmd_parse_kv,
     "parse-csv": _cmd_parse_csv,
+    "stats": _cmd_stats,
     "limit": _cmd_limit,
+    "head": _cmd_limit,
     "sort": _cmd_sort,
 }
 

@@ -461,6 +461,27 @@ def test_docs_example_end_to_end(spark):
     assert out.browser == "aliyun-sdk-java"
 
 
+def test_stats_command(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)], ["k", "v", "w"]
+    )
+    out = compile_spl(
+        df,
+        "* | stats count(*) as n, sum(v) as sv, avg(w) as aw by k | sort by k",
+    ).collect()
+    assert [tuple(r) for r in out] == [("a", 2, 3, 15.0), ("b", 1, 3, 30.0)]
+    # global (no by): one row; cast-with-as inside an aggregate must not
+    # be mistaken for the alias keyword
+    g = compile_spl(
+        df, "* | stats sum(cast(v as double)) as total, approx_distinct(k) as k_apx"
+    ).collect()
+    assert g[0].total == 6.0 and g[0].k_apx == 2
+    # head is a limit alias
+    assert compile_spl(df, "* | head 2").count() == 2
+    with pytest.raises(SPLError):
+        compile_spl(df, "* | stats by k")
+
+
 def test_reference_timestamp_script(spark):
     # SplUnittest.cpp:658 verbatim: parse-json → date_parse with a 'T'
     # literal in the %-format → epoch cast with tz offset arithmetic →
