@@ -21,6 +21,7 @@ surface exercised by the reference's own tests
                 | parse-kv [-delims='=,'] [-kv-sep='='] [-prefix='p']
                            [-mode='overwrite'|'preserve'] col
                 | stats agg [as name] [, ...] [by col [, col]*]
+                | pack-fields [-include='rx'] [-exclude='rx'] [-keep] dest
                 | limit n | head n
                 | sort by col [asc|desc] [, col [asc|desc]]*
 
@@ -928,6 +929,32 @@ def _cmd_limit(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
     return df.limit(n)
 
 
+def _cmd_pack_fields(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
+    """``pack-fields [-include='rx'] [-exclude='rx'] dest`` — pack the
+    matching columns into one JSON-object column (the SPL counterpart
+    of processor_packjson; same semantics as enrich.pack_json). Packed
+    source columns are dropped unless ``-keep`` is given."""
+    flags, rest = _parse_flags(rest)
+    dest = _ident_of(rest)
+    inc = re.compile(str(flags["include"])) if "include" in flags else None
+    exc = re.compile(str(flags["exclude"])) if "exclude" in flags else None
+    cols = [
+        c
+        for c in df.columns
+        if c != dest
+        and (inc is None or inc.search(c))
+        and (exc is None or not exc.search(c))
+    ]
+    if not cols:
+        raise SPLError("pack-fields selected no columns")
+    out = df.withColumn(
+        dest, F.to_json(F.struct(*[F.col(c) for c in cols]))
+    )
+    if not flags.get("keep"):
+        out = out.drop(*cols)
+    return out
+
+
 def _cmd_stats(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
     """``stats agg [as name][, ...] [by col[, col...]]`` — the SPL
     aggregation instruction (public SLS SPL instruction set; the
@@ -1083,6 +1110,7 @@ _COMMANDS: dict[str, Callable[[DataFrame, str, _Ctx], DataFrame]] = {
     "parse-kv": _cmd_parse_kv,
     "parse-csv": _cmd_parse_csv,
     "stats": _cmd_stats,
+    "pack-fields": _cmd_pack_fields,
     "limit": _cmd_limit,
     "head": _cmd_limit,
     "sort": _cmd_sort,

@@ -6,7 +6,7 @@ SplUnittest.cpp, plus the docs example
 (docs/cn/plugins/processor/spl/processor-spl-native.md).
 """
 
-import math
+import json
 
 import pytest
 from pyspark.sql import functions as F
@@ -480,6 +480,34 @@ def test_stats_command(spark):
     assert compile_spl(df, "* | head 2").count() == 2
     with pytest.raises(SPLError):
         compile_spl(df, "* | stats by k")
+
+
+def test_pack_fields(spark):
+    df = spark.createDataFrame([("c1", "INFO", "m", 7)], ["conv_id", "lvl", "msg", "n"])
+    out = compile_spl(df, "* | pack-fields -include='lvl|msg' packed").collect()[0]
+    assert json.loads(out.packed) == {"lvl": "INFO", "msg": "m"}
+    assert "lvl" not in out.asDict() and out.conv_id == "c1" and out.n == 7
+    kept = compile_spl(df, "* | pack-fields -exclude='conv_id' -keep packed")
+    assert set(kept.columns) == {"conv_id", "lvl", "msg", "n", "packed"}
+    with pytest.raises(SPLError):
+        compile_spl(df, "* | pack-fields -include='nomatch_xyz' packed")
+
+
+def test_filter_pushdown_through_compiled_script(spark, tmp_path):
+    # a compiled where must reach the parquet scan as a pushed filter —
+    # the query-language layer costs nothing at the plan level
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(f"c{i}", f"v={i}") for i in range(100)], ["conv_id", "text"]
+    ).write.parquet(p)
+    out = compile_spl(
+        spark.read.parquet(p),
+        r"* | where conv_id = 'c7' | parse-regexp text, 'v=(\d+)' as v"
+        " | extend vv = cast(v as integer) * 2",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "conv_id" in plan.split("PushedFilters:")[1][:120]
+    assert out.count() == 1
 
 
 def test_reference_timestamp_script(spark):
