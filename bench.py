@@ -176,6 +176,7 @@ HEADLINE = [
     "spl_extend_funcs",
     "spl_multi_dataset",
     "spl_stats",
+    "conv_neardup",
     "prom_wire_roundtrip",
     "loki_push_roundtrip",
     "es_bulk_roundtrip",

@@ -2016,13 +2016,19 @@ def _mask_sql(x: str) -> str:
 
 # DuckDB twin of operators.dedup._norm_text
 def _minhash_oracle_sql(
-    k: int = 5, num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    source_sql: str = "SELECT doc_id, text FROM documents",
 ) -> str:
     """DuckDB oracle reproducing minhash_dedup_pairs(hash_mode='md5')
     end-to-end: normalize → word k-shingles (list comprehension twin
     of the window-lead shingler) → 64 md5-permutation min-aggregates →
     16 band buckets (concatenated signature strings) → bucket
-    self-join candidates → signature-agreement estimate ≥ threshold."""
+    self-join candidates → signature-agreement estimate ≥ threshold.
+    *source_sql* must yield (doc_id, text) — conv_neardup passes the
+    merged-conversation rendering."""
     rpb = num_perm // bands
     mins = ",\n      ".join(
         "min({h}) AS m{p}".format(h=_MD5L.format(x=f"s || ':{p}'"), p=p)
@@ -2041,7 +2047,7 @@ def _minhash_oracle_sql(
     )
     return f"""
     WITH norm AS (
-      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM ({source_sql})
     ),
     sh AS (
       SELECT doc_id,
@@ -6061,6 +6067,66 @@ ORACLES["spl_stats"] = f"""
 QUERIES["spl_stats"] = q_spl_stats
 
 
+# Conversation-level near-dup: merge each dialogue into one document
+# (the merge_transcript rendering) and run the full MinHash+LSH pipeline
+# at dialogue granularity — train-train conversation dedup, the
+# complement of conv_contamination's train-eval overlap. The fixture's
+# conversations are all genuinely distinct, so the query injects
+# deterministic near-dup clones (a 1-in-10 md5 conv bucket, one appended
+# line — the url_hygiene/refusal_scan augmentation convention) and the
+# pipeline must surface exactly those pairs.
+_CONV_DUP_TAIL = "appended audit line for the clone"
+
+
+def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue MinHash near-dup over merged conversations
+    (operators/dedup.py:minhash_dedup_pairs at conv granularity)."""
+    from .operators.dedup import _md5_long, minhash_dedup_pairs
+
+    tx = load_transcripts(spark, sf_dir)
+    merged = (
+        tx.groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("__a")
+        )
+        .select(
+            "conv_id",
+            F.concat_ws(
+                "\n", F.transform(F.col("__a"), lambda s: s["text"])
+            ).alias("doc"),
+        )
+    )
+    clones = merged.filter(_md5_long(F.col("conv_id")) % 10 == 0).select(
+        F.concat(F.col("conv_id"), F.lit("~dup")).alias("conv_id"),
+        F.concat(F.col("doc"), F.lit("\n" + _CONV_DUP_TAIL)).alias("doc"),
+    )
+    corpus = merged.unionByName(clones)
+    return minhash_dedup_pairs(
+        corpus, text_col="doc", id_col="conv_id", threshold=0.5, hash_mode="md5"
+    )
+
+
+_CONV_NEARDUP_SOURCE = f"""
+    WITH __tx AS ({_TX}),
+    __m AS (
+      SELECT conv_id AS doc_id,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS text
+      FROM __tx GROUP BY conv_id
+    )
+    SELECT doc_id, text FROM __m
+    UNION ALL
+    SELECT doc_id || '~dup' AS doc_id,
+           text || chr(10) || '{_CONV_DUP_TAIL}' AS text
+    FROM __m WHERE {_MD5L.format(x="doc_id")} % 10 = 0
+"""
+
+ORACLES["conv_neardup"] = _minhash_oracle_sql(
+    threshold=0.5, source_sql=_CONV_NEARDUP_SOURCE
+)
+
+QUERIES["conv_neardup"] = q_conv_neardup
+
+
 # ---------------------------------------------------------------- round-5
 # sink wire formats beyond SLS/OTLP (SURVEY §2.8's "other sinks" row):
 # Prometheus remote-write (prompb protobuf + snappy block framing), Loki
@@ -6392,6 +6458,7 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "spl_extend_funcs",
     "spl_multi_dataset",
     "spl_stats",
+    "conv_neardup",
     "prom_wire_roundtrip",
     "loki_push_roundtrip",
     "es_bulk_roundtrip",
