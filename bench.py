@@ -181,6 +181,9 @@ HEADLINE = [
     "loki_push_roundtrip",
     "es_bulk_roundtrip",
     "winnowing_dedup",
+    # round-5 session-3 additions
+    "kmeans_embeddings",
+    "cluster_sample",
 ]
 
 

@@ -6412,6 +6412,112 @@ ORACLES["winnowing_dedup"] = f"""
 QUERIES["winnowing_dedup"] = q_winnowing_dedup
 
 
+# ------------------------------------------------------- r5 session-3:
+# embedding clustering (SemDeDup-style curation prep)
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 2 iterations, deterministic lowest-id init,
+    6-dp quantized centroids/distances) over the embeddings table:
+    per-cluster size, 4-dp inertia, smallest member id. The DuckDB twin
+    unrolls the same two iterations in SQL."""
+    from .operators.clustering import kmeans_assign, kmeans_clusters, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, iters=2)
+    a = kmeans_assign(emb, cents)
+    return kmeans_clusters(a).select("cluster", "n_vecs", "inertia", "min_vec_id")
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: fit k-means (same protocol as
+    kmeans_embeddings), keep the 5 most-central vectors per cluster
+    (dist ASC, vec_id tie-break) — the head-cluster-proof selection
+    step; compiles to WindowGroupLimit (local top-m per task)."""
+    from .operators.clustering import (
+        cluster_balanced_sample,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, iters=2)
+    a = kmeans_assign(emb, cents)
+    return cluster_balanced_sample(a, per_cluster=5).select(
+        "vec_id", "cluster", "dist"
+    )
+
+
+def _kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, final: str = "clusters", per_cluster: int = 5
+) -> str:
+    """Unrolled Lloyd-iteration DuckDB twin of operators/clustering.py:
+    identical init (k smallest vec_ids), identical 6-dp quantization of
+    centroid coords and distances, identical struct-min argmin
+    tie-break, empty clusters keep the previous centroid."""
+    ctes = [
+        "emb AS (SELECT vec_id, embedding FROM embeddings)",
+        "pos AS (SELECT vec_id, unnest(range(len(embedding))) AS pos FROM emb)",
+        "ev AS (SELECT p.vec_id, p.pos, (e.embedding[p.pos+1])::DOUBLE AS val"
+        " FROM pos p JOIN emb e USING (vec_id))",
+        f"c0ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j"
+        f" FROM emb ORDER BY vec_id LIMIT {k})",
+        "cent0 AS (SELECT c.j, ev.pos, round(ev.val, 6) AS cval"
+        " FROM c0ids c JOIN ev USING (vec_id))",
+    ]
+    cur = "cent0"
+    for t in range(1, iters + 1):
+        ctes += [
+            f"d{t} AS (SELECT ev.vec_id, c.j,"
+            f" round(sum((ev.val - c.cval) * (ev.val - c.cval)), 6) AS dist"
+            f" FROM ev JOIN {cur} c USING (pos) GROUP BY ev.vec_id, c.j)",
+            f"a{t} AS (SELECT vec_id, min(struct_pack(d := dist, j := j)) AS m"
+            f" FROM d{t} GROUP BY vec_id)",
+            f"asg{t} AS (SELECT vec_id, (m).j AS cluster FROM a{t})",
+            f"u{t} AS (SELECT a.cluster AS j, ev.pos,"
+            f" round(avg(ev.val), 6) AS cval"
+            f" FROM asg{t} a JOIN ev USING (vec_id) GROUP BY a.cluster, ev.pos)",
+            f"cent{t} AS (SELECT c.j, c.pos, coalesce(u.cval, c.cval) AS cval"
+            f" FROM {cur} c LEFT JOIN u{t} u ON u.j = c.j AND u.pos = c.pos)",
+        ]
+        cur = f"cent{t}"
+    t = iters + 1
+    ctes += [
+        f"d{t} AS (SELECT ev.vec_id, c.j,"
+        f" round(sum((ev.val - c.cval) * (ev.val - c.cval)), 6) AS dist"
+        f" FROM ev JOIN {cur} c USING (pos) GROUP BY ev.vec_id, c.j)",
+        f"fin AS (SELECT vec_id,"
+        f" (min(struct_pack(d := dist, j := j))).j AS cluster,"
+        f" (min(struct_pack(d := dist, j := j))).d AS dist"
+        f" FROM d{t} GROUP BY vec_id)",
+    ]
+    body = ",\n".join(ctes)
+    if final == "clusters":
+        sel = (
+            "SELECT cluster, count(*) AS n_vecs, round(sum(dist), 4) AS inertia,"
+            " min(vec_id) AS min_vec_id FROM fin GROUP BY cluster"
+        )
+    else:
+        sel = (
+            f"SELECT vec_id, cluster, dist FROM ("
+            f"SELECT vec_id, cluster, dist, row_number() OVER ("
+            f"PARTITION BY cluster ORDER BY dist, vec_id) AS rk FROM fin)"
+            f" WHERE rk <= {per_cluster}"
+        )
+    return f"WITH {body}\n{sel}"
+
+
+ORACLES["kmeans_embeddings"] = _kmeans_oracle_sql(final="clusters")
+ORACLES["cluster_sample"] = _kmeans_oracle_sql(final="sample")
+
+QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
+QUERIES["cluster_sample"] = q_cluster_sample
+
+
 # ---------------------------------------------------------------- round-5
 # driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
 # "Round-5 prep").
@@ -6463,6 +6569,8 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "loki_push_roundtrip",
     "es_bulk_roundtrip",
     "winnowing_dedup",
+    "kmeans_embeddings",
+    "cluster_sample",
 ]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
