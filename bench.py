@@ -184,6 +184,8 @@ HEADLINE = [
     # round-5 session-3 additions
     "kmeans_embeddings",
     "cluster_sample",
+    "template_drift",
+    "cohort_retention",
 ]
 
 

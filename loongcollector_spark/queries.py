@@ -6518,6 +6518,72 @@ QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 QUERIES["cluster_sample"] = q_cluster_sample
 
 
+# ------------------------------------------------------- r5 session-3:
+# log analytics: template drift + cohort retention
+
+
+def q_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-frequency drift between the early and late half of the
+    transcript time range (deploy/incident signal): per masked
+    template, early/late counts + share drift at 6 dp."""
+    from .operators.loganalytics import template_drift
+
+    tx = load_transcripts(spark, sf_dir)
+    return template_drift(tx, min_count=5)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over the events stream: users bucketed
+    by first-seen day; per (cohort_day, offset_days) active-user and
+    event counts."""
+    from .operators.loganalytics import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev)
+
+
+ORACLES["template_drift"] = f"""
+    WITH transcripts AS ({_TX}),
+    masked AS (
+      SELECT {_mask_sql("text")} AS template, epoch_us(ts) AS us
+      FROM transcripts
+    ),
+    b AS (SELECT min(us) AS mn, max(us) AS mx FROM masked),
+    h AS (SELECT template, (2 * us <= mn + mx) AS early FROM masked, b),
+    per AS (
+      SELECT template,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+             CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+      FROM h GROUP BY template
+    ),
+    tot AS (SELECT sum(n_early) AS te, sum(n_late) AS tl FROM per)
+    SELECT template, n_early, n_late,
+           round(n_late / greatest(tl, 1) - n_early / greatest(te, 1), 6)
+             + 0.0 AS drift
+    FROM per, tot WHERE n_early + n_late >= 5
+"""
+
+ORACLES["cohort_retention"] = """
+    WITH first AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY user_id, day
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS offset_days,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+"""
+
+QUERIES["template_drift"] = q_template_drift
+QUERIES["cohort_retention"] = q_cohort_retention
+
+
 # ---------------------------------------------------------------- round-5
 # driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
 # "Round-5 prep").
@@ -6571,6 +6637,8 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "winnowing_dedup",
     "kmeans_embeddings",
     "cluster_sample",
+    "template_drift",
+    "cohort_retention",
 ]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
