@@ -186,6 +186,9 @@ HEADLINE = [
     "cluster_sample",
     "template_drift",
     "cohort_retention",
+    "code_detection",
+    "reading_level",
+    "charset_stats",
 ]
 
 

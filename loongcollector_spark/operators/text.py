@@ -10,7 +10,7 @@ column at 100 TB scale (per-row expressions, no shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import persisted
@@ -43,6 +43,9 @@ __all__ = [
     "pmi_collocations",
     "zipf_fit",
     "fertility_report",
+    "code_signals",
+    "reading_level",
+    "charset_stats",
 ]
 
 # tiny public stopword lists per language for the n-gram/stopword
@@ -1518,5 +1521,151 @@ def fertility_report(
         ),
         F.try_divide(F.col("n_re_tokens"), F.col("n_ws_tokens")).alias(
             "re_per_ws"
+        ),
+    )
+
+
+def code_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-likeness detection signals — the code-vs-prose router every
+    mixed training corpus needs (code goes to a different tokenizer /
+    quality gate than prose). All pure per-row JVM regex codegen; the
+    regex subset is shared Java-regex/RE2 syntax so the DuckDB twin is
+    byte-equivalent (no lookaround, no backrefs).
+
+    * ``n_fences``     — markdown \\`\\`\\` fence marker count
+    * ``n_code_lines`` — lines starting with 4 spaces or a tab
+      (``(?m)`` multiline anchors; one pass, no split+filter)
+    * ``n_lines``      — physical line count
+    * ``n_symbols``    — structural symbol chars ``{}();=<>[]``
+    * ``n_kw``         — word-bounded programming keyword hits
+    * ``is_code``      — fence present, OR ≥30% indented lines over
+      ≥3 lines, OR symbol density >5% with ≥2 keyword hits
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_fences = F.size(F.regexp_extract_all(txt, F.lit("```"), 0))
+    n_code_lines = F.size(
+        F.regexp_extract_all(txt, F.lit(r"(?m)^(?:    |\t)"), 0)
+    )
+    n_lines = F.size(F.split(txt, "\n"))
+    n_symbols = F.length(txt) - F.length(
+        F.regexp_replace(txt, r"[{}();=<>\[\]]", "")
+    )
+    n_kw = F.size(
+        F.regexp_extract_all(
+            F.lower(txt),
+            F.lit(
+                r"\b(?:def|return|import|class|function|const|var|"
+                r"lambda|printf|include|void|elif)\b"
+            ),
+            0,
+        )
+    )
+    out = (
+        df.withColumn("n_fences", n_fences)
+        .withColumn("n_code_lines", n_code_lines)
+        .withColumn("n_lines", n_lines)
+        .withColumn("n_symbols", n_symbols)
+        .withColumn("n_kw", n_kw)
+    )
+    is_code = (
+        (F.col("n_fences") > 0)
+        | (
+            (F.col("n_lines") >= 3)
+            & (F.col("n_code_lines") * 10 >= F.col("n_lines") * 3)
+        )
+        | (
+            (F.col("n_symbols") * 20 > F.length(txt))
+            & (F.col("n_kw") >= 2)
+        )
+    )
+    # integer cross-multiplication, never a float threshold — the
+    # ratio compares are exact on both engines
+    return out.withColumn("is_code", is_code)
+
+
+def reading_level(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease approximation per document — the classic
+    readability quality signal (prose for a base LM skews 40-70;
+    near-0 or >100 flags boilerplate/junk).
+
+    Syllables ≈ vowel-group count with a 1-per-word floor: since
+    ``[aeiouy]+`` can never span whitespace, the corpus-wide vowel
+    group count EQUALS the per-word sum, so the heavy part is one
+    codegen regex pass; only the no-vowel-word floor needs a token
+    filter. Sentences = ``[.!?]+`` runs, floored at 1.
+
+    flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    (3 dp; NULL for empty docs).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(F.trim(txt))
+    toks = F.split(low, r"\s+")
+    n_words = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    n_sent_raw = F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), 0))
+    vowel_groups = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), 0))
+    no_vowel_words = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda t: ~t.rlike("[aeiouy]")))
+    )
+    out = (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn(
+            "n_sentences", F.greatest(n_sent_raw, F.lit(1)).cast("bigint")
+        )
+        .withColumn(
+            "n_syllables", (vowel_groups + no_vowel_words).cast("bigint")
+        )
+    )
+    # + 0.0 folds a rounded -0.0 into 0.0 (cross-engine hash safety)
+    flesch = (
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+            3,
+        )
+        + F.lit(0.0)
+    )
+    return out.withColumn(
+        "flesch", F.when(F.col("n_words") > 0, flesch)
+    )
+
+
+def charset_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-hygiene scan — the mojibake/controls gate web corpora
+    run before any tokenization (U+FFFD and double-encoded UTF-8
+    markers mean the upstream byte decode already lost data).
+
+    * ``n_replacement`` — U+FFFD replacement chars
+    * ``n_control``     — C0 controls except tab/newline/CR
+    * ``n_nonascii``    — chars outside 7-bit ASCII
+    * ``n_mojibake``    — classic double-encode markers (``Ã``, ``â€``)
+    * ``ascii_ratio``   — 6-dp share of ASCII chars (NULL on empty)
+
+    Pure codegen regex counts; one projection, no shuffle.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _count(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(txt, F.lit(pat), 0))
+
+    out = (
+        df.withColumn("n_replacement", _count("�"))
+        .withColumn(
+            "n_control", _count(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+        )
+        .withColumn("n_nonascii", _count(r"[^\x00-\x7F]"))
+        .withColumn("n_mojibake", _count("(?:Ã|â€)"))
+    )
+    # denominator counts CODEPOINTS via the same regex engine (never
+    # length(): Spark counts UTF-16 units, DuckDB codepoints — they
+    # disagree on astral chars)
+    n_ascii = _count(r"[\x00-\x7F]")
+    return out.withColumn(
+        "ascii_ratio",
+        F.when(
+            n_ascii + F.col("n_nonascii") > 0,
+            F.round(n_ascii / (n_ascii + F.col("n_nonascii")), 6),
         ),
     )

@@ -6584,6 +6584,155 @@ QUERIES["template_drift"] = q_template_drift
 QUERIES["cohort_retention"] = q_cohort_retention
 
 
+# ------------------------------------------------------- r5 session-3:
+# document hygiene: code detection, readability, charset scan
+
+
+def q_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signals. The corpus is prose, so every
+    fifth doc is augmented with a deterministic fenced code block (the
+    url_hygiene augmentation convention) — both engines build the same
+    text, then run the same counting arithmetic."""
+    from .operators.text import code_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(
+                    "\n```\ndef f(x):\n    return {x: (x + 1)};\n```"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return code_signals(aug).select(
+        "doc_id", "n_fences", "n_code_lines", "n_lines", "n_symbols",
+        "n_kw", "is_code",
+    )
+
+
+def q_reading_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease approximation per document (vowel-group
+    syllables with a 1-per-word floor, [.!?]+ sentence runs)."""
+    from .operators.text import reading_level
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return reading_level(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch"
+    )
+
+
+def q_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-hygiene scan. Clean synthetic corpus, so every seventh
+    doc is augmented with deterministic mojibake + a control char + a
+    replacement char; counts and the codepoint ascii_ratio match the
+    DuckDB twin exactly."""
+    from .operators.text import charset_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" Ã© â€™ \x01 �"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return charset_stats(aug).select(
+        "doc_id", "n_replacement", "n_control", "n_nonascii",
+        "n_mojibake", "ascii_ratio",
+    )
+
+
+_CODE_AUG = (
+    "concat(coalesce(text, ''), CASE WHEN doc_id % 5 = 0 THEN "
+    "chr(10) || '```' || chr(10) || 'def f(x):' || chr(10) || "
+    "'    return {x: (x + 1)};' || chr(10) || '```' ELSE '' END)"
+)
+
+ORACLES["code_detection"] = f"""
+    WITH aug AS (SELECT doc_id, {_CODE_AUG} AS text FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '```')) AS n_fences,
+        len(regexp_extract_all(text, '(?m)^(?:    |\t)')) AS n_code_lines,
+        len(string_split(text, chr(10))) AS n_lines,
+        length(text) - length(regexp_replace(text,
+          '[{{}}();=<>\\[\\]]', '', 'g')) AS n_symbols,
+        len(regexp_extract_all(lower(text),
+          '\\b(?:def|return|import|class|function|const|var|lambda|printf|include|void|elif)\\b'))
+          AS n_kw,
+        length(text) AS n_chars
+      FROM aug
+    )
+    SELECT doc_id, n_fences, n_code_lines, n_lines, n_symbols, n_kw,
+           (n_fences > 0
+            OR (n_lines >= 3 AND n_code_lines * 10 >= n_lines * 3)
+            OR (n_symbols * 20 > n_chars AND n_kw >= 2)) AS is_code
+    FROM s
+"""
+
+ORACLES["reading_level"] = """
+    WITH s AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        END AS n_words,
+        greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+        len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
+          + CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        x -> NOT regexp_matches(x, '[aeiouy]')))
+            END AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835 - 1.015 * (n_words / n_sentences)
+                           - 84.6 * (n_syllables / n_words), 3) + 0.0
+           END AS flesch
+    FROM s
+"""
+
+ORACLES["charset_stats"] = """
+    WITH aug AS (
+      SELECT doc_id,
+             concat(coalesce(text, ''),
+                    CASE WHEN doc_id % 7 = 0
+                         THEN ' Ã© â€™ ' || chr(1) || ' �'
+                         ELSE '' END) AS text
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '�')) AS n_replacement,
+        len(regexp_extract_all(text,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS n_control,
+        len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS n_nonascii,
+        len(regexp_extract_all(text, '(?:Ã|â€)')) AS n_mojibake,
+        len(regexp_extract_all(text, '[\\x00-\\x7F]')) AS n_ascii
+      FROM aug
+    )
+    SELECT doc_id, n_replacement, n_control, n_nonascii, n_mojibake,
+           CASE WHEN n_ascii + n_nonascii > 0 THEN
+             round(n_ascii / (n_ascii + n_nonascii), 6)
+           END AS ascii_ratio
+    FROM s
+"""
+
+QUERIES["code_detection"] = q_code_detection
+QUERIES["reading_level"] = q_reading_level
+QUERIES["charset_stats"] = q_charset_stats
+
+
 # ---------------------------------------------------------------- round-5
 # driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
 # "Round-5 prep").
@@ -6639,6 +6788,9 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "cluster_sample",
     "template_drift",
     "cohort_retention",
+    "code_detection",
+    "reading_level",
+    "charset_stats",
 ]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
