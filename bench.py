@@ -189,6 +189,8 @@ HEADLINE = [
     "code_detection",
     "reading_level",
     "charset_stats",
+    "speech_acts",
+    "pair_overlap",
 ]
 
 

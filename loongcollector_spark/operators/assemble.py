@@ -46,6 +46,7 @@ __all__ = [
     "best_of_n",
     "conv_windows",
     "rm_pairs",
+    "pair_overlap",
 ]
 
 
@@ -526,4 +527,56 @@ def rm_pairs(
         n_ctx.cast("int").alias("n_context_turns"),
         F.concat_ws("\n", *ctx_parts).alias("context_text"),
         F.col("__text").alias("response_text"),
+    )
+
+
+def pair_overlap(
+    pairs: DataFrame,
+    *,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """Preference-pair hygiene: lexical overlap between the chosen and
+    rejected response of every pair. Near-identical pairs carry almost
+    no preference signal (the reward gradient is the DIFFERENCE), so RM
+    pipelines drop or downweight high-overlap pairs before training.
+
+    Adds per pair:
+    * ``jaccard``      — distinct-token Jaccard of the two responses
+      (6 dp; 0.0 when both are empty)
+    * ``len_ratio``    — min/max token-count ratio (6 dp)
+    * ``high_overlap`` — jaccard ≥ *near_dup_threshold* (compared on
+      the ROUNDED value so both engines flag identically)
+
+    Pure projection over array codegen (split → distinct → intersect)
+    — no shuffle, no Python; the pair table is already the reduced
+    output of preference_pairs, so at corpus scale this scans pairs,
+    never transcripts.
+    """
+
+    def toks(c: str):
+        t = F.coalesce(F.col(c), F.lit(""))
+        return F.when(
+            F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+        ).otherwise(F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+")))
+
+    a, b = toks(chosen_col), toks(rejected_col)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    jac = F.when(union > 0, F.round(inter / union, 6)).otherwise(F.lit(0.0))
+    ratio = F.when(
+        F.greatest(F.size(a), F.size(b)) > 0,
+        F.round(
+            F.least(F.size(a), F.size(b))
+            / F.greatest(F.size(a), F.size(b)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .withColumn("len_ratio", ratio)
+        .withColumn(
+            "high_overlap", F.col("jaccard") >= F.lit(near_dup_threshold)
+        )
     )

@@ -50,6 +50,9 @@ __all__ = [
     "turn_gaps",
     "sft_gate",
     "REFUSAL_PATTERNS",
+    "speech_acts",
+    "QUESTION_LEADS",
+    "COMMAND_LEADS",
 ]
 
 
@@ -553,4 +556,60 @@ def sft_gate(
         .when(bad_loop, F.lit("loop"))
         .when(bad_budget, F.lit("budget"))
         .alias("drop_reason"),
+    )
+
+
+# speech acts — interrogative/imperative lead words (small public
+# function-word lists, the same spirit as text._LANG_MARKERS)
+QUESTION_LEADS: list[str] = [
+    "what", "why", "how", "when", "where", "who", "which",
+    "can", "could", "would", "will", "is", "are", "do", "does", "did",
+]
+COMMAND_LEADS: list[str] = [
+    "please", "write", "create", "make", "run", "show", "give", "list",
+    "explain", "generate", "fix", "add", "remove", "update", "use",
+]
+
+
+def speech_acts(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-turn dialogue-act tagging + per (conversation, role) mix —
+    the instruction-data composition report (how much of the corpus is
+    questions vs commands vs narration decides what an SFT mix teaches).
+
+    Acts, first match wins: ``code`` (contains a \\`\\`\\` fence) >
+    ``question`` (trimmed text ends with ``?`` or opens with an
+    interrogative lead word) > ``command`` (opens with an imperative
+    lead) > ``statement``. The lead-word test is one anchored
+    alternation on ``lower(trim(text))`` — shared Java/RE2 syntax,
+    pure codegen.
+
+    Returns ``(conv_col, role_col, n_code, n_question, n_command,
+    n_statement)``. Scale shape: classification is a per-row
+    projection; the rollup is ONE groupBy with map-side partials (at
+    most 4 cells per (conv, role) per task). No windows, no Python.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(F.trim(txt))
+    q_lead = "^(?:" + "|".join(QUESTION_LEADS) + r")\b"
+    c_lead = "^(?:" + "|".join(COMMAND_LEADS) + r")\b"
+    act = (
+        F.when(txt.contains("```"), F.lit("code"))
+        .when(low.rlike(r"\?$") | low.rlike(q_lead), F.lit("question"))
+        .when(low.rlike(c_lead), F.lit("command"))
+        .otherwise(F.lit("statement"))
+    )
+    tagged = tx.select(F.col(conv_col), F.col(role_col), act.alias("act"))
+    return tagged.groupBy(conv_col, role_col).agg(
+        *[
+            F.sum(F.when(F.col("act") == a, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{a}")
+            for a in ("code", "question", "command", "statement")
+        ]
     )

@@ -6733,6 +6733,126 @@ QUERIES["reading_level"] = q_reading_level
 QUERIES["charset_stats"] = q_charset_stats
 
 
+# ------------------------------------------------------- r5 session-3:
+# dialogue-act mix + preference-pair overlap hygiene
+
+
+def _speech_aug(turn_idx, text):
+    """Deterministic act injection (refusal_scan convention): the log
+    corpus is all statements, so every 7th turn becomes a question /
+    command / fenced-code turn — same arithmetic in both engines."""
+    return (
+        F.when(
+            turn_idx % 7 == 1, F.concat(F.lit("Can you check "), text, F.lit("?"))
+        )
+        .when(turn_idx % 7 == 3, F.concat(F.lit("please run "), text))
+        .when(turn_idx % 7 == 5, F.concat(F.lit("```"), text, F.lit("```")))
+        .otherwise(text)
+    )
+
+
+def q_speech_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-act composition per (conversation, role): code /
+    question / command / statement counts with first-match-wins
+    precedence over the act-augmented transcript."""
+    from .operators.trajectory import speech_acts
+
+    tx = load_transcripts(spark, sf_dir)
+    aug = tx.withColumn(
+        "text", _speech_aug(F.col("turn_idx"), F.coalesce("text", F.lit("")))
+    )
+    return speech_acts(aug)
+
+
+def q_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair overlap hygiene: distinct-token Jaccard +
+    token-length ratio between chosen and rejected over the same
+    normalized-prompt pair assembly as preference_pairs."""
+    from .operators.assemble import pair_overlap, preference_pairs
+
+    tx = load_transcripts(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", "[0-9]+", "N")
+    )
+    pp = preference_pairs(tx)
+    return pair_overlap(pp).select(
+        "prompt", "chosen", "rejected", "jaccard", "len_ratio", "high_overlap"
+    )
+
+
+def _leads_sql() -> tuple[str, str]:
+    from .operators.trajectory import COMMAND_LEADS, QUESTION_LEADS
+
+    q = "^(?:" + "|".join(QUESTION_LEADS) + ")\\b"
+    c = "^(?:" + "|".join(COMMAND_LEADS) + ")\\b"
+    return q, c
+
+
+_Q_LEAD_SQL, _C_LEAD_SQL = _leads_sql()
+
+ORACLES["speech_acts"] = f"""
+    WITH transcripts AS ({_TX}),
+    aug AS (
+      SELECT conv_id, role,
+        CASE WHEN turn_idx % 7 = 1
+               THEN 'Can you check ' || coalesce(text, '') || '?'
+             WHEN turn_idx % 7 = 3 THEN 'please run ' || coalesce(text, '')
+             WHEN turn_idx % 7 = 5 THEN '```' || coalesce(text, '') || '```'
+             ELSE coalesce(text, '') END AS text
+      FROM transcripts
+    ),
+    t AS (
+      SELECT conv_id, role,
+        CASE WHEN contains(text, '```') THEN 'code'
+             WHEN regexp_matches(lower(trim(text)), '\\?$')
+               OR regexp_matches(lower(trim(text)), '{_Q_LEAD_SQL}')
+               THEN 'question'
+             WHEN regexp_matches(lower(trim(text)), '{_C_LEAD_SQL}')
+               THEN 'command'
+             ELSE 'statement' END AS act
+      FROM aug
+    )
+    SELECT conv_id, role,
+      CAST(sum(CASE WHEN act = 'code' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_code,
+      CAST(sum(CASE WHEN act = 'question' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_question,
+      CAST(sum(CASE WHEN act = 'command' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_command,
+      CAST(sum(CASE WHEN act = 'statement' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_statement
+    FROM t GROUP BY conv_id, role
+"""
+
+ORACLES["pair_overlap"] = f"""
+    SELECT prompt, chosen, rejected,
+           CASE WHEN len(ta) + len(tb) - len(list_intersect(ta, tb)) > 0
+                THEN round(len(list_intersect(ta, tb))
+                     / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6)
+                ELSE 0.0 END AS jaccard,
+           CASE WHEN greatest(len(ta), len(tb)) > 0
+                THEN round(least(len(ta), len(tb))
+                     / greatest(len(ta), len(tb)), 6)
+                ELSE 0.0 END AS len_ratio,
+           (CASE WHEN len(ta) + len(tb) - len(list_intersect(ta, tb)) > 0
+                 THEN round(len(list_intersect(ta, tb))
+                      / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6)
+                 ELSE 0.0 END) >= 0.8 AS high_overlap
+    FROM (
+      SELECT prompt, chosen, rejected,
+        CASE WHEN length(trim(chosen)) = 0 THEN []::VARCHAR[]
+             ELSE list_distinct(regexp_split_to_array(
+                    lower(trim(chosen)), '\\s+')) END AS ta,
+        CASE WHEN length(trim(rejected)) = 0 THEN []::VARCHAR[]
+             ELSE list_distinct(regexp_split_to_array(
+                    lower(trim(rejected)), '\\s+')) END AS tb
+      FROM ({ORACLES["preference_pairs"]}) AS base
+    ) AS toks
+"""
+
+QUERIES["speech_acts"] = q_speech_acts
+QUERIES["pair_overlap"] = q_pair_overlap
+
+
 # ---------------------------------------------------------------- round-5
 # driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
 # "Round-5 prep").
@@ -6791,6 +6911,8 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "code_detection",
     "reading_level",
     "charset_stats",
+    "speech_acts",
+    "pair_overlap",
 ]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
