@@ -191,6 +191,7 @@ HEADLINE = [
     "charset_stats",
     "speech_acts",
     "pair_overlap",
+    "cluster_mixture",
 ]
 
 

@@ -6501,6 +6501,14 @@ def _kmeans_oracle_sql(
             "SELECT cluster, count(*) AS n_vecs, round(sum(dist), 4) AS inertia,"
             " min(vec_id) AS min_vec_id FROM fin GROUP BY cluster"
         )
+    elif final == "mixture":
+        sel = (
+            "SELECT cluster, label, CAST(count(*) AS BIGINT) AS n,"
+            " round(count(*) / (sum(count(*)) OVER (PARTITION BY cluster)), 6)"
+            " AS share"
+            " FROM fin JOIN embeddings USING (vec_id)"
+            " GROUP BY cluster, label"
+        )
     else:
         sel = (
             f"SELECT vec_id, cluster, dist FROM ("
@@ -6511,8 +6519,33 @@ def _kmeans_oracle_sql(
     return f"WITH {body}\n{sel}"
 
 
+def q_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity report: k-means assignment (same protocol as
+    kmeans_embeddings) crossed with the ground-truth label column —
+    per (cluster, label) count and within-cluster share. The
+    cluster-balance diagnostic run before trusting cluster-based
+    sampling."""
+    from .operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(
+        emb.select("vec_id", "embedding"), k=8, iters=2
+    )
+    a = kmeans_assign(emb.select("vec_id", "label", "embedding"), cents)
+    per = a.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    tot = W.partitionBy("cluster")
+    return per.select(
+        "cluster",
+        "label",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("share"),
+    )
+
+
 ORACLES["kmeans_embeddings"] = _kmeans_oracle_sql(final="clusters")
 ORACLES["cluster_sample"] = _kmeans_oracle_sql(final="sample")
+ORACLES["cluster_mixture"] = _kmeans_oracle_sql(final="mixture")
+QUERIES["cluster_mixture"] = q_cluster_mixture
 
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 QUERIES["cluster_sample"] = q_cluster_sample
@@ -6913,6 +6946,7 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "charset_stats",
     "speech_acts",
     "pair_overlap",
+    "cluster_mixture",
 ]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to

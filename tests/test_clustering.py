@@ -90,3 +90,13 @@ def test_numpy_fit_collects_only_cells(spark, sf_dir):
     assert len(cents) == 3
     assert all(len(c) == dim for c in cents)
     assert all(abs(x - round(x, 6)) < 1e-12 for c in cents for x in c)
+
+
+def test_mixture_shares_sum_to_one(spark, sf_dir):
+    from loongcollector_spark.queries import QUERIES
+
+    per = QUERIES["cluster_mixture"](spark, sf_dir)
+    sums = per.groupBy("cluster").agg(F.round(F.sum("share"), 4).alias("s"))
+    assert all(abs(r.s - 1.0) < 1e-3 for r in sums.collect())
+    n_total = per.agg(F.sum("n").alias("t")).first().t
+    assert n_total == 500
