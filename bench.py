@@ -192,6 +192,13 @@ HEADLINE = [
     "speech_acts",
     "pair_overlap",
     "cluster_mixture",
+    # round-5 session-4 additions
+    "dialogue_balance",
+    "echo_rate",
+    "tool_entropy",
+    "luhn_scan",
+    "length_bias",
+    "embedding_outliers",
 ]
 
 

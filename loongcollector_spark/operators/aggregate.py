@@ -37,6 +37,7 @@ __all__ = [
     "find_hot_keys",
     "role_conformance",
     "tool_transitions",
+    "tool_entropy",
     "self_repetition",
 ]
 
@@ -576,4 +577,63 @@ def truncation_artifacts(
     )
     return agg.withColumn(
         "artifact_ratio", F.col("n_artifact") / F.col("n_checked")
+    )
+
+
+def tool_entropy(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    none_label: str = "<none>",
+) -> DataFrame:
+    """Policy-determinism report over the tool-transition matrix: per
+    ``from_tool`` state, the Shannon entropy (nats) of the next-tool
+    distribution plus its support size — the complement of
+    :func:`tool_transitions` (that one reports WHICH transitions
+    happen; this one reports how PREDICTABLE each state's successor
+    is, the signal that separates scripted tool chains from
+    exploratory agent behavior when choosing trajectories worth
+    distilling).
+
+    Entropy is computed from exact integer counts via ``H = ln(N) −
+    (Σ cᵢ·ln cᵢ)/N`` — one log per DISTINCT successor, no
+    per-probability normalization pass — and rounded to 6 places (the
+    house float contract). Returns ``(from_tool, n_steps, n_next,
+    entropy)``.
+
+    Scale shape: identical to tool_transitions — one conv-partitioned
+    lag window over (conv, idx, tool) rows, then a map-side-combining
+    groupBy that collapses the Zipf-hot pairs per task; the entropy
+    rollup runs on the REDUCED ≤|tools|² matrix, so its exchange is
+    O(matrix), not O(turns).
+    """
+    tool = F.coalesce(
+        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
+    )
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    steps = (
+        tx.select(F.col(conv_col), F.col(idx_col), tool.alias("__tool"))
+        .select(
+            F.lag("__tool").over(w).alias("from_tool"),
+            F.col("__tool").alias("to_tool"),
+        )
+        .filter(F.col("from_tool").isNotNull())
+    )
+    counts = steps.groupBy("from_tool", "to_tool").agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    out = counts.groupBy("from_tool").agg(
+        F.sum("__n").cast("long").alias("n_steps"),
+        F.count("*").cast("long").alias("n_next"),
+        F.sum(F.col("__n") * F.log(F.col("__n"))).alias("__nlogn"),
+    )
+    return out.select(
+        "from_tool",
+        "n_steps",
+        "n_next",
+        F.round(
+            F.log(F.col("n_steps")) - F.col("__nlogn") / F.col("n_steps"), 6
+        ).alias("entropy"),
     )

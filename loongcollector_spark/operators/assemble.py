@@ -47,6 +47,7 @@ __all__ = [
     "conv_windows",
     "rm_pairs",
     "pair_overlap",
+    "length_bias",
 ]
 
 
@@ -579,4 +580,74 @@ def pair_overlap(
         .withColumn(
             "high_overlap", F.col("jaccard") >= F.lit(near_dup_threshold)
         )
+    )
+
+
+def length_bias(
+    pairs: DataFrame,
+    *,
+    chosen_score_col: str = "chosen_score",
+    rejected_score_col: str = "rejected_score",
+    small_max: int = 4,
+    medium_max: int = 19,
+) -> DataFrame:
+    """Length-bias audit over assembled preference pairs — the DPO/RM
+    hygiene report: when chosen responses are systematically LONGER
+    than rejected ones, preference training learns verbosity instead
+    of quality (the classic RLHF length-hack), so curation wants the
+    margin distribution before any pair ships. Consumes the
+    :func:`preference_pairs` (or :func:`rm_pairs`) output via its
+    token-count score columns.
+
+    Pairs are bucketed by the token-length margin ``chosen_score −
+    rejected_score``: ``equal`` (0), ``small`` (1–*small_max*),
+    ``medium`` (*small_max*+1–*medium_max*), ``large`` (>
+    *medium_max*); a negative margin (possible when scores come from
+    a reward model rather than the verbosity prior) lands in
+    ``chosen_shorter``. Returns per bucket ``(bucket, n_pairs, share,
+    mean_margin, sum_chosen_tokens, sum_rejected_tokens)``.
+
+    Float discipline: every sum is an exact integer; ``share`` and
+    ``mean_margin`` are ONE division of identical ints each (rounded
+    to 6), so any engine reproduces them bit-for-bit.
+
+    Scale shape: one map-side-combining groupBy on a 5-value key over
+    skinny (bucket, two ints) projections, then the share window runs
+    on the ≤5-row reduced table — O(buckets), not O(pairs).
+    """
+    margin = (
+        F.col(chosen_score_col).cast("long")
+        - F.col(rejected_score_col).cast("long")
+    )
+    bucket = (
+        F.when(margin < 0, F.lit("chosen_shorter"))
+        .when(margin == 0, F.lit("equal"))
+        .when(margin <= small_max, F.lit("small"))
+        .when(margin <= medium_max, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    rows = pairs.select(
+        bucket.alias("bucket"),
+        margin.alias("__margin"),
+        F.col(chosen_score_col).cast("long").alias("__c"),
+        F.col(rejected_score_col).cast("long").alias("__r"),
+    )
+    agg = rows.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__margin").cast("long").alias("__sum_margin"),
+        F.sum("__c").cast("long").alias("sum_chosen_tokens"),
+        F.sum("__r").cast("long").alias("sum_rejected_tokens"),
+    )
+    total = W.partitionBy()
+    return agg.select(
+        "bucket",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.sum("n_pairs").over(total), 6).alias(
+            "share"
+        ),
+        F.round(F.col("__sum_margin") / F.col("n_pairs"), 6).alias(
+            "mean_margin"
+        ),
+        "sum_chosen_tokens",
+        "sum_rejected_tokens",
     )

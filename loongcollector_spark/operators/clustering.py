@@ -48,6 +48,7 @@ __all__ = [
     "kmeans_assign",
     "kmeans_clusters",
     "cluster_balanced_sample",
+    "embedding_outliers",
 ]
 
 _DEC = 6  # quantization decimals for centroid coords and distances
@@ -237,4 +238,62 @@ def cluster_balanced_sample(
         assigned.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= per_cluster)
         .drop("__rk")
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: Sequence[str] = ("label",),
+    top_n: int = 20,
+) -> DataFrame:
+    """Global-centroid outlier report — embedding-space QA: the rows
+    farthest from the corpus centroid are the mislabeled / off-domain
+    / corrupted-encoder suspects a curation pass reviews first (the
+    single-cluster degenerate case of SemDeDup-style organization;
+    complements :func:`kmeans_clusters`, which profiles structure,
+    by profiling the EXTREMES).
+
+    The centroid is the per-dimension mean, 6-dp quantized (the
+    module's cross-engine determinism discipline); each row's ``dist``
+    is the 6-dp squared L2 to it, computed as a sequential zip_with
+    fold against the centroid PLAN LITERALS. Returns the *top_n*
+    most-distant rows ``(id_col, *extra_cols, dist)``, ordered by
+    (dist DESC, id ASC) so the cut is deterministic under ties.
+
+    Scale shape: the centroid pass is ``posexplode → groupBy(pos)
+    avg`` — map-side partials mean the shuffle carries dim ×
+    partitions cells and the driver collects exactly dim averaged
+    values (the bounded-collect discipline). The ranking is
+    ``orderBy(...).limit(top_n)`` — Spark plans TakeOrderedAndProject
+    (per-partition partial top-k, no global sort, no single-partition
+    window). The corpus itself never shuffles.
+    """
+    if top_n < 1:
+        raise ValueError("embedding_outliers: top_n >= 1 required")
+    dfd = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    cells = (
+        dfd.select(F.posexplode("__v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), _DEC).alias("m"))
+        .collect()
+    )
+    by_pos = {int(r.pos): float(r.m) for r in cells}
+    centroid = F.array(*[F.lit(by_pos[p]) for p in sorted(by_pos)])
+    sq = F.zip_with("__v", centroid, lambda x, c: (x - c) * (x - c))
+    dist = F.round(
+        F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), _DEC
+    )
+    return (
+        dfd.select(
+            F.col(id_col), *[F.col(c) for c in extra_cols], dist.alias("dist")
+        )
+        .orderBy(F.col("dist").desc(), F.col(id_col).asc())
+        .limit(top_n)
     )

@@ -46,6 +46,7 @@ __all__ = [
     "code_signals",
     "reading_level",
     "charset_stats",
+    "luhn_scan",
 ]
 
 # tiny public stopword lists per language for the n-gram/stopword
@@ -1668,4 +1669,72 @@ def charset_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             n_ascii + F.col("n_nonascii") > 0,
             F.round(n_ascii / (n_ascii + F.col("n_nonascii")), 6),
         ),
+    )
+
+
+def _luhn_valid(s: Column) -> Column:
+    """Luhn checksum predicate over a digit-string column — ONE
+    higher-order ``aggregate`` over the reversed digits (1-based
+    position i; odd positions add the digit d, even positions add
+    2d − 9·[2d > 9]), valid iff the total is ≡ 0 (mod 10). Pure JVM
+    expression work, no UDF."""
+    rev = F.reverse(s)
+
+    def step(acc: Column, i: Column) -> Column:
+        d = F.substr(rev, i, F.lit(1)).cast("int")
+        twice = d * 2
+        return acc + F.when(i % 2 == 1, d).otherwise(
+            F.when(twice > 9, twice - 9).otherwise(twice)
+        )
+
+    total = F.aggregate(F.sequence(F.lit(1), F.length(s)), F.lit(0), step)
+    return total % 10 == 0
+
+
+def luhn_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    min_len: int = 13,
+    max_len: int = 19,
+) -> DataFrame:
+    """Checksum-validated payment-card detection — the upgrade over
+    :func:`pii_scan`'s shape-only credit-card pattern (shape regexes
+    flag order ids and tracking numbers too; the Luhn check separates
+    plausible PANs from digit noise, which is what decides whether a
+    row must be quarantined vs merely masked). Reference parity: the
+    desensitize family (plugins/processor/desensitize/
+    processor_desensitize.go:29-40) locates secrets by regex only;
+    this adds the validation pass a compliance pipeline runs before
+    routing to a quarantine flusher.
+
+    A candidate is a MAXIMAL digit run of *min_len*–*max_len* digits:
+    runs are extracted at any length with ``[0-9]+`` and then
+    length-filtered, so a 20-digit run is correctly NOT a candidate
+    (rather than yielding a spurious 19-digit prefix) — the
+    lookaround-free boundary rule that also works in RE2-class
+    engines. Each candidate is validated with :func:`_luhn_valid`.
+
+    Returns one row per input row containing ≥ 1 candidate:
+    ``(*id_cols, n_candidates, n_valid, has_pan)``.
+
+    Scale shape: pure map-side projection + filter — zero shuffles,
+    zero Python; output is the (rare) flagged subset, so the scan
+    composes with a fan-out route or quarantine sink at full corpus
+    width. Per-row cost is O(chars + candidate digits).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    runs = F.regexp_extract_all(txt, F.lit("[0-9]+"), 0)
+    cands = F.filter(
+        runs,
+        lambda s: (F.length(s) >= min_len) & (F.length(s) <= max_len),
+    )
+    out = df.select(
+        *[F.col(c) for c in id_cols],
+        F.size(cands).alias("n_candidates"),
+        F.size(F.filter(cands, _luhn_valid)).alias("n_valid"),
+    )
+    return out.filter(F.col("n_candidates") > 0).withColumn(
+        "has_pan", F.col("n_valid") > 0
     )

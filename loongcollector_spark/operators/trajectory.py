@@ -53,6 +53,8 @@ __all__ = [
     "speech_acts",
     "QUESTION_LEADS",
     "COMMAND_LEADS",
+    "dialogue_balance",
+    "echo_rate",
 ]
 
 
@@ -612,4 +614,148 @@ def speech_acts(
             .alias(f"n_{a}")
             for a in ("code", "question", "command", "statement")
         ]
+    )
+
+
+def dialogue_balance(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Conversation structural hygiene — the SFT pre-flight check for
+    dialogue SHAPE (a well-formed training dialogue opens with the
+    user, closes with the assistant, and alternates speakers; chat
+    templates silently mis-render anything else): per conversation,
+    the turn count, distinct-role count, the number of same-role
+    adjacencies (two consecutive turns by the same speaker — each one
+    is an alternation break), the opening and closing roles, and the
+    composed ``well_formed`` verdict.
+
+    Returns ``(conv_col, n_turns, n_roles, n_same_adj, first_role,
+    last_role, well_formed)`` — ``well_formed`` iff the conversation
+    opens with ``user``, closes with ``assistant``, and has zero
+    same-role adjacencies. All integers/booleans — bit-exact in any
+    engine.
+
+    Scale shape: ONE exchange on *conv_col* — the lag window and the
+    rollup share the conversation partitioning (the module-header
+    contract), only (conv, idx, role) rows shuffle, and ``min_by`` /
+    ``max_by`` replace a second ordering pass for the boundary roles.
+    Hot conversations are one sorted partition each (stable_order).
+    """
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    rows = tx.select(F.col(conv_col), F.col(idx_col), F.col(role_col)).select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col),
+        F.when(F.col(role_col) == F.lag(role_col).over(w), 1)
+        .otherwise(0)
+        .alias("__same"),
+    )
+    out = rows.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.countDistinct(role_col).cast("long").alias("n_roles"),
+        F.sum("__same").cast("long").alias("n_same_adj"),
+        F.min_by(role_col, F.col(idx_col)).alias("first_role"),
+        F.max_by(role_col, F.col(idx_col)).alias("last_role"),
+    )
+    return out.withColumn(
+        "well_formed",
+        (F.col("first_role") == "user")
+        & (F.col("last_role") == "assistant")
+        & (F.col("n_same_adj") == 0),
+    )
+
+
+def echo_rate(
+    tx: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    role: str = "assistant",
+    high_num: int = 8,
+    high_den: int = 10,
+) -> DataFrame:
+    """Per-conversation parroting profile — how much of each *role*
+    turn's vocabulary is copied from the immediately preceding turn
+    (the degenerate-assistant signal: echo-heavy completions teach a
+    model to restate instead of answer, and rank high on reward
+    models that over-value topical overlap).
+
+    Per measured turn, containment is ``|tokens ∩ prev_tokens| /
+    |tokens|`` over distinct lowercased whitespace tokens (the
+    pair_overlap tokenization). The rollup keeps EXACT integers —
+    ``sum_inter`` / ``sum_tokens`` — so ``echo_rate`` is ONE float
+    division of identical ints in any engine (no float accumulation),
+    and the high-echo test is the integer predicate ``inter·high_den ≥
+    high_num·tokens`` (default ≥ 0.8) — bit-exact, no epsilon.
+
+    Returns ``(conv_col, n_measured, sum_inter, sum_tokens,
+    echo_rate, n_high)``; conversations whose *role* turns all lack a
+    predecessor are absent.
+
+    Scale shape: ONE exchange on *conv_col* — token arrays are built
+    in the map-side projection, the lag window ships each
+    conversation once (text DOES travel here, unavoidably: the
+    operator compares adjacent turn content — same cost class as
+    merge_transcript), and the rollup reuses the window partitioning.
+    The set intersection is per-row codegen-free HOF work, O(tokens)
+    per turn, never cross-row.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.when(
+        F.length(F.trim(txt)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(F.split(F.lower(F.trim(txt)), r"\s+")))
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    lagged = tx.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col),
+        toks.alias("__toks"),
+    ).select(
+        F.col(conv_col),
+        F.col(role_col),
+        F.col("__toks"),
+        F.lag("__toks").over(w).alias("__prev"),
+    )
+    measured = lagged.filter(
+        (F.col(role_col) == role) & F.col("__prev").isNotNull()
+    ).select(
+        F.col(conv_col),
+        F.size("__toks").alias("__n_cur"),
+        F.size(F.array_intersect("__toks", "__prev")).alias("__n_inter"),
+    )
+    out = measured.groupBy(conv_col).agg(
+        F.count("*").cast("long").alias("n_measured"),
+        F.sum("__n_inter").cast("long").alias("sum_inter"),
+        F.sum("__n_cur").cast("long").alias("sum_tokens"),
+        F.sum(
+            F.when(
+                (F.col("__n_cur") > 0)
+                & (
+                    F.col("__n_inter") * high_den
+                    >= F.lit(high_num) * F.col("__n_cur")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high"),
+    )
+    return out.select(
+        conv_col,
+        "n_measured",
+        "sum_inter",
+        "sum_tokens",
+        F.when(
+            F.col("sum_tokens") > 0,
+            F.round(F.col("sum_inter") / F.col("sum_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("echo_rate"),
+        "n_high",
     )

@@ -13,7 +13,7 @@ both engines compute over byte-identical input rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .operators import aggregate as agg
@@ -6886,6 +6886,270 @@ QUERIES["speech_acts"] = q_speech_acts
 QUERIES["pair_overlap"] = q_pair_overlap
 
 
+# ------------------------------------------------------- round-5 session-4
+# dialogue hygiene / RM diagnostics / validated-PII / embedding QA batch
+
+
+def q_dialogue_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation structural hygiene: per conversation the turn
+    count, distinct roles, same-role adjacencies, boundary roles and
+    the composed well_formed verdict — all integers/booleans, one
+    conv exchange."""
+    from .operators.trajectory import dialogue_balance
+
+    return dialogue_balance(load_transcripts(spark, sf_dir))
+
+
+ORACLES["dialogue_balance"] = f"""
+    WITH transcripts AS ({_TX}),
+    l AS (
+      SELECT conv_id, turn_idx, role,
+        CASE WHEN role = lag(role) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx)
+             THEN 1 ELSE 0 END AS same
+      FROM transcripts
+    ),
+    a AS (
+      SELECT conv_id,
+        CAST(count(*) AS BIGINT) AS n_turns,
+        CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+        CAST(sum(same) AS BIGINT) AS n_same_adj,
+        arg_min(role, turn_idx) AS first_role,
+        arg_max(role, turn_idx) AS last_role
+      FROM l GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, n_roles, n_same_adj, first_role, last_role,
+           (first_role = 'user' AND last_role = 'assistant'
+            AND n_same_adj = 0) AS well_formed
+    FROM a
+"""
+
+
+def q_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant parroting profile: distinct-token containment of each
+    assistant turn in its predecessor, rolled up per conversation with
+    exact-integer sums (echo_rate is one int/int division)."""
+    from .operators.trajectory import echo_rate
+
+    return echo_rate(load_transcripts(spark, sf_dir))
+
+
+ORACLES["echo_rate"] = f"""
+    WITH transcripts AS ({_TX}),
+    t AS (
+      SELECT conv_id, turn_idx, role,
+        CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+             ELSE list_distinct(regexp_split_to_array(
+                    lower(trim(coalesce(text, ''))), '\\s+')) END AS toks
+      FROM transcripts
+    ),
+    l AS (
+      SELECT conv_id, role, toks,
+             lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM t
+    ),
+    m AS (
+      SELECT conv_id, len(toks) AS n_cur,
+             len(list_intersect(toks, prev)) AS n_inter
+      FROM l WHERE role = 'assistant' AND prev IS NOT NULL
+    )
+    SELECT conv_id,
+      CAST(count(*) AS BIGINT) AS n_measured,
+      CAST(sum(n_inter) AS BIGINT) AS sum_inter,
+      CAST(sum(n_cur) AS BIGINT) AS sum_tokens,
+      CASE WHEN sum(n_cur) > 0
+           THEN round(sum(n_inter) / sum(n_cur), 6) ELSE 0.0 END AS echo_rate,
+      CAST(sum(CASE WHEN n_cur > 0 AND n_inter * 10 >= 8 * n_cur
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM m GROUP BY conv_id
+"""
+
+
+def q_tool_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy determinism: Shannon entropy (nats, 6-dp) of each
+    from_tool state's next-tool distribution, computed from exact
+    integer transition counts."""
+    from .operators.aggregate import tool_entropy
+
+    return tool_entropy(load_transcripts(spark, sf_dir))
+
+
+ORACLES["tool_entropy"] = f"""
+    WITH transcripts AS ({_TX}),
+    t AS (
+      SELECT conv_id, turn_idx,
+             coalesce(nullif(trim(tool), ''), '<none>') AS tool
+      FROM transcripts
+    ),
+    s AS (
+      SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS from_tool,
+             tool AS to_tool
+      FROM t
+    ),
+    c AS (
+      SELECT from_tool, to_tool, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE from_tool IS NOT NULL
+      GROUP BY from_tool, to_tool
+    )
+    SELECT from_tool,
+      CAST(sum(n) AS BIGINT) AS n_steps,
+      CAST(count(*) AS BIGINT) AS n_next,
+      round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+    FROM c GROUP BY from_tool
+"""
+
+
+def _luhn_aug_spark() -> Column:
+    """Deterministic card-number augmentation (a Column needs a live
+    session, so this is a function, not a module constant)."""
+    return (
+        F.when(F.col("turn_idx") % 11 == 2, F.lit(" card=4111111111111111"))
+        .when(F.col("turn_idx") % 11 == 5, F.lit(" card=4111111111111112"))
+        .when(F.col("turn_idx") % 11 == 7, F.lit(" ref=12345678901234567890"))
+        .when(F.col("turn_idx") % 11 == 9, F.lit(" alt=5500005555555559"))
+        .otherwise(F.lit(""))
+    )
+
+
+def q_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PAN detection over card-augmented turns
+    (valid, Luhn-failing, and too-long digit runs are injected by
+    turn_idx so every branch of the validator is exercised); counts
+    cast to BIGINT for the cross-engine schema contract."""
+    from .operators.text import luhn_scan
+
+    tx = load_transcripts(spark, sf_dir).withColumn(
+        "text", F.concat(F.coalesce("text", F.lit("")), _luhn_aug_spark())
+    )
+    out = luhn_scan(tx)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_valid").cast("long").alias("n_valid"),
+        "has_pan",
+    )
+
+
+ORACLES["luhn_scan"] = f"""
+    WITH transcripts AS ({_TX}),
+    aug AS (
+      SELECT conv_id, turn_idx,
+        coalesce(text, '') ||
+        CASE mod(turn_idx, 11)
+          WHEN 2 THEN ' card=4111111111111111'
+          WHEN 5 THEN ' card=4111111111111112'
+          WHEN 7 THEN ' ref=12345678901234567890'
+          WHEN 9 THEN ' alt=5500005555555559'
+          ELSE '' END AS text
+      FROM transcripts
+    ),
+    c AS (
+      SELECT conv_id, turn_idx,
+        list_filter(regexp_extract_all(text, '[0-9]+'),
+                    s -> length(s) BETWEEN 13 AND 19) AS cands
+      FROM aug
+    ),
+    v AS (
+      SELECT conv_id, turn_idx,
+        CAST(len(cands) AS BIGINT) AS n_candidates,
+        CAST(len(list_filter(cands, s ->
+          list_sum(list_transform(range(1, length(s) + 1), i ->
+            CASE WHEN i % 2 = 1
+                 THEN CAST(substring(reverse(s), i, 1) AS INT)
+                 ELSE CASE WHEN CAST(substring(reverse(s), i, 1) AS INT) * 2 > 9
+                           THEN CAST(substring(reverse(s), i, 1) AS INT) * 2 - 9
+                           ELSE CAST(substring(reverse(s), i, 1) AS INT) * 2
+                      END END)) % 10 = 0)) AS BIGINT) AS n_valid
+      FROM c
+    )
+    SELECT conv_id, turn_idx, n_candidates, n_valid, n_valid > 0 AS has_pan
+    FROM v WHERE n_candidates > 0
+"""
+
+
+def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO length-bias audit: margin-bucketed pair counts with exact
+    integer sums over the same pair assembly as preference_pairs
+    (shares its digit-collapsed prompt normalization)."""
+    from .operators.assemble import length_bias, preference_pairs
+
+    tx = load_transcripts(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", "[0-9]+", "N")
+    )
+    return length_bias(preference_pairs(tx))
+
+
+ORACLES["length_bias"] = f"""
+    WITH base AS ({{pp}}),
+    b AS (
+      SELECT CASE WHEN m < 0 THEN 'chosen_shorter'
+                  WHEN m = 0 THEN 'equal'
+                  WHEN m <= 4 THEN 'small'
+                  WHEN m <= 19 THEN 'medium'
+                  ELSE 'large' END AS bucket,
+             m, chosen_score AS c, rejected_score AS r
+      FROM (SELECT chosen_score - rejected_score AS m,
+                   chosen_score, rejected_score FROM base)
+    ),
+    a AS (
+      SELECT bucket,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(m) AS BIGINT) AS sum_m,
+        CAST(sum(c) AS BIGINT) AS sum_chosen_tokens,
+        CAST(sum(r) AS BIGINT) AS sum_rejected_tokens
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_pairs,
+      round(n_pairs / (SELECT sum(n_pairs) FROM a), 6) AS share,
+      round(sum_m / n_pairs, 6) AS mean_margin,
+      sum_chosen_tokens, sum_rejected_tokens
+    FROM a
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-centroid embedding outliers: 6-dp squared-L2 distance to
+    the 6-dp per-dimension mean, top-20 by (dist DESC, vec_id) via
+    TakeOrderedAndProject."""
+    from .operators.clustering import embedding_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    return embedding_outliers(emb, top_n=20)
+
+
+ORACLES["embedding_outliers"] = """
+    WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+    pos AS (SELECT vec_id, unnest(range(len(embedding))) AS pos FROM emb),
+    ev AS (SELECT p.vec_id, p.pos,
+                  (e.embedding[p.pos + 1])::DOUBLE AS val
+           FROM pos p JOIN emb e USING (vec_id)),
+    c AS (SELECT pos, round(avg(val), 6) AS m FROM ev GROUP BY pos),
+    d AS (
+      SELECT ev.vec_id,
+             round(sum((ev.val - c.m) * (ev.val - c.m)), 6) AS dist
+      FROM ev JOIN c USING (pos) GROUP BY ev.vec_id
+    )
+    SELECT d.vec_id, e.label, d.dist
+    FROM d JOIN emb e USING (vec_id)
+    ORDER BY d.dist DESC, d.vec_id LIMIT 20
+"""
+
+ORACLES["length_bias"] = ORACLES["length_bias"].replace(
+    "{pp}", ORACLES["preference_pairs"]
+)
+
+QUERIES["dialogue_balance"] = q_dialogue_balance
+QUERIES["echo_rate"] = q_echo_rate
+QUERIES["tool_entropy"] = q_tool_entropy
+QUERIES["luhn_scan"] = q_luhn_scan
+QUERIES["length_bias"] = q_length_bias
+QUERIES["embedding_outliers"] = q_embedding_outliers
+
+
 # ---------------------------------------------------------------- round-5
 # driver-window rotation (VERDICT r4 "Next round" item 1; NOTES.md
 # "Round-5 prep").
@@ -6947,6 +7211,12 @@ _DRIVER_FIRST_R5_NEW: list[str] = [
     "speech_acts",
     "pair_overlap",
     "cluster_mixture",
+    "dialogue_balance",
+    "echo_rate",
+    "tool_entropy",
+    "luhn_scan",
+    "length_bias",
+    "embedding_outliers",
 ]
 
 # r3-green backfill pool (all green in CORRECTNESS_r03.json); sliced to
