@@ -80,6 +80,16 @@ def test_echo_rate_exact_integers(spark):
     assert "c2" not in got  # no measurable turn
 
 
+def test_echo_rate_single_added_exchange(spark, sf_dir):
+    from loongcollector_spark.sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    plan = echo_rate(tx)._jdf.queryExecution().executedPlan().toString()
+    src = tx._jdf.queryExecution().executedPlan().toString()
+    # the lag window and the rollup share ONE conv_id exchange
+    assert plan.count("Exchange") == src.count("Exchange") + 1, plan
+
+
 def test_echo_rate_high_threshold_boundary(spark):
     rows = [
         ("c", 0, "user", "a b c d e", None),
