@@ -7072,13 +7072,24 @@ ORACLES["luhn_scan"] = f"""
 def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO length-bias audit: margin-bucketed pair counts with exact
     integer sums over the same pair assembly as preference_pairs
-    (shares its digit-collapsed prompt normalization)."""
+    (digit-collapsed prompts). Assistant responses get a deterministic
+    ``mod(turn_idx, 29)``-token pad so the fixture's single-margin
+    pair families spread across several buckets, and the bucket
+    boundaries (30/38) sit inside that spread — the driver row then
+    exercises three bucket branches, not one."""
     from .operators.assemble import length_bias, preference_pairs
 
     tx = load_transcripts(spark, sf_dir).withColumn(
-        "text", F.regexp_replace("text", "[0-9]+", "N")
+        "text",
+        F.concat(
+            F.regexp_replace(F.coalesce("text", F.lit("")), "[0-9]+", "N"),
+            F.when(
+                F.col("role") == "assistant",
+                F.repeat(F.lit(" pad"), (F.col("turn_idx") % 29).cast("int")),
+            ).otherwise(F.lit("")),
+        ),
     )
-    return length_bias(preference_pairs(tx))
+    return length_bias(preference_pairs(tx), small_max=30, medium_max=38)
 
 
 ORACLES["length_bias"] = f"""
@@ -7086,8 +7097,8 @@ ORACLES["length_bias"] = f"""
     b AS (
       SELECT CASE WHEN m < 0 THEN 'chosen_shorter'
                   WHEN m = 0 THEN 'equal'
-                  WHEN m <= 4 THEN 'small'
-                  WHEN m <= 19 THEN 'medium'
+                  WHEN m <= 30 THEN 'small'
+                  WHEN m <= 38 THEN 'medium'
                   ELSE 'large' END AS bucket,
              m, chosen_score AS c, rejected_score AS r
       FROM (SELECT chosen_score - rejected_score AS m,
@@ -7138,8 +7149,29 @@ ORACLES["embedding_outliers"] = """
     ORDER BY d.dist DESC, d.vec_id LIMIT 20
 """
 
+def _length_bias_pp_sql() -> str:
+    """The preference_pairs oracle with the q_length_bias response pad
+    (``repeat(' pad', mod(turn_idx, 29))`` on assistant turns) spliced
+    into its normalization CTE. Guarded: raises if the anchor text in
+    the preference_pairs oracle ever changes, instead of silently
+    composing the un-padded assembly."""
+    anchor = "'N', 'g') AS text"
+    src = ORACLES["preference_pairs"]
+    if anchor not in src:
+        raise RuntimeError(
+            "length_bias oracle: preference_pairs normalization anchor missing"
+        )
+    return src.replace(
+        anchor,
+        "'N', 'g') ||\n"
+        "             CASE WHEN role = 'assistant'\n"
+        "                  THEN repeat(' pad', CAST(mod(turn_idx, 29) AS INT))\n"
+        "                  ELSE '' END AS text",
+    )
+
+
 ORACLES["length_bias"] = ORACLES["length_bias"].replace(
-    "{pp}", ORACLES["preference_pairs"]
+    "{pp}", _length_bias_pp_sql()
 )
 
 QUERIES["dialogue_balance"] = q_dialogue_balance
