@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> None:
         "job resumes open runs across restarts",
     )
     ap.add_argument("--loop-threshold", type=int, default=3)
+    ap.add_argument(
+        "--dialogue-monitor",
+        help="also run the stateful dialogue-structure monitor "
+        "(streaming.stream_dialogue_monitor) over the same input "
+        "stream and append its per-batch emissions as parquet under "
+        "this path; state checkpoints beside the sink checkpoint",
+    )
     args = ap.parse_args(argv)
     if args.available_now and args.continuous:
         ap.error("--available-now and --continuous are mutually exclusive")
@@ -65,6 +72,7 @@ def main(argv: list[str] | None = None) -> None:
     from loongcollector_spark.session import apply_runtime_confs
     from loongcollector_spark.streaming.stream import (
         read_transcript_stream,
+        stream_dialogue_monitor,
         stream_loop_alert,
         stream_pipeline_to_sinks,
     )
@@ -111,9 +119,38 @@ def main(argv: list[str] | None = None) -> None:
         if available_now:
             writer = writer.trigger(availableNow=True)
         aq = writer.start()
+    dq = None
+    if args.dialogue_monitor:
+        mon_path = args.dialogue_monitor
+
+        def _append_mon(batch_df, batch_id: int) -> None:
+            from pyspark.sql import functions as F
+
+            batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(mon_path)
+
+        mon = stream_dialogue_monitor(
+            read_transcript_stream(
+                spark, args.input, max_files_per_trigger=args.max_files_per_trigger
+            )
+        )
+        mwriter = (
+            mon.writeStream.outputMode("update")
+            .foreachBatch(_append_mon)
+            .option(
+                "checkpointLocation",
+                os.path.join(args.checkpoint, "dialogue_monitor"),
+            )
+        )
+        if available_now:
+            mwriter = mwriter.trigger(availableNow=True)
+        dq = mwriter.start()
     q.awaitTermination()
     if aq is not None:
         aq.awaitTermination()
+    if dq is not None:
+        dq.awaitTermination()
 
 
 if __name__ == "__main__":

@@ -483,3 +483,98 @@ def stream_loop_alert(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dialogue_monitor(stream_df: DataFrame) -> DataFrame:
+    """Streaming dialogue-structure monitor — the continuous-ingest
+    twin of :func:`..operators.trajectory.dialogue_balance` for a
+    pipeline that gates conversations WHILE they stream in (a
+    malformed dialogue can be quarantined before it ever reaches the
+    SFT export, instead of being discovered by the retrospective
+    batch audit).
+
+    Per-conversation state is three short role strings + four longs:
+    the role at the LOWEST turn_idx seen (first_role — updated if a
+    lower index arrives late), the role at the HIGHEST (last_role),
+    the previously-folded role (for same-role adjacency), turn count,
+    same-role adjacency count, the highest index folded, and the
+    out-of-order regression counter. No text ever enters the stateful
+    operator — rows are projected to (conv, idx, role) JVM-side.
+
+    Per micro-batch and conversation the update emits ``(conv_id,
+    n_turns, n_same_adj, first_role, last_role, well_formed,
+    ooo_regressions)``; ``well_formed`` follows the batch definition
+    (opens user, closes assistant, zero same-role adjacencies) minus
+    the distinct-role count, which is unbounded state and stays a
+    batch-only column.
+
+    Ordering contract (the stream_loop_alert convention): within a
+    micro-batch rows sort by turn_idx before folding; across batches
+    the adjacency fold consumes arrival order, so a same-role pair
+    split by out-of-order files may under- or over-count by one —
+    ``ooo_regressions`` > 0 flags the conversation for batch
+    re-derivation rather than silently absorbing it (ADVICE r4).
+    first_role/last_role are index-keyed, not order-keyed, so they
+    are EXACT even under reordering.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    skinny = stream_df.select(
+        F.col("conv_id"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.coalesce(F.col("role"), F.lit("")).alias("role"),
+    )
+    out_schema = (
+        "conv_id string, n_turns long, n_same_adj long, first_role string, "
+        "last_role string, well_formed boolean, ooo_regressions long"
+    )
+    state_schema = (
+        "first string, last string, prev string, n long, same long, "
+        "hi long, lo long, ooo long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        first, last, prev, n, same, hi, lo, ooo = (
+            state.get if state.exists else (None, None, None, 0, 0, None, None, 0)
+        )
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            for r, i in zip(pdf["role"], pdf["turn_idx"]):
+                r, i = str(r), int(i)
+                if hi is not None and i < hi:
+                    ooo += 1
+                if hi is None or i > hi:
+                    hi = i
+                    last = r
+                if lo is None or i < lo:
+                    lo = i
+                    first = r
+                if prev is not None and r == prev:
+                    same += 1
+                prev = r
+                n += 1
+        state.update((first, last, prev, n, same, hi, lo, ooo))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "n_same_adj": [same],
+                "first_role": [first],
+                "last_role": [last],
+                "well_formed": [
+                    first == "user" and last == "assistant" and same == 0
+                ],
+                "ooo_regressions": [ooo],
+            }
+        )
+
+    return skinny.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -110,3 +110,39 @@ def test_run_stream_loop_alert_flag_optional(spark, tmp_path, spec_path):
     )
     assert spark.read.parquet(out).count() == 1
     assert not os.path.exists(str(tmp_path / "alerts"))
+
+
+def test_run_stream_dialogue_monitor_restart_carry(spark, tmp_path, spec_path):
+    """--dialogue-monitor: run, stop, append a chunk whose first row
+    continues a same-role adjacency across the JOB restart; the
+    monitor's prev-role state restores and counts it."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    mon = str(tmp_path / "mon")
+
+    _write_chunk(
+        spark,
+        src,
+        [("cd", 0, "user", "hi", "t"), ("cd", 1, "assistant", "a", "t")],
+    )
+    args = [
+        "--input", src, "--output", out, "--spec", spec_path,
+        "--checkpoint", ck, "--available-now",
+        "--dialogue-monitor", mon,
+    ]
+    run_stream_main(args)
+    _write_chunk(
+        spark,
+        src,
+        [("cd", 2, "assistant", "b", "t"), ("cd", 3, "assistant", "c", "t")],
+    )
+    run_stream_main(args)
+
+    rows = spark.read.parquet(mon)
+    last = rows.orderBy(F.desc("n_turns")).limit(1).collect()[0]
+    # adjacency (1,2) spans the restart; (2,3) is in-chunk
+    assert last.n_turns == 4
+    assert last.n_same_adj == 2
+    assert (last.first_role, last.last_role) == ("user", "assistant")
+    assert not last.well_formed
