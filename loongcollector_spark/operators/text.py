@@ -47,6 +47,7 @@ __all__ = [
     "reading_level",
     "charset_stats",
     "luhn_scan",
+    "luhn_redact",
 ]
 
 # tiny public stopword lists per language for the n-gram/stopword
@@ -1738,3 +1739,43 @@ def luhn_scan(
     return out.filter(F.col("n_candidates") > 0).withColumn(
         "has_pan", F.col("n_valid") > 0
     )
+
+
+def luhn_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    dest: str | None = None,
+    mask: str = "<PAN>",
+    min_len: int = 13,
+    max_len: int = 19,
+) -> DataFrame:
+    """Masking counterpart of :func:`luhn_scan`: replace only the
+    checksum-VALID card candidates with *mask*, leaving Luhn-failing
+    digit runs (order ids, tracking numbers) intact — the precision
+    upgrade over :func:`pii_redact`'s shape-only credit-card rule,
+    for pipelines that must keep non-PAN identifiers joinable.
+
+    Candidates are the same maximal 13–19-digit runs as the scan;
+    each valid one is folded into a literal ``replace`` over the text
+    (one HOF ``aggregate`` whose accumulator is the string — bounded
+    by the per-row candidate count, pure JVM). A valid PAN whose
+    digit sequence also occurs inside a LONGER digit run elsewhere in
+    the same row is masked there too (literal replacement semantics);
+    that false positive requires the identical ≥13-digit sequence
+    embedded in another number and is accepted + documented.
+
+    In-place when *dest* is None; NULL text stays NULL (scan-side
+    counts already treat it as empty). Zero shuffles, zero Python.
+    """
+    txt = F.col(text_col)
+    runs = F.regexp_extract_all(F.coalesce(txt, F.lit("")), F.lit("[0-9]+"), 0)
+    cands = F.filter(
+        runs,
+        lambda s: (F.length(s) >= min_len) & (F.length(s) <= max_len),
+    )
+    valid = F.filter(cands, _luhn_valid)
+    redacted = F.aggregate(
+        valid, txt, lambda acc, c: F.replace(acc, c, F.lit(mask))
+    )
+    return df.withColumn(dest or text_col, redacted)

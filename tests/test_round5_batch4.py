@@ -212,3 +212,32 @@ def test_embedding_outliers_plans_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_luhn_redact_masks_only_valid(spark):
+    from loongcollector_spark.operators.text import luhn_redact
+
+    rows = [
+        ("c1", 0, "u", "pay 4111111111111111 order 4111111111111112 ok", None),
+        ("c2", 0, "u", "ref=12345678901234567890 stays", None),
+        ("c2", 1, "u", None, None),
+        ("c3", 0, "u", "amex 378282246310005 and visa 4111111111111111", None),
+    ]
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in luhn_redact(_tx(spark, rows)).collect()
+    }
+    assert got[("c1", 0)] == "pay <PAN> order 4111111111111112 ok"
+    assert got[("c2", 0)] == "ref=12345678901234567890 stays"  # 20 digits: kept
+    assert got[("c2", 1)] is None  # NULL stays NULL
+    assert got[("c3", 0)] == "amex <PAN> and visa <PAN>"
+
+
+def test_luhn_redact_is_shuffle_free(spark, sf_dir):
+    from loongcollector_spark.operators.text import luhn_redact
+    from loongcollector_spark.sources.transcripts import load_transcripts
+
+    tx = load_transcripts(spark, sf_dir)
+    plan = luhn_redact(tx)._jdf.queryExecution().executedPlan().toString()
+    src = tx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == src.count("Exchange"), plan
