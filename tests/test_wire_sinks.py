@@ -219,3 +219,73 @@ def test_es_bulk_index_render_is_jvm_side(spark):
     # stay in codegen
     assert plan.count("ArrowEvalPython") == 0
     assert "concat(lc-, cast(role" in plan.replace("#", " ").lower() or "concat" in plan.lower()
+
+
+# ------------------------------------------------- clickhouse RowBinary
+
+
+def test_clickhouse_rowbinary_roundtrip(spark):
+    from loongcollector_spark.sources.clickhouse_rb import (
+        decode_clickhouse_rowbinary,
+        serialize_clickhouse_rowbinary,
+    )
+
+    rows = [
+        ("c1", 0, "hello", "2024-01-01 00:00:00"),
+        ("c1", 1, "wörld ünïcode é", "2024-01-01 00:00:01"),
+        ("c2", 0, "", "2024-01-01 00:00:02"),  # empty doc field survives
+        ("c2", 1, "x" * 300, "2024-01-01 00:00:03"),  # >127-byte varint len
+    ]
+    df = (
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, t string")
+        .withColumn("ts", F.to_timestamp("t"))
+        .drop("t")
+    )
+    payloads = [
+        bytes(r.value)
+        for r in serialize_clickhouse_rowbinary(
+            df.coalesce(1), max_rows=3
+        ).collect()
+    ]
+    assert len(payloads) == 2  # 4 rows rotate at 3
+    decoded = [t for p in payloads for t in decode_clickhouse_rowbinary(p)]
+    assert len(decoded) == 4
+    import json as _json
+
+    docs = sorted(_json.loads(d)["text"] for ts, d in decoded)
+    assert docs == sorted([r[2] for r in rows])
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert sorted(ts for ts, _ in decoded) == [base, base + 1, base + 2, base + 3]
+
+
+def test_clickhouse_rowbinary_decoder_rejects_truncation(spark):
+    import pytest as _pytest
+
+    from loongcollector_spark.sources.clickhouse_rb import (
+        decode_clickhouse_rowbinary,
+        serialize_clickhouse_rowbinary,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00")], "text string, t string"
+    ).select(F.col("text"), F.to_timestamp("t").alias("ts"))
+    payload = bytes(serialize_clickhouse_rowbinary(df).collect()[0].value)
+    with _pytest.raises(ValueError):
+        decode_clickhouse_rowbinary(payload[:-1])
+    with _pytest.raises(ValueError):
+        decode_clickhouse_rowbinary(payload + b"\x01")
+
+
+def test_clickhouse_buffer_ddl_matches_reference_shape():
+    from loongcollector_spark.sources.clickhouse_rb import buffer_table_ddl
+
+    null_sql, buf_sql = buffer_table_ddl("default", "logs", cluster="c1")
+    assert null_sql == (
+        "CREATE TABLE IF NOT EXISTS `default`.`ilogtail_logs` on cluster 'c1' "
+        "(`_timestamp` Int64,`_log` String) ENGINE = Null"
+    )
+    assert buf_sql.startswith(
+        "CREATE TABLE IF NOT EXISTS `default`.`ilogtail_logs_buffer` on "
+        "cluster 'c1' AS `default`.`ilogtail_logs` ENGINE = Buffer(default, "
+        "ilogtail_logs, 4, 10, 100, 10000, 1000000, 10000000, 100000000)"
+    )
