@@ -30,7 +30,7 @@ import json
 
 from . import protowire as w
 
-__all__ = ["decode_traces", "decode_metrics", "decode_udf"]
+__all__ = ["decode_traces", "decode_metrics", "decode_logs", "decode_udf"]
 
 # kind codes: s=string, hex=bytes→hex, b64=bytes→base64, d=double,
 # b=bool, e=enum→str(int), u32=varint int, s32=zigzag sint32,
@@ -326,6 +326,34 @@ def decode_traces(payload) -> str | None:
         return None
 
 
+# logs/v1/logs.proto (public opentelemetry-proto) — completes the
+# OTLP triple alongside TRACES_DATA / METRICS_DATA above.
+_LOG_RECORD = {
+    1: ("timeUnixNano", "u64f", False),
+    2: ("severityNumber", "e", False),
+    3: ("severityText", "s", False),
+    5: ("body", _ANYVALUE, False),
+    6: ("attributes", _KEYVALUE, True),
+    7: ("droppedAttributesCount", "u32", False),
+    8: ("flags", "u32", False),
+    9: ("traceId", "hex", False),
+    10: ("spanId", "hex", False),
+    11: ("observedTimeUnixNano", "u64f", False),
+    12: ("eventName", "s", False),
+}
+_SCOPE_LOGS = {
+    1: ("scope", _SCOPE, False),
+    2: ("logRecords", _LOG_RECORD, True),
+    3: ("schemaUrl", "s", False),
+}
+_RESOURCE_LOGS = {
+    1: ("resource", _RESOURCE, False),
+    2: ("scopeLogs", _SCOPE_LOGS, True),
+    3: ("schemaUrl", "s", False),
+}
+LOGS_DATA = {1: ("resourceLogs", _RESOURCE_LOGS, True)}
+
+
 def decode_metrics(payload) -> str | None:
     buf = _coerce_bytes(payload)
     if buf is None:
@@ -336,13 +364,26 @@ def decode_metrics(payload) -> str | None:
         return None
 
 
+def decode_logs(payload) -> str | None:
+    """LogsData wire bytes → OTLP/JSON string (None on undecodable
+    input, the decode_traces convention)."""
+    buf = _coerce_bytes(payload)
+    if buf is None:
+        return None
+    try:
+        return json.dumps(decode_message(buf, LOGS_DATA))
+    except ValueError:
+        return None
+
+
 def decode_udf(which: str):
-    """Arrow-batched decode UDF (``which`` in {'traces','metrics'})."""
+    """Arrow-batched decode UDF (``which`` in {'traces','metrics','logs'})."""
     import pandas as pd  # noqa: F401  (kept local: UDF import context)
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    fn = decode_traces if which == "traces" else decode_metrics
+    fn = {"traces": decode_traces, "metrics": decode_metrics,
+          "logs": decode_logs}[which]
 
     @F.pandas_udf(T.StringType())
     def _decode(s):

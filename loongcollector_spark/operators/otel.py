@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_otel_trace", "parse_otel_metric", "OTEL_SPAN_COLUMNS"]
+__all__ = ["parse_otel_trace", "parse_otel_metric", "parse_otel_log",
+           "OTEL_SPAN_COLUMNS", "OTEL_LOG_COLUMNS"]
 
 _ATTRS = (
     "array<struct<key:string,value:struct<stringValue:string,"
@@ -684,6 +685,107 @@ def parse_otel_metric(
         .withColumn("__time_nano__", F.col("__row")["__time_nano__"])
         .withColumn("__value__", F.col("__row")["__value__"])
         .drop("__rm", "__sm", "__mt", "__row")
+    )
+    if drop_source:
+        out = out.drop(source_key)
+    return out
+
+
+# OTLP/JSON logs schema (public logs/v1/logs.proto protojson shape;
+# enum fields typed string so numeric and name encodings both parse)
+OTLP_LOG_SCHEMA = f"""
+resourceLogs array<struct<
+  resource: struct<attributes: {_ATTRS}>,
+  scopeLogs: array<struct<
+    scope: struct<name:string, version:string>,
+    logRecords: array<struct<
+      timeUnixNano:string, observedTimeUnixNano:string,
+      severityNumber:string, severityText:string,
+      body: struct<stringValue:string, intValue:string,
+                   doubleValue:double, boolValue:boolean>,
+      attributes: {_ATTRS},
+      droppedAttributesCount:int, flags:int,
+      traceId:string, spanId:string, eventName:string
+    >>
+  >>
+>>
+"""
+
+OTEL_LOG_COLUMNS = [
+    "service", "otlp.name", "otlp.version", "time_us", "observed_us",
+    "severityNumber", "severityText", "body", "attribute",
+    "traceID", "spanID", "eventName", "flags",
+]
+
+
+def parse_otel_log(
+    df: DataFrame,
+    source_key: str,
+    *,
+    format: str = "json",
+    drop_source: bool = True,
+) -> DataFrame:
+    """One output row per LogRecord in each row's OTLP ``LogsData``
+    payload — the logs member of the OTLP triple beside
+    :func:`parse_otel_trace` and :func:`parse_otel_metric` (the
+    reference ships trace/metric processors; an OTLP-logs receiver
+    feeds the same LogEvent model, so the Spark surface completes the
+    signal set). Unparseable payloads yield zero rows.
+
+    Columns (beyond the carried-through inputs): ``service`` (resource
+    ``service.name``), scope name/version, exact integer microsecond
+    ``time_us``/``observed_us``, severity number + text, the body
+    scalar rendered as a string (non-scalar bodies render ''), sorted
+    JSON ``attribute``, hex trace/span ids, ``eventName``, ``flags``.
+
+    ``format``: 'json'/'protojson' (JVM-native from_json hot path) or
+    'protobuf' (functions/otlp_wire.py LOGS_DATA wire walk in an
+    Arrow-batched UDF, then the same JSON plan — identical rows).
+    """
+    fmt = format.lower()
+    if fmt == "protobuf":
+        from ..functions.otlp_wire import decode_udf
+
+        tmp = "__otlp_log_json"
+        decoded = df.withColumn(tmp, decode_udf("logs")(F.col(source_key)))
+        out = parse_otel_log(decoded, tmp, format="json", drop_source=True)
+        return out.drop(source_key) if drop_source else out
+    if fmt not in ("json", "protojson"):
+        raise ValueError(f"unknown otel log format {format!r}")
+    parsed = F.from_json(F.col(source_key), OTLP_LOG_SCHEMA)
+    out = (
+        df.withColumn("__rl", F.explode(parsed["resourceLogs"]))
+        .withColumn("__sl", F.explode(F.col("__rl")["scopeLogs"]))
+        .withColumn("__lr", F.explode(F.col("__sl")["logRecords"]))
+    )
+    res_attrs = F.col("__rl")["resource"]["attributes"]
+    lr = F.col("__lr")
+    time_us = (lr["timeUnixNano"].cast("decimal(38,0)") / 1000).cast("long")
+    obs_us = (
+        lr["observedTimeUnixNano"].cast("decimal(38,0)") / 1000
+    ).cast("long")
+    body = F.coalesce(
+        lr["body"]["stringValue"],
+        lr["body"]["intValue"],
+        _fmt_double(lr["body"]["doubleValue"]),
+        lr["body"]["boolValue"].cast("string"),
+        F.lit(""),
+    )
+    out = (
+        out.withColumn("service", _attr_value(res_attrs, "service.name"))
+        .withColumn("otlp.name", F.coalesce(F.col("__sl")["scope"]["name"], F.lit("")))
+        .withColumn("otlp.version", F.coalesce(F.col("__sl")["scope"]["version"], F.lit("")))
+        .withColumn("time_us", time_us)
+        .withColumn("observed_us", obs_us)
+        .withColumn("severityNumber", F.coalesce(lr["severityNumber"], F.lit("0")))
+        .withColumn("severityText", F.coalesce(lr["severityText"], F.lit("")))
+        .withColumn("body", body)
+        .withColumn("attribute", _attrs_json(lr["attributes"]))
+        .withColumn("traceID", F.coalesce(lr["traceId"], F.lit("")))
+        .withColumn("spanID", F.coalesce(lr["spanId"], F.lit("")))
+        .withColumn("eventName", F.coalesce(lr["eventName"], F.lit("")))
+        .withColumn("flags", F.coalesce(lr["flags"], F.lit(0)))
+        .drop("__rl", "__sl", "__lr")
     )
     if drop_source:
         out = out.drop(source_key)

@@ -600,3 +600,114 @@ def test_otel_protojson_aliases_json(spark):
     a = sorted(map(str, parse_otel_trace(df, "payload", format="json").collect()))
     b = sorted(map(str, parse_otel_trace(df, "payload", format="protojson").collect()))
     assert a == b
+
+
+# ------------------------------------------------------------ OTLP logs
+
+
+def _encode_logs_payload(records):
+    """Serialize a LogsData wire payload with protowire: records =
+    [(time_ns, sevnum, sevtext, body_str, attrs{k:v}, trace16, span8)]."""
+    from loongcollector_spark.functions import protowire as w
+
+    recs = b""
+    for t, num, text, body, attrs, tid, sid in records:
+        body_any = w.write_string_field(1, body)
+        attr_bytes = b""
+        for k, v in attrs.items():
+            attr_bytes += w.write_len_delimited(
+                6,
+                w.write_string_field(1, k)
+                + w.write_len_delimited(2, w.write_string_field(1, v)),
+            )
+        rec = (
+            w.write_fixed64_field(1, t)
+            + w.write_varint_field(2, num)
+            + w.write_string_field(3, text)
+            + w.write_len_delimited(5, body_any)
+            + attr_bytes
+            + w.write_len_delimited(9, tid)
+            + w.write_len_delimited(10, sid)
+        )
+        recs += w.write_len_delimited(2, rec)
+    scope_logs = w.write_len_delimited(
+        1, w.write_string_field(1, "lc-test-scope")
+    ) + recs
+    kv = w.write_string_field(1, "service.name") + w.write_len_delimited(
+        2, w.write_string_field(1, "svc-a")
+    )
+    resource_logs = w.write_len_delimited(
+        1, w.write_len_delimited(1, kv)
+    ) + w.write_len_delimited(2, scope_logs)
+    return w.write_len_delimited(1, resource_logs)
+
+
+def test_parse_otel_log_protobuf_roundtrip(spark):
+    from loongcollector_spark.operators.otel import parse_otel_log
+
+    payload = _encode_logs_payload(
+        [
+            (
+                1704067200_000_000_000,
+                9,
+                "INFO",
+                "hello log",
+                {"k1": "v1", "k2": "v2"},
+                b"\x01" * 16,
+                b"\x02" * 8,
+            ),
+            (
+                1704067201_000_000_000,
+                17,
+                "ERROR",
+                "boom",
+                {},
+                b"\x03" * 16,
+                b"\x04" * 8,
+            ),
+        ]
+    )
+    df = spark.createDataFrame([("r1", bytearray(payload))], "id string, payload binary")
+    out = parse_otel_log(df, "payload", format="protobuf").orderBy("time_us")
+    rows = out.collect()
+    assert len(rows) == 2
+    r0, r1 = rows
+    assert r0.service == "svc-a"
+    assert r0["otlp.name"] == "lc-test-scope"
+    assert r0.time_us == 1704067200_000_000
+    assert (r0.severityNumber, r0.severityText) == ("9", "INFO")
+    assert r0.body == "hello log"
+    import json as _json
+
+    assert _json.loads(r0.attribute) == {"k1": "v1", "k2": "v2"}
+    assert r0.traceID == "01" * 16 and r0.spanID == "02" * 8
+    assert r1.body == "boom" and r1.severityText == "ERROR"
+    assert r1.attribute == "{}"
+    # carried-through input column, duplicated per record
+    assert {r.id for r in rows} == {"r1"}
+
+
+def test_parse_otel_log_json_and_protobuf_agree(spark):
+    from loongcollector_spark.functions.otlp_wire import decode_logs
+    from loongcollector_spark.operators.otel import parse_otel_log
+
+    payload = _encode_logs_payload(
+        [(1704067202_500_000_000, 13, "WARN", "w", {"a": "b"},
+          b"\x05" * 16, b"\x06" * 8)]
+    )
+    json_text = decode_logs(payload)
+    dfp = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    dfj = spark.createDataFrame([(json_text,)], "payload string")
+    rp = parse_otel_log(dfp, "payload", format="protobuf").collect()
+    rj = parse_otel_log(dfj, "payload", format="json").collect()
+    assert [tuple(r) for r in rp] == [tuple(r) for r in rj]
+    assert rp[0].time_us == 1704067202_500_000
+
+
+def test_parse_otel_log_garbage_yields_zero_rows(spark):
+    from loongcollector_spark.operators.otel import parse_otel_log
+
+    df = spark.createDataFrame(
+        [(bytearray(b"\xff\xff\x07garbage"),), (None,)], "payload binary"
+    )
+    assert parse_otel_log(df, "payload", format="protobuf").count() == 0
