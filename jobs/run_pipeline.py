@@ -48,10 +48,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--shards", type=int, default=0)
     ap.add_argument(
         "--flusher",
-        choices=["parquet", "blackhole"],
+        choices=["parquet", "blackhole", "sls", "loki", "es", "clickhouse"],
         default="parquet",
         help="blackhole = full execution, no output (flusher_blackhole; "
-        "the benchmark shape the reference's own harness uses)",
+        "the benchmark shape the reference's own harness uses). "
+        "sls/loki/es/clickhouse serialize the routed rows into that "
+        "flusher's wire payloads (per-sink topic/label/index/doc) and "
+        "write the payload table under --output — the bytes a network "
+        "flusher would POST, minus the transport",
     )
     ap.add_argument(
         "--warm", type=int, default=0,
@@ -71,6 +75,12 @@ def main(argv: list[str] | None = None) -> None:
             "--lineage is incompatible with --flusher blackhole: the "
             "benchmark loop writes no output, so there is nothing to "
             "checkpoint or resume"
+        )
+    if args.flusher in ("sls", "loki", "es", "clickhouse") and args.lineage:
+        ap.error(
+            f"--lineage is not supported with --flusher {args.flusher}: "
+            "checkpointed reruns cover the parquet sink path; wire "
+            "payload jobs rerun whole (overwrite)"
         )
 
     from pyspark.sql import SparkSession
@@ -116,6 +126,78 @@ def main(argv: list[str] | None = None) -> None:
             best = dt if best is None else min(best, dt)
         wall = best  # the best measured round (steady-state throughput)
         metrics.add("pipeline", -1, n, round(best, 3))
+        if args.metrics:
+            metrics.write(spark, args.metrics)
+    elif args.flusher in ("sls", "loki", "es", "clickhouse"):
+        # wire-payload flushers: route, then serialize each flusher's
+        # exact sink format (the encode half of the round-trip queries)
+        # and land the payload table under --output. The sink column
+        # rides as SLS topic / Loki label / ES index / ClickHouse doc
+        # field, so a transport layer can fan payloads out per sink.
+        from pyspark.sql import functions as F
+
+        out = pipe.run(df)
+        if "sink" not in out.columns:
+            ap.error(f"--flusher {args.flusher} needs a router stage "
+                     "(no 'sink' column in the pipeline output)")
+        par = spark.sparkContext.defaultParallelism
+        routed = out.repartition(par, "sink")
+        ts_key = "ts" if "ts" in routed.columns else None
+        if args.flusher == "sls":
+            from loongcollector_spark.sources.sls_pb import (
+                serialize_sls_loggroups,
+            )
+
+            payloads = serialize_sls_loggroups(
+                routed, time_key=ts_key, topic_key="sink"
+            )
+        elif args.flusher == "loki":
+            from loongcollector_spark.sources.loki_push import (
+                serialize_loki_push,
+            )
+
+            doc_cols = [c for c in routed.columns if c not in ("sink", "ts")]
+            ns = (
+                (F.unix_micros(F.col(ts_key).cast("timestamp")) * 1000)
+                if ts_key
+                else F.lit(0)
+            )
+            # NB: pandas itertuples renames leading-underscore columns
+            # positionally, so the staging column names must be plain
+            lined = routed.select(
+                F.col("sink"),
+                ns.cast("long").alias("lc_ns"),
+                F.to_json(F.struct(*[F.col(c) for c in doc_cols])).alias(
+                    "lc_line"
+                ),
+            )
+            payloads = serialize_loki_push(
+                lined,
+                line_key="lc_line",
+                time_ns_key="lc_ns",
+                label_keys=["sink"],
+                static_labels={"job": args.job_id},
+            )
+        elif args.flusher == "es":
+            from loongcollector_spark.sources.es_bulk import serialize_es_bulk
+
+            payloads = serialize_es_bulk(routed, index_format="lc-%{sink}")
+        else:  # clickhouse
+            from loongcollector_spark.sources.clickhouse_rb import (
+                serialize_clickhouse_rowbinary,
+            )
+
+            payloads = serialize_clickhouse_rowbinary(
+                routed, ts_col=ts_key or routed.columns[0]
+            )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = payloads.observe(obs, F.count(F.lit(1)).alias("n"))
+        observed.write.mode("overwrite").parquet(args.output)
+        n = obs.get["n"]
+        wall = time.monotonic() - t0
+        metrics.add(f"flusher_{args.flusher}", -1, n, round(wall, 3))
         if args.metrics:
             metrics.write(spark, args.metrics)
     elif args.lineage:

@@ -145,3 +145,88 @@ def test_tag_copy_and_unconditional_sinks(spark, sf_dir):
     assert counts["sink_audit"] == n
     assert counts["sink_code_copy"] == tx.filter(F.col("tool") == "code").count()
     assert counts["sink_a"] + counts["sink_other"] == n
+
+
+def test_run_pipeline_wire_flushers_roundtrip(spark, sf_dir, tmp_path):
+    """jobs/run_pipeline.py --flusher sls/loki/es/clickhouse: the
+    deployment entry point lands decodable wire payloads whose row
+    totals equal the routed input."""
+    import json as _json
+
+    from jobs.run_pipeline import main as run_pipeline_main
+    from loongcollector_spark.sources.clickhouse_rb import (
+        decode_clickhouse_rowbinary,
+    )
+    from loongcollector_spark.sources.es_bulk import decode_es_bulk
+    from loongcollector_spark.sources.sls_pb import decode_loggroup
+
+    spec = tmp_path / "spec.json"
+    spec.write_text(
+        _json.dumps(
+            {
+                "processors": [],
+                "router": {
+                    "source_key": "role",
+                    "rules": [
+                        {"regex": "assistant", "sink": "sink_assistant"},
+                        {"regex": "tool", "sink": "sink_tool"},
+                    ],
+                    "default_sink": "sink_default",
+                },
+            }
+        )
+    )
+    src = str(tmp_path / "tx")
+    from loongcollector_spark.sources.transcripts import load_transcripts
+
+    load_transcripts(spark, sf_dir).write.parquet(src)
+
+    def run(flusher):
+        out = str(tmp_path / f"out_{flusher}")
+        run_pipeline_main(
+            ["--input", src, "--output", out, "--spec", str(spec),
+             "--flusher", flusher, "--job-id", "t"]
+        )
+        return spark.read.parquet(out)
+
+    # clickhouse: decode every payload, total rows == 1000
+    ch = run("clickhouse")
+    rows = [
+        t
+        for r in ch.collect()
+        for t in decode_clickhouse_rowbinary(bytes(r.value))
+    ]
+    assert len(rows) == 1000
+    sinks = {_json.loads(doc)["sink"] for _, doc in rows}
+    assert sinks == {"sink_assistant", "sink_tool", "sink_default"}
+
+    # es: bulk bodies decode, index carries the sink
+    es = run("es")
+    pairs = [p for r in es.collect() for p in decode_es_bulk(r.value)]
+    assert len(pairs) == 1000
+    assert {idx for idx, _ in pairs} == {
+        "lc-sink_assistant", "lc-sink_tool", "lc-sink_default"
+    }
+
+    # sls: topic column is the sink; log totals match
+    sls = run("sls")
+    srows = sls.collect()
+    assert sum(r.n_logs for r in srows) == 1000
+    assert {r.topic for r in srows} == {
+        "sink_assistant", "sink_tool", "sink_default"
+    }
+    decoded = decode_loggroup(bytes(srows[0].value))
+    assert decoded["logs"]
+
+    # loki: stream labels carry sink + static job label
+    lk = run("loki")
+    total = 0
+    seen = set()
+    for r in lk.collect():
+        body = _json.loads(r.value)
+        for stream in body["streams"]:
+            assert stream["stream"]["job"] == "t"
+            seen.add(stream["stream"]["sink"])
+            total += len(stream["values"])
+    assert total == 1000
+    assert seen == {"sink_assistant", "sink_tool", "sink_default"}
