@@ -230,3 +230,65 @@ def test_run_pipeline_wire_flushers_roundtrip(spark, sf_dir, tmp_path):
             total += len(stream["values"])
     assert total == 1000
     assert seen == {"sink_assistant", "sink_tool", "sink_default"}
+
+
+def test_payload_replay_sources_close_the_loop(spark, sf_dir, tmp_path):
+    """write with --flusher X, read back with the replay source: the
+    decoded row set equals the routed input (the full collector →
+    wire → re-ingest loop inside Spark)."""
+    import json as _json
+
+    from jobs.run_pipeline import main as run_pipeline_main
+    from loongcollector_spark.sources.payload_replay import (
+        read_clickhouse_payloads,
+        read_es_payloads,
+        read_loki_payloads,
+        read_sls_payloads,
+    )
+    from loongcollector_spark.sources.transcripts import load_transcripts
+
+    spec = tmp_path / "spec.json"
+    spec.write_text(
+        _json.dumps(
+            {
+                "processors": [],
+                "router": {
+                    "source_key": "role",
+                    "rules": [{"regex": "assistant", "sink": "sink_assistant"}],
+                    "default_sink": "sink_default",
+                },
+            }
+        )
+    )
+    src = str(tmp_path / "tx")
+    load_transcripts(spark, sf_dir).write.parquet(src)
+
+    def run(flusher):
+        out = str(tmp_path / f"o_{flusher}")
+        run_pipeline_main(
+            ["--input", src, "--output", out, "--spec", str(spec),
+             "--flusher", flusher, "--job-id", "t"]
+        )
+        return out
+
+    sls = read_sls_payloads(spark, run("sls"))
+    assert sls.count() == 1000
+    assert set(r.topic for r in sls.select("topic").distinct().collect()) == {
+        "sink_assistant", "sink_default"
+    }
+    # contents carry the original text column verbatim
+    one = sls.filter("topic = 'sink_assistant'").limit(1).collect()[0]
+    assert "text" in one.contents and "conv_id" in one.contents
+
+    loki = read_loki_payloads(spark, run("loki"))
+    assert loki.count() == 1000
+    assert loki.filter("labels['sink'] = 'sink_assistant'").count() == 247
+
+    es = read_es_payloads(spark, run("es"))
+    assert es.count() == 1000
+    assert es.filter("index = 'lc-sink_assistant'").count() == 247
+
+    ch = read_clickhouse_payloads(spark, run("clickhouse"))
+    assert ch.count() == 1000
+    docs = ch.limit(1).collect()[0]
+    assert _json.loads(docs.log)["sink"] in {"sink_assistant", "sink_default"}
