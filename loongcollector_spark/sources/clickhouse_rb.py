@@ -79,9 +79,12 @@ def serialize_clickhouse_rowbinary(
     """
     cols = doc_keys or [c for c in df.columns if c != ts_col]
     prepared = df.select(
-        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-        .cast("long")
-        .alias("__ts"),
+        # null ts → 0, JVM-side (the loki_push/prom_wire convention);
+        # a NaN reaching int() would otherwise kill the executor task.
+        F.coalesce(
+            F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("__ts"),
         F.to_json(F.struct(*[F.col(c) for c in cols])).alias("__log"),
     )
 

@@ -258,6 +258,28 @@ def test_clickhouse_rowbinary_roundtrip(spark):
     assert sorted(ts for ts, _ in decoded) == [base, base + 1, base + 2, base + 3]
 
 
+def test_clickhouse_rowbinary_null_ts_folds_to_zero(spark):
+    # null ts must serialize as 0 (loki_push/prom_wire convention),
+    # not crash the executor with int(NaN).
+    from loongcollector_spark.sources.clickhouse_rb import (
+        decode_clickhouse_rowbinary,
+        serialize_clickhouse_rowbinary,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("b", None)], "text string, t string"
+    ).select(F.col("text"), F.to_timestamp("t").alias("ts"))
+    decoded = [
+        t
+        for r in serialize_clickhouse_rowbinary(df.coalesce(1)).collect()
+        for t in decode_clickhouse_rowbinary(bytes(r.value))
+    ]
+    assert sorted(ts for ts, _ in decoded) == [0, 1704067200]
+    assert sorted(d for _, d in decoded) == sorted(
+        ['{"text":"a"}', '{"text":"b"}']
+    )
+
+
 def test_clickhouse_rowbinary_decoder_rejects_truncation(spark):
     import pytest as _pytest
 
