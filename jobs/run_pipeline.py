@@ -187,9 +187,18 @@ def main(argv: list[str] | None = None) -> None:
                 serialize_clickhouse_rowbinary,
             )
 
-            payloads = serialize_clickhouse_rowbinary(
-                routed, ts_col=ts_key or routed.columns[0]
-            )
+            if ts_key:
+                payloads = serialize_clickhouse_rowbinary(routed, ts_col=ts_key)
+            else:
+                # no ts column: synthesize epoch-0 (the loki branch's
+                # lit(0) convention) instead of sacrificing a real
+                # column to the _timestamp slot
+                payloads = serialize_clickhouse_rowbinary(
+                    routed.withColumn(
+                        "lc_zero_ts", F.lit(0).cast("timestamp")
+                    ),
+                    ts_col="lc_zero_ts",
+                )
         from pyspark.sql import Observation
 
         obs = Observation()

@@ -89,68 +89,57 @@ def main(argv: list[str] | None = None) -> None:
         args.checkpoint,
         available_now=available_now,
     )
-    aq = None
-    if args.loop_alert:
+    def _start_monitor(monitor_fn, out_path: str, ckpt_name: str):
         # a SECOND query over the same file source with its own
-        # checkpoint: the sink pipeline and the monitor progress
+        # checkpoint: the sink pipeline and each monitor progress
         # independently (one slow sink never stalls alerting). Update-
         # mode emissions append as parquet with the batch id — the
-        # monitor's view is max(max_run)/max(looped) per conv_id.
-        alert_path = args.loop_alert
-
-        def _append_alerts(batch_df, batch_id: int) -> None:
+        # monitor's view is the max-per-conv rollup of the emissions.
+        def _append(batch_df, batch_id: int) -> None:
             from pyspark.sql import functions as F
 
             batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
                 "append"
-            ).parquet(alert_path)
+            ).parquet(out_path)
 
-        alerts = stream_loop_alert(
+        mon = monitor_fn(
             read_transcript_stream(
                 spark, args.input, max_files_per_trigger=args.max_files_per_trigger
-            ),
-            loop_threshold=args.loop_threshold,
+            )
         )
         writer = (
-            alerts.writeStream.outputMode("update")
-            .foreachBatch(_append_alerts)
-            .option("checkpointLocation", os.path.join(args.checkpoint, "loop_alert"))
+            mon.writeStream.outputMode("update")
+            .foreachBatch(_append)
+            .option(
+                "checkpointLocation", os.path.join(args.checkpoint, ckpt_name)
+            )
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
-        aq = writer.start()
-    dq = None
+        return writer.start()
+
+    monitors = []
+    if args.loop_alert:
+        monitors.append(
+            _start_monitor(
+                lambda s: stream_loop_alert(
+                    s, loop_threshold=args.loop_threshold
+                ),
+                args.loop_alert,
+                "loop_alert",
+            )
+        )
     if args.dialogue_monitor:
-        mon_path = args.dialogue_monitor
-
-        def _append_mon(batch_df, batch_id: int) -> None:
-            from pyspark.sql import functions as F
-
-            batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(mon_path)
-
-        mon = stream_dialogue_monitor(
-            read_transcript_stream(
-                spark, args.input, max_files_per_trigger=args.max_files_per_trigger
+        monitors.append(
+            _start_monitor(
+                stream_dialogue_monitor,
+                args.dialogue_monitor,
+                "dialogue_monitor",
             )
         )
-        mwriter = (
-            mon.writeStream.outputMode("update")
-            .foreachBatch(_append_mon)
-            .option(
-                "checkpointLocation",
-                os.path.join(args.checkpoint, "dialogue_monitor"),
-            )
-        )
-        if available_now:
-            mwriter = mwriter.trigger(availableNow=True)
-        dq = mwriter.start()
     q.awaitTermination()
-    if aq is not None:
-        aq.awaitTermination()
-    if dq is not None:
-        dq.awaitTermination()
+    for mq in monitors:
+        mq.awaitTermination()
 
 
 if __name__ == "__main__":

@@ -200,6 +200,24 @@ _RESOURCE_METRICS = {
 METRICS_DATA = {1: ("resourceMetrics", _RESOURCE_METRICS, True)}
 
 
+# canonical wire type per scalar kind (proto3 encoders MUST emit it);
+# a known field number carrying any other wire type is a corrupt or
+# adversarial payload and rejects the whole message, same as the
+# length-delimited guard in decode_message — without this, varint
+# bytes landing in a fixed64 slot would silently decode to a bogus
+# number instead of ValueError → None
+_SCALAR_WT = {
+    "d": 1,
+    "b": 0,
+    "e": 0,
+    "u32": 0,
+    "s32": 0,
+    "i64v": 0,
+    "i64f": 1,
+    "u64f": 1,
+}
+
+
 def _scalar(kind: str, wt: int, v):
     if kind == "s":
         return v.decode("utf-8", errors="replace")
@@ -207,8 +225,15 @@ def _scalar(kind: str, wt: int, v):
         return v.hex()
     if kind == "b64":
         return base64.b64encode(v).decode("ascii")
+    want = _SCALAR_WT.get(kind)
+    if want is None:
+        raise ValueError(f"unknown scalar kind {kind}")
+    if wt != want:
+        raise ValueError(
+            f"scalar kind {kind}: expected wire type {want}, got {wt}"
+        )
     if kind == "d":
-        return w.read_double(v) if wt == 1 else w.read_double(int(v))
+        return w.read_double(v)
     if kind == "b":
         return bool(v)
     if kind == "e":
@@ -221,9 +246,7 @@ def _scalar(kind: str, wt: int, v):
         return str(w.u64_to_i64(int(v)))
     if kind == "i64f":
         return str(w.u64_to_i64(int(v)))
-    if kind == "u64f":
-        return str(int(v))
-    raise ValueError(f"unknown scalar kind {kind}")
+    return str(int(v))  # u64f
 
 
 def _packed(kind: str, wt: int, v) -> list:

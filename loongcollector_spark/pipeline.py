@@ -67,6 +67,7 @@ PROCESSORS: dict[str, ProcessorFn] = {
     "parse_gotime": parse.parse_gotime,
     "parse_otel_trace": otel.parse_otel_trace,
     "parse_otel_metric": otel.parse_otel_metric,
+    "parse_otel_log": otel.parse_otel_log,
     "parse_anchor": parse.parse_anchor,
     "parse_apsara": parse.parse_apsara,
     "parse_json_typed": parse.parse_json_typed,

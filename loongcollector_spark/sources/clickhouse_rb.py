@@ -27,6 +27,8 @@ import struct
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import protowire as _w
+
 __all__ = [
     "buffer_table_ddl",
     "decode_clickhouse_rowbinary",
@@ -35,32 +37,16 @@ __all__ = [
 
 
 def _write_varint(n: int, out: bytearray) -> None:
-    """ULEB128 (the RowBinary / protobuf varint)."""
+    """ULEB128 (the RowBinary / protobuf varint) — delegates to the
+    shared protowire codec. RowBinary lengths are sizes, never
+    negative, so the two's-complement path is a hard error here."""
     if n < 0:
         raise ValueError("varint must be non-negative")
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return
+    out += _w.write_varint(n)
 
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
-    shift, val = 0, 0
-    while True:
-        if pos >= len(buf):
-            raise ValueError("truncated varint")
-        b = buf[pos]
-        pos += 1
-        val |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return val, pos
-        shift += 7
-        if shift > 63:
-            raise ValueError("varint too long")
+    return _w.read_varint(buf, pos)
 
 
 def serialize_clickhouse_rowbinary(

@@ -516,6 +516,12 @@ def stream_dialogue_monitor(stream_df: DataFrame) -> DataFrame:
     re-derivation rather than silently absorbing it (ADVICE r4).
     first_role/last_role are index-keyed, not order-keyed, so they
     are EXACT even under reordering.
+
+    NULL roles mirror the batch twin: they never count toward
+    same-role adjacency (the lag comparison is NULL for them), they
+    surface as NULL boundary roles, and ``well_formed`` follows the
+    batch expression's three-valued AND (False terms win; otherwise
+    a NULL boundary role yields NULL, not False).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -523,7 +529,11 @@ def stream_dialogue_monitor(stream_df: DataFrame) -> DataFrame:
     skinny = stream_df.select(
         F.col("conv_id"),
         F.col("turn_idx").cast("long").alias("turn_idx"),
-        F.coalesce(F.col("role"), F.lit("")).alias("role"),
+        # roles stay nullable: the batch twin's lag comparison is NULL
+        # (not a match) for NULL roles, and its boundary min_by/max_by
+        # surface NULL — coalescing to "" here would count two
+        # consecutive NULL-role turns as a same-role adjacency
+        F.col("role"),
     )
     out_schema = (
         "conv_id string, n_turns long, n_same_adj long, first_role string, "
@@ -542,8 +552,10 @@ def stream_dialogue_monitor(stream_df: DataFrame) -> DataFrame:
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            started = n > 0
             for r, i in zip(pdf["role"], pdf["turn_idx"]):
-                r, i = str(r), int(i)
+                r = None if r is None or pd.isna(r) else str(r)
+                i = int(i)
                 if hi is not None and i < hi:
                     ooo += 1
                 if hi is None or i > hi:
@@ -552,11 +564,23 @@ def stream_dialogue_monitor(stream_df: DataFrame) -> DataFrame:
                 if lo is None or i < lo:
                     lo = i
                     first = r
-                if prev is not None and r == prev:
+                # NULL roles never match (the batch lag comparison is
+                # NULL for them); `started` separates "no previous
+                # turn" from "previous turn had a NULL role"
+                if started and prev is not None and r is not None and r == prev:
                     same += 1
                 prev = r
+                started = True
                 n += 1
         state.update((first, last, prev, n, same, hi, lo, ooo))
+        # well_formed mirrors the batch twin's three-valued AND:
+        # any False term wins over NULL; all-present terms → True
+        terms = [
+            None if first is None else first == "user",
+            None if last is None else last == "assistant",
+            same == 0,
+        ]
+        wf = False if False in terms else (None if None in terms else True)
         yield pd.DataFrame(
             {
                 "conv_id": [key[0]],
@@ -564,9 +588,7 @@ def stream_dialogue_monitor(stream_df: DataFrame) -> DataFrame:
                 "n_same_adj": [same],
                 "first_role": [first],
                 "last_role": [last],
-                "well_formed": [
-                    first == "user" and last == "assistant" and same == 0
-                ],
+                "well_formed": [wf],
                 "ooo_regressions": [ooo],
             }
         )

@@ -227,7 +227,7 @@ def test_registry_reaches_all_survey_operators():
         "base64_encode", "base64_decode", "pack_json", "appender",
         "drop", "drop_last_key", "pick", "encrypt", "decrypt",
         "log_to_metric", "cloud_meta", "parse_gotime", "parse_otel_trace",
-        "parse_otel_metric",
+        "parse_otel_metric", "parse_otel_log",
         "filter_regex", "filter_key_regex", "filter_expression",
         "fields_with_condition", "rate_limit", "stable_order",
         "pack_groups", "shard_repartition",

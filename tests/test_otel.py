@@ -704,6 +704,29 @@ def test_parse_otel_log_json_and_protobuf_agree(spark):
     assert rp[0].time_us == 1704067202_500_000
 
 
+def test_otlp_wrong_wire_type_numeric_rejects_payload():
+    """A known numeric field carrying the wrong wire type must reject
+    the whole payload (decode → None), not silently fabricate a value
+    — e.g. timeUnixNano (fixed64) arriving length-delimited as ASCII
+    digits must NOT decode to 12."""
+    from loongcollector_spark.functions import protowire as w
+    from loongcollector_spark.functions.otlp_wire import decode_logs
+
+    def ld(field: int, payload: bytes) -> bytes:
+        return w.write_varint((field << 3) | 2) + w.write_varint(len(payload)) + payload
+
+    # LogRecord with timeUnixNano (field 1, fixed64) as wt=2 b"12"
+    bad_record = ld(1, b"12")
+    bad = ld(1, ld(2, ld(2, bad_record)))  # resourceLogs>scopeLogs>logRecords
+    assert decode_logs(bad) is None
+
+    # the same record with the canonical fixed64 encoding decodes
+    good_record = w.write_varint((1 << 3) | 1) + (12).to_bytes(8, "little")
+    good = ld(1, ld(2, ld(2, good_record)))
+    out = decode_logs(good)
+    assert out is not None and '"timeUnixNano": "12"' in out
+
+
 def test_parse_otel_log_garbage_yields_zero_rows(spark):
     from loongcollector_spark.operators.otel import parse_otel_log
 

@@ -232,6 +232,54 @@ def test_run_pipeline_wire_flushers_roundtrip(spark, sf_dir, tmp_path):
     assert seen == {"sink_assistant", "sink_tool", "sink_default"}
 
 
+def test_run_pipeline_clickhouse_without_ts_keeps_all_columns(
+    spark, sf_dir, tmp_path
+):
+    """--flusher clickhouse on a pipeline whose output has no ts
+    column: every real column must survive into the _log JSON (the
+    old fallback sacrificed routed.columns[0] to the _timestamp slot)
+    and _timestamp folds to 0."""
+    import json as _json
+
+    from jobs.run_pipeline import main as run_pipeline_main
+    from loongcollector_spark.sources.clickhouse_rb import (
+        decode_clickhouse_rowbinary,
+    )
+    from loongcollector_spark.sources.transcripts import load_transcripts
+
+    spec = tmp_path / "spec_nots.json"
+    spec.write_text(
+        _json.dumps(
+            {
+                "processors": [{"type": "drop", "keys": ["ts"]}],
+                "router": {
+                    "source_key": "role",
+                    "rules": [{"regex": "assistant", "sink": "sink_assistant"}],
+                    "default_sink": "sink_default",
+                },
+            }
+        )
+    )
+    src = str(tmp_path / "tx_nots")
+    load_transcripts(spark, sf_dir).write.parquet(src)
+    out = str(tmp_path / "out_ch_nots")
+    run_pipeline_main(
+        ["--input", src, "--output", out, "--spec", str(spec),
+         "--flusher", "clickhouse", "--job-id", "t"]
+    )
+    rows = [
+        t
+        for r in spark.read.parquet(out).collect()
+        for t in decode_clickhouse_rowbinary(bytes(r.value))
+    ]
+    assert len(rows) == 1000
+    assert all(ts == 0 for ts, _ in rows)
+    doc = _json.loads(rows[0][1])
+    # conv_id (the first routed column) must NOT have been consumed
+    # as the timestamp source
+    assert {"conv_id", "turn_idx", "role", "sink"} <= set(doc)
+
+
 def test_payload_replay_sources_close_the_loop(spark, sf_dir, tmp_path):
     """write with --flusher X, read back with the replay source: the
     decoded row set equals the routed input (the full collector →

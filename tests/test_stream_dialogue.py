@@ -55,6 +55,66 @@ def test_stream_dialogue_parity_with_batch_twin(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_dialogue_null_roles_match_batch(spark, tmp_path):
+    """NULL roles: no adjacency counted (batch lag comparison is NULL),
+    NULL boundary roles surface as NULL, and well_formed follows the
+    batch three-valued AND (False beats NULL; NULL boundary → NULL)."""
+    from loongcollector_spark.operators.trajectory import dialogue_balance
+    from loongcollector_spark.streaming.stream import (
+        read_transcript_stream,
+        stream_dialogue_monitor,
+    )
+
+    rows = [
+        # two consecutive NULL roles must NOT count as same-role adj;
+        # opens user / closes assistant / no adj → well_formed NULL? no:
+        # all non-boundary NULLs, boundary roles present → True
+        ("cA", 0, "user", "t", ""),
+        ("cA", 1, None, "t", ""),
+        ("cA", 2, None, "t", ""),
+        ("cA", 3, "assistant", "t", ""),
+        # NULL closing role → well_formed is NULL (batch semantics)
+        ("cB", 0, "user", "t", ""),
+        ("cB", 1, None, "t", ""),
+        # NULL opening but a real same-role adjacency → False wins
+        ("cC", 0, None, "t", ""),
+        ("cC", 1, "user", "t", ""),
+        ("cC", 2, "user", "t", ""),
+    ]
+    src = str(tmp_path / "nulls")
+    _write_batch(spark, rows, src, "2024-01-01 00:00:00")
+    q = (
+        stream_dialogue_monitor(read_transcript_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("dlg_nulls")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_nulls"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.conv_id: (r.n_turns, r.n_same_adj, r.first_role, r.last_role, r.well_formed)
+        for r in spark.sql(
+            "select conv_id, max(n_turns) as n_turns, max(n_same_adj) as "
+            "n_same_adj, max_by(first_role, n_turns) as first_role, "
+            "max_by(last_role, n_turns) as last_role, "
+            "max_by(well_formed, n_turns) as well_formed "
+            "from dlg_nulls group by conv_id"
+        ).collect()
+    }
+    want = {
+        r.conv_id: (r.n_turns, r.n_same_adj, r.first_role, r.last_role, r.well_formed)
+        for r in dialogue_balance(
+            spark.createDataFrame(rows, SCHEMA)
+        ).collect()
+    }
+    assert got == want
+    assert got["cA"] == (4, 0, "user", "assistant", True)
+    assert got["cB"] == (2, 0, "user", None, None)
+    assert got["cC"] == (3, 1, None, "user", False)
+
+
 def test_stream_dialogue_cross_batch_adjacency(spark, tmp_path):
     """A same-role adjacency SPLIT across two micro-batches still
     counts: the prev-role string carries across triggers."""
