@@ -556,11 +556,10 @@ def pair_overlap(
     never transcripts.
     """
 
+    from .text import distinct_tokens
+
     def toks(c: str):
-        t = F.coalesce(F.col(c), F.lit(""))
-        return F.when(
-            F.length(F.trim(t)) == 0, F.array().cast("array<string>")
-        ).otherwise(F.array_distinct(F.split(F.lower(F.trim(t)), r"\s+")))
+        return distinct_tokens(F.coalesce(F.col(c), F.lit("")))
 
     a, b = toks(chosen_col), toks(rejected_col)
     inter = F.size(F.array_intersect(a, b))

@@ -67,6 +67,17 @@ _EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "it", "on", "for", "as", "are"
 _TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
+def distinct_tokens(txt: Column) -> Column:
+    """Distinct lowercase whitespace tokens of *txt* as an array —
+    empty/blank text → empty array (``split`` alone would yield
+    ``['']``). The shared tokenization of ``echo_rate`` (trajectory)
+    and ``pair_overlap`` (assemble): one definition so the two
+    operators cannot silently diverge."""
+    return F.when(
+        F.length(F.trim(txt)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(F.split(F.lower(F.trim(txt)), r"\s+")))
+
+
 def _ws_token_count(txt):
     """Whitespace-token count of a (non-NULL) text expression — the
     repo-wide baseline tokenizer (token_stats, fertility_report)."""
@@ -1710,12 +1721,16 @@ def luhn_scan(
     this adds the validation pass a compliance pipeline runs before
     routing to a quarantine flusher.
 
-    A candidate is a MAXIMAL digit run of *min_len*–*max_len* digits:
-    runs are extracted at any length with ``[0-9]+`` and then
-    length-filtered, so a 20-digit run is correctly NOT a candidate
-    (rather than yielding a spurious 19-digit prefix) — the
+    A candidate is a MAXIMAL digit run — optionally interrupted by
+    single ``-`` or space separators between digit groups, the common
+    card formats ``4111-1111-1111-1111`` / ``4111 1111 1111 1111`` —
+    whose SEPARATOR-STRIPPED length is *min_len*–*max_len* digits:
+    runs are extracted at any length with ``[0-9]+(?:[- ][0-9]+)*``
+    and then length-filtered, so a 20-digit run is correctly NOT a
+    candidate (rather than yielding a spurious 19-digit prefix) — the
     lookaround-free boundary rule that also works in RE2-class
-    engines. Each candidate is validated with :func:`_luhn_valid`.
+    engines. Each candidate's digit string is validated with
+    :func:`_luhn_valid`.
 
     Returns one row per input row containing ≥ 1 candidate:
     ``(*id_cols, n_candidates, n_valid, has_pan)``.
@@ -1726,9 +1741,14 @@ def luhn_scan(
     width. Per-row cost is O(chars + candidate digits).
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    runs = F.regexp_extract_all(txt, F.lit("[0-9]+"), 0)
+    runs = F.regexp_extract_all(
+        txt, F.lit("[0-9]+(?:[- ][0-9]+)*"), 0
+    )
+    digits = F.transform(
+        runs, lambda s: F.regexp_replace(s, "[- ]", "")
+    )
     cands = F.filter(
-        runs,
+        digits,
         lambda s: (F.length(s) >= min_len) & (F.length(s) <= max_len),
     )
     out = df.select(
@@ -1756,8 +1776,11 @@ def luhn_redact(
     upgrade over :func:`pii_redact`'s shape-only credit-card rule,
     for pipelines that must keep non-PAN identifiers joinable.
 
-    Candidates are the same maximal 13–19-digit runs as the scan;
+    Candidates are the same maximal (separator-tolerant) 13–19-digit
+    runs as the scan, validated on their separator-stripped digits;
     each valid one is folded into a literal ``replace`` over the text
+    using its ORIGINAL spelling (separators included), so
+    ``4111-1111-1111-1111`` masks as written
     (one HOF ``aggregate`` whose accumulator is the string — bounded
     by the per-row candidate count, pure JVM). A valid PAN whose
     digit sequence also occurs inside a LONGER digit run elsewhere in
@@ -1769,12 +1792,19 @@ def luhn_redact(
     counts already treat it as empty). Zero shuffles, zero Python.
     """
     txt = F.col(text_col)
-    runs = F.regexp_extract_all(F.coalesce(txt, F.lit("")), F.lit("[0-9]+"), 0)
+    runs = F.regexp_extract_all(
+        F.coalesce(txt, F.lit("")), F.lit("[0-9]+(?:[- ][0-9]+)*"), 0
+    )
+
+    def _digits(s: Column) -> Column:
+        return F.regexp_replace(s, "[- ]", "")
+
     cands = F.filter(
         runs,
-        lambda s: (F.length(s) >= min_len) & (F.length(s) <= max_len),
+        lambda s: (F.length(_digits(s)) >= min_len)
+        & (F.length(_digits(s)) <= max_len),
     )
-    valid = F.filter(cands, _luhn_valid)
+    valid = F.filter(cands, lambda s: _luhn_valid(_digits(s)))
     redacted = F.aggregate(
         valid, txt, lambda acc, c: F.replace(acc, c, F.lit(mask))
     )

@@ -706,10 +706,10 @@ def echo_rate(
     The set intersection is per-row codegen-free HOF work, O(tokens)
     per turn, never cross-row.
     """
+    from .text import distinct_tokens
+
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.when(
-        F.length(F.trim(txt)) == 0, F.array().cast("array<string>")
-    ).otherwise(F.array_distinct(F.split(F.lower(F.trim(txt)), r"\s+")))
+    toks = distinct_tokens(txt)
     w = W.partitionBy(conv_col).orderBy(idx_col)
     lagged = tx.select(
         F.col(conv_col),

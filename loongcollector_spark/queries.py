@@ -7005,6 +7005,7 @@ def _luhn_aug_spark() -> Column:
     session, so this is a function, not a module constant)."""
     return (
         F.when(F.col("turn_idx") % 11 == 2, F.lit(" card=4111111111111111"))
+        .when(F.col("turn_idx") % 11 == 3, F.lit(" card=4111-1111-1111-1111"))
         .when(F.col("turn_idx") % 11 == 5, F.lit(" card=4111111111111112"))
         .when(F.col("turn_idx") % 11 == 7, F.lit(" ref=12345678901234567890"))
         .when(F.col("turn_idx") % 11 == 9, F.lit(" alt=5500005555555559"))
@@ -7039,6 +7040,7 @@ ORACLES["luhn_scan"] = f"""
         coalesce(text, '') ||
         CASE mod(turn_idx, 11)
           WHEN 2 THEN ' card=4111111111111111'
+          WHEN 3 THEN ' card=4111-1111-1111-1111'
           WHEN 5 THEN ' card=4111111111111112'
           WHEN 7 THEN ' ref=12345678901234567890'
           WHEN 9 THEN ' alt=5500005555555559'
@@ -7047,8 +7049,11 @@ ORACLES["luhn_scan"] = f"""
     ),
     c AS (
       SELECT conv_id, turn_idx,
-        list_filter(regexp_extract_all(text, '[0-9]+'),
-                    s -> length(s) BETWEEN 13 AND 19) AS cands
+        list_filter(
+          list_transform(
+            regexp_extract_all(text, '[0-9]+(?:[- ][0-9]+)*'),
+            s -> regexp_replace(s, '[- ]', '', 'g')),
+          s -> length(s) BETWEEN 13 AND 19) AS cands
       FROM aug
     ),
     v AS (

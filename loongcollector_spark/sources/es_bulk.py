@@ -15,7 +15,6 @@ documents. :func:`decode_es_bulk` parses a body back to
 from __future__ import annotations
 
 import json
-import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,17 +23,11 @@ __all__ = ["decode_es_bulk", "serialize_es_bulk"]
 
 
 def _index_col(index_format: str):
-    """``%{col}`` format string → codegen concat Column."""
-    parts: list = []
-    pos = 0
-    for m in re.finditer(r"%\{(\w+)\}", index_format):
-        if m.start() > pos:
-            parts.append(F.lit(index_format[pos : m.start()]))
-        parts.append(F.col(m.group(1)).cast("string"))
-        pos = m.end()
-    if pos < len(index_format):
-        parts.append(F.lit(index_format[pos:]))
-    return F.concat(*parts) if parts else F.lit(index_format)
+    """``%{col}`` format string → codegen concat Column (shared
+    renderer: sinks.format_string_col)."""
+    from .sinks import format_string_col
+
+    return format_string_col(index_format)
 
 
 def serialize_es_bulk(

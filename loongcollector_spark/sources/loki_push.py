@@ -91,14 +91,22 @@ def serialize_loki_push(
                 acc = {}
                 count = 0
 
-            for row in pdf.itertuples(index=False):
-                d = row._asdict()
+            # column-wise iteration (the prom_wire convention):
+            # itertuples()._asdict() positionally renames any column
+            # that is not a valid Python identifier (dotted Loki label
+            # keys like "host.name"), breaking the name lookup
+            for vals in zip(
+                pdf[line_key],
+                pdf[time_ns_key],
+                *(pdf[k] for k in label_keys),
+            ):
+                line_v, ts_v, *label_vals = vals
                 labels = dict(static)
-                for k in label_keys:
-                    labels[k] = "" if d[k] is None else str(d[k])
+                for k, v in zip(label_keys, label_vals):
+                    labels[k] = "" if v is None or pd.isna(v) else str(v)
                 key = tuple(sorted(labels.items()))
-                ts = int(d[time_ns_key]) if d[time_ns_key] is not None else 0
-                line = "" if d[line_key] is None else str(d[line_key])
+                ts = 0 if ts_v is None or pd.isna(ts_v) else int(ts_v)
+                line = "" if line_v is None or pd.isna(line_v) else str(line_v)
                 acc.setdefault(key, []).append((ts, line))
                 count += 1
                 if count >= max_entries:

@@ -59,6 +59,24 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def format_string_col(fmt: str):
+    """``%{col}`` format string → codegen concat Column (the
+    reference's fmtstr.FormatTopic semantics) — shared by the dynamic
+    kafka topic renderer and the ES ``_index`` renderer."""
+    import re as _re
+
+    parts: list = []
+    pos = 0
+    for m in _re.finditer(r"%\{(\w+)\}", fmt):
+        if m.start() > pos:
+            parts.append(F.lit(fmt[pos : m.start()]))
+        parts.append(F.col(m.group(1)).cast("string"))
+        pos = m.end()
+    if pos < len(fmt):
+        parts.append(F.lit(fmt[pos:]))
+    return F.concat(*parts) if parts else F.lit(fmt)
+
+
 def write_blackhole(df: DataFrame) -> None:
     """Benchmark sink: full execution, no output (flusher_blackhole,
     used by the reference perf harness)."""
@@ -80,18 +98,7 @@ def write_dynamic_topics(
     each distinct rendered topic becomes a partition directory (= a
     topic/table). ``hash_keys`` pre-shuffles rows so all rows of a key
     land in one task's files (the hash partitioner analog)."""
-    import re as _re
-
-    parts: list = []
-    pos = 0
-    for m in _re.finditer(r"%\{(\w+)\}", topic_format):
-        if m.start() > pos:
-            parts.append(F.lit(topic_format[pos : m.start()]))
-        parts.append(F.col(m.group(1)).cast("string"))
-        pos = m.end()
-    if pos < len(topic_format):
-        parts.append(F.lit(topic_format[pos:]))
-    out = df.withColumn("__topic", F.concat(*parts) if parts else F.lit(topic_format))
+    out = df.withColumn("__topic", format_string_col(topic_format))
     if hash_keys:
         out = out.repartition(n_partitions, *[F.col(k) for k in hash_keys])
     out.write.partitionBy("__topic").format(fmt).mode(mode).save(base_path)

@@ -311,6 +311,17 @@ def _m_from_unixtime(args, slices):
     base = f"timestamp_seconds({args[0]})"
     if len(args) == 2:
         return f"from_utc_timestamp({base}, {args[1]})"
+    if len(args) == 3:
+        # Presto from_unixtime(unixtime, hours, minutes): wall clock
+        # at the ±hh:mm offset = UTC + offset (negative args negate
+        # the interval, matching Presto's signed offset fields)
+        return (
+            f"({base} + make_interval(0, 0, 0, 0, {args[1]}, {args[2]}, 0))"
+        )
+    if len(args) != 1:
+        raise SPLUnsupportedError(
+            f"from_unixtime() with {len(args)} arguments"
+        )
     return base
 
 
@@ -647,7 +658,10 @@ _FLAG_RE = re.compile(
     r"(?:\s*=\s*('(?:[^']|'')*'|[^\s]+))?"
 )
 
-_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "\\": "\\", "0": "\0"}
+# NB no "0" entry: octal escapes own every [0-7]-led sequence, so
+# \0 decodes through the octal branch (chr(0o0) == NUL) and \011 is
+# tab, not NUL + "11"
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}
 
 
 def _decode_flag_value(raw: str) -> str:
@@ -668,7 +682,7 @@ def _decode_flag_value(raw: str) -> str:
                     i += 2 + len(hexpart)
                     continue
             m = re.match(r"[0-7]{1,3}", raw[i + 1 :])
-            if m and nxt not in _ESCAPES:
+            if m:
                 out.append(chr(int(m.group(0), 8)))
                 i += 1 + len(m.group(0))
                 continue
@@ -990,6 +1004,47 @@ def _cmd_sort(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
     return df.orderBy(*order)
 
 
+def _capture_groups(pattern: str) -> tuple[int, dict[str, int]]:
+    """``(n_capturing_groups, {name: ordinal})`` for a Java-flavor
+    regex. Python's own parser is exact when it accepts the pattern
+    (after folding ``(?<name>`` to its ``(?P<name>`` spelling); for
+    Java-only constructs it falls back to a manual scan that honors
+    escapes, character classes, and ``(?...)`` non-capturing /
+    lookaround forms — a bare count of ``(`` would misnumber mixed
+    named/unnamed patterns and count lookbehinds."""
+    py = re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", pattern)
+    try:
+        c = re.compile(py)
+        return c.groups, dict(c.groupindex)
+    except re.error:
+        pass
+    n, names = 0, {}
+    i, in_class = 0, False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            m = re.match(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", pattern[i:])
+            if m:
+                n += 1
+                names[m.group(1)] = n
+            elif not pattern.startswith("(?", i):
+                n += 1
+        i += 1
+    return n, names
+
+
 def _cmd_parse_regexp(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
     head, as_part = _split_as(rest)
     pieces = _split_top_text(head)
@@ -1002,6 +1057,7 @@ def _cmd_parse_regexp(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
         raise SPLError("parse-regexp pattern must be a string literal")
     # (?P<name>...) → Java named groups; collect group names in order
     java_pat = pattern.replace("(?P<", "(?<")
+    n_groups, name_ordinals = _capture_groups(pattern)
     group_names = re.findall(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", pattern)
     if as_part is not None:
         keys = [_ident_of(k) for k in _split_top_text(as_part)]
@@ -1010,16 +1066,23 @@ def _cmd_parse_regexp(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
     else:
         raise SPLError("parse-regexp needs an 'as' key list or named groups")
     # group numbering: with an `as` list the keys bind to groups 1..n;
-    # named patterns bind each name to its capture-group ordinal.
+    # named patterns bind each name to its ACTUAL capture-group
+    # ordinal (unnamed groups before a named one shift it).
     if as_part is not None:
+        if len(keys) > n_groups:
+            raise SPLError(
+                f"parse-regexp: {len(keys)} 'as' keys but the pattern "
+                f"has only {n_groups} capture group(s)"
+            )
         ordinals = list(range(1, len(keys) + 1))
     else:
-        ordinals = []
-        ordinal = 0
-        for m in re.finditer(r"\((?!\?[:=!])", pattern):
-            ordinal += 1
-            ordinals.append(ordinal)
-        ordinals = ordinals[: len(keys)]
+        ordinals = [name_ordinals.get(k, 0) for k in keys]
+        if 0 in ordinals:
+            # fallback scan missed a name (exotic Java-only syntax):
+            # fail loudly rather than bind a wrong ordinal
+            raise SPLError(
+                f"parse-regexp: cannot number named groups in {pattern!r}"
+            )
     matched = F.col(src).rlike(java_pat)
     targets = [
         (k, F.regexp_extract(F.col(src), java_pat, g), matched)
@@ -1037,11 +1100,25 @@ def _cmd_parse_json(df: DataFrame, rest: str, ctx: _Ctx) -> DataFrame:
     keys = ctx.known_keys.get(src) or _discover_keys(
         df, F.json_object_keys(base), ctx, f"parse-json {src}"
     )
+    # ONE from_json parse shared by every key (codegen subexpression
+    # elimination collapses the K field extractions onto a single
+    # JsonToStructs evaluation) instead of K independent
+    # get_json_object calls each re-parsing the full document — the
+    # difference between O(len) and O(K·len) per row on the hot path.
+    # Verified equivalent to the JsonPath form on well-formed input
+    # (missing key → NULL, scalars → their literal text, nested
+    # objects/arrays → their JSON text, corrupt document → all NULL);
+    # the one divergence is duplicate keys in a single object (first
+    # vs last value wins), which JSON leaves undefined.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    uniq = list(dict.fromkeys(keys))
+    parsed = F.from_json(
+        base, StructType([StructField(k, StringType()) for k in uniq])
+    )
     targets = []
-    for k in keys:
-        # dotted / exotic keys need bracket JsonPath; plain keys use $.k
-        jpath = f"$.{k}" if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k) else f"$['{k}']"
-        val = F.get_json_object(base, jpath)
+    for k in uniq:
+        val = parsed.getItem(k)
         targets.append((prefix + k, val, val.isNotNull()))
     return _assign_parsed(df, targets, str(flags.get("mode", "overwrite")))
 

@@ -138,6 +138,13 @@ def test_luhn_scan_validation_and_boundaries(spark):
         ("c2", 1, "u", "short 123456789012", None),                 # 12 digits
         ("c2", 2, "u", None, None),
         ("c3", 0, "u", "amex 378282246310005", None),               # 15, valid
+        # separator-formatted PANs (the common card spellings)
+        ("c4", 0, "u", "card 4111-1111-1111-1111 thanks", None),
+        ("c4", 1, "u", "card 4111 1111 1111 1111", None),
+        # a date must NOT merge into a candidate (8 digits stripped)
+        ("c4", 2, "u", "on 2024-01-01 nothing", None),
+        # separated 20-digit run stays non-candidate (maximality)
+        ("c4", 3, "u", "ref 12345-678901234567890", None),
     ]
     out = {
         (r.conv_id, r.turn_idx): (r.n_candidates, r.n_valid, r.has_pan)
@@ -147,6 +154,8 @@ def test_luhn_scan_validation_and_boundaries(spark):
         ("c1", 0): (1, 1, True),
         ("c1", 1): (2, 1, True),
         ("c3", 0): (1, 1, True),
+        ("c4", 0): (1, 1, True),
+        ("c4", 1): (1, 1, True),
     }
 
 
@@ -222,6 +231,7 @@ def test_luhn_redact_masks_only_valid(spark):
         ("c2", 0, "u", "ref=12345678901234567890 stays", None),
         ("c2", 1, "u", None, None),
         ("c3", 0, "u", "amex 378282246310005 and visa 4111111111111111", None),
+        ("c4", 0, "u", "card 4111-1111-1111-1111 on 2024-01-01", None),
     ]
     got = {
         (r.conv_id, r.turn_idx): r.text
@@ -231,6 +241,8 @@ def test_luhn_redact_masks_only_valid(spark):
     assert got[("c2", 0)] == "ref=12345678901234567890 stays"  # 20 digits: kept
     assert got[("c2", 1)] is None  # NULL stays NULL
     assert got[("c3", 0)] == "amex <PAN> and visa <PAN>"
+    # separated spelling masks as written; the date run is untouched
+    assert got[("c4", 0)] == "card <PAN> on 2024-01-01"
 
 
 def test_luhn_redact_is_shuffle_free(spark, sf_dir):

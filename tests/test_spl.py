@@ -325,6 +325,49 @@ def test_parse_regexp_as_keys_and_named_groups(spark):
     assert by2["1.2.3.4 GET /x"].method == "GET"
 
 
+def test_parse_regexp_mixed_named_unnamed_groups(spark):
+    """A named group preceded by unnamed (and lookbehind) groups must
+    bind to its ACTUAL capture-group ordinal, not its position in the
+    name list."""
+    df = spark.createDataFrame([("42x abc",)], ["content"])
+    out = compile_spl(
+        df, r"* | parse-regexp content, '(\d+)x (?P<word>[a-z]+)'"
+    ).collect()
+    assert out[0].word == "abc"  # not '42'
+    # lookbehind is NOT a capture group and must not shift ordinals
+    out2 = compile_spl(
+        df, r"* | parse-regexp content, '(?<=x )(?P<word>[a-z]+)'"
+    ).collect()
+    assert out2[0].word == "abc"
+
+
+def test_parse_regexp_too_many_as_keys_is_compile_error(spark):
+    df = spark.createDataFrame([("5 apples",)], ["content"])
+    with pytest.raises(SPLError, match="capture group"):
+        compile_spl(df, r"* | parse-regexp content, '(\d+)' as a, b")
+
+
+def test_flag_value_octal_and_hex_escapes():
+    from loongcollector_spark.spl import _decode_flag_value
+
+    assert _decode_flag_value(r"'\011'") == "\t"  # octal tab, not NUL+'11'
+    assert _decode_flag_value(r"'\11'") == "\t"
+    assert _decode_flag_value(r"'\0'") == "\0"
+    assert _decode_flag_value(r"'\x09'") == "\t"
+    assert _decode_flag_value(r"'\t'") == "\t"
+
+
+def test_from_unixtime_three_arg_offset(spark):
+    """Presto from_unixtime(unixtime, hours, minutes) renders the wall
+    clock at the ±hh:mm offset (UTC + offset), not plain UTC."""
+    df = spark.createDataFrame([(0,)], ["t"])
+    out = compile_spl(
+        df,
+        "* | extend w = date_format(from_unixtime(t, 8, 30), '%H:%i')",
+    ).collect()
+    assert out[0].w == "08:30"
+
+
 def test_parse_regexp_overwrite_keeps_unmatched_rows_existing(spark):
     # an existing column is only overwritten where the parse matched
     df = spark.createDataFrame(
