@@ -137,9 +137,25 @@ def main(argv: list[str] | None = None) -> None:
                 "dialogue_monitor",
             )
         )
-    q.awaitTermination()
-    for mq in monitors:
-        mq.awaitTermination()
+    if not monitors:
+        q.awaitTermination()
+        return
+    # with side monitors, wait on ANY termination so a monitor that
+    # dies (e.g. unwritable alert path) surfaces instead of being
+    # masked forever by the still-running sink query in --continuous
+    # mode; a failure stops the surviving queries and re-raises
+    queries = [q, *monitors]
+    try:
+        while any(x.isActive for x in queries):
+            spark.streams.awaitAnyTermination()
+            spark.streams.resetTerminated()
+            for x in queries:
+                if not x.isActive and x.exception() is not None:
+                    raise x.exception()
+    finally:
+        for x in queries:
+            if x.isActive:
+                x.stop()
 
 
 if __name__ == "__main__":

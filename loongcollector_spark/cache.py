@@ -20,12 +20,24 @@ survive a release.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator, List
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
+# Registry is process-global and release_persisted() frees EVERY
+# tracked handle: the contract assumes one driver thread interleaves
+# build → action → release per query (bench.py, the job entry points).
+# Concurrent query runners must each wrap their runs in
+# persist_scope(), which releases only the handles created inside the
+# scope — calling bare release_persisted() from one thread while
+# another thread's query is mid-action would unpersist tables that
+# query is actively reading (Spark silently recomputes: correct but
+# exactly the recompute the persist exists to prevent). The lock below
+# protects the registry structure itself, not that usage contract.
+_LOCK = threading.Lock()
 _PERSISTED: List[DataFrame] = []
 
 
@@ -34,17 +46,21 @@ def persisted(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
     :func:`release_persisted` can free it. Returns the persisted
     DataFrame (same object semantics as ``df.persist()``)."""
     out = df.persist(level) if level is not None else df.persist()
-    _PERSISTED.append(out)
+    with _LOCK:
+        _PERSISTED.append(out)
     return out
 
 
 def release_persisted(blocking: bool = False) -> int:
     """Unpersist every tracked handle (LIFO); returns how many were
     released. Safe to call with queries still holding the plan — Spark
-    recomputes instead of failing — and idempotent."""
+    recomputes instead of failing — and idempotent. See the module
+    note: in multi-threaded drivers use :func:`persist_scope` instead,
+    this releases handles owned by EVERY thread."""
+    with _LOCK:
+        tail, _PERSISTED[:] = list(_PERSISTED), []
     n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
+    for df in reversed(tail):
         try:
             df.unpersist(blocking)
             n += 1
@@ -58,11 +74,13 @@ def persist_scope(blocking: bool = False) -> Iterator[None]:
     """Scope a block of query runs: every :func:`persisted` handle
     created inside is released on exit, including on error. Handles
     created BEFORE entry are left alone."""
-    mark = len(_PERSISTED)
+    with _LOCK:
+        mark = len(_PERSISTED)
     try:
         yield
     finally:
-        tail, _PERSISTED[mark:] = _PERSISTED[mark:], []
+        with _LOCK:
+            tail, _PERSISTED[mark:] = _PERSISTED[mark:], []
         for df in reversed(tail):
             try:
                 df.unpersist(blocking)

@@ -1111,8 +1111,13 @@ def prefix_groups(
     if dense:
         from pyspark.sql import Window as W
 
+        # fingerprint tiebreak: duplicate turn_idx values (dirty data)
+        # would otherwise rank arbitrarily per execution, making the
+        # prefix signature non-deterministic across runs
         rk = F.row_number().over(
-            W.partitionBy(conv_col).orderBy(F.col(idx_col).cast("long"))
+            W.partitionBy(conv_col).orderBy(
+                F.col(idx_col).cast("long"), F.col("__f")
+            )
         )
         heads = (
             tx.select(F.col(conv_col), F.col(idx_col), fp.alias("__f"))

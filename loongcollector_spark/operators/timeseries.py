@@ -58,6 +58,7 @@ def _per_key_prefix(
     order_cols: list[str],
     sum_cols: list[str],
     blocks: int,
+    sample_from: DataFrame | None = None,
 ) -> DataFrame:
     """Exact per-key prefix sums without a per-key serial pass.
 
@@ -82,8 +83,16 @@ def _per_key_prefix(
     """
     from .packing import monotone_block_id
 
+    # cut points depend only on the first order column, so sample the
+    # cheapest frame that carries it (the raw input, not a frame that
+    # would re-execute upstream joins/aggregates just to be sampled)
     ranged = df.withColumn(
-        "_blk", monotone_block_id(df, order_cols[0], blocks)
+        "_blk",
+        monotone_block_id(
+            sample_from if sample_from is not None else df,
+            order_cols[0],
+            blocks,
+        ),
     )
     local = (
         W.partitionBy("_blk", key_col)
@@ -116,7 +125,17 @@ def _per_key_prefix(
             for c in sum_cols
         ],
     )
-    out = out.join(F.broadcast(cum), ["_blk", key_col])
+    # null-safe key equality: a NULL key is a real group in every
+    # window engine partition above, and the plain USING join would
+    # silently drop those rows (the window twin keeps them)
+    cum = cum.withColumnRenamed("_blk", "_cblk").withColumnRenamed(
+        key_col, "_ckey"
+    )
+    out = out.join(
+        F.broadcast(cum),
+        (F.col("_blk") == F.col("_cblk"))
+        & F.col(key_col).eqNullSafe(F.col("_ckey")),
+    ).drop("_cblk", "_ckey")
     out = out.withColumn("_rn", (F.col("_cum_n") + F.col("_loc_n")).cast("long"))
     for c in sum_cols:
         out = out.withColumn(f"_pfx_{c}", F.col(f"_cum_{c}") + F.col(f"_loc_{c}"))
@@ -226,26 +245,53 @@ def _trailing_zscore_block(
         )
     L = lookback_rows
     kmean = df.groupBy(key_col).agg(F.avg(value_col).alias("_kmean"))
-    # key cardinality is the LOW side by assumption -> broadcast
-    d = df.join(F.broadcast(kmean), key_col)
+    # key cardinality is the LOW side by assumption -> broadcast;
+    # null-safe equality so NULL-key rows survive (the window twin
+    # scores them as their own partition). A key whose values are all
+    # NULL gets _kmean NULL, and every downstream stat stays NULL —
+    # same as the window engine.
+    km = kmean.withColumnRenamed(key_col, "_kk")
+    d = df.join(
+        F.broadcast(km), F.col(key_col).eqNullSafe(F.col("_kk"))
+    ).drop("_kk")
     cv = (F.col(value_col) - F.col("_kmean")).cast("double")
-    d = d.withColumn("_cv", cv).withColumn("_cv2", cv * cv)
-    p = _per_key_prefix(d, key_col, [ts_col, order_tiebreak], ["_cv", "_cv2"], blocks)
+    # _cn: non-NULL-value indicator — the window twin's cnt is
+    # count(value_col) over the frame (NULLs excluded), NOT the frame
+    # row count; prefix-summing the indicator reproduces it exactly
+    d = (
+        d.withColumn("_cv", cv)
+        .withColumn("_cv2", cv * cv)
+        .withColumn(
+            "_cn",
+            F.when(F.col(value_col).isNotNull(), 1.0).otherwise(0.0),
+        )
+    )
+    p = _per_key_prefix(
+        d,
+        key_col,
+        [ts_col, order_tiebreak],
+        ["_cv", "_cv2", "_cn"],
+        blocks,
+        sample_from=df,
+    )
     probe = p.select(
         F.col(key_col).alias("_pk"),
         (F.col("_rn") + F.lit(L)).alias("_prn"),
         F.col("_pfx__cv").alias("_lag_s"),
         F.col("_pfx__cv2").alias("_lag_q"),
+        F.col("_pfx__cn").alias("_lag_c"),
     )
     # probe is the FULL dataset by construction — never broadcastable,
     # whatever small-scale file stats suggest; pin the shuffle join so
     # the (key, rn) exchange (uniform under any key skew) is the plan
     j = p.join(
         probe.hint("shuffle_merge"),
-        (p[key_col] == probe["_pk"]) & (p["_rn"] == probe["_prn"]),
+        p[key_col].eqNullSafe(probe["_pk"]) & (p["_rn"] == probe["_prn"]),
         "left",
     ).drop("_pk", "_prn")
-    cnt = F.least(F.col("_rn"), F.lit(L))
+    cnt = (
+        F.col("_pfx__cn") - F.coalesce(F.col("_lag_c"), F.lit(0.0))
+    ).cast("long")
     s = F.col("_pfx__cv") - F.coalesce(F.col("_lag_s"), F.lit(0.0))
     q = F.col("_pfx__cv2") - F.coalesce(F.col("_lag_q"), F.lit(0.0))
     # divisions gated behind cnt >= 2 (ANSI mode: x/0 throws, and
@@ -261,7 +307,11 @@ def _trailing_zscore_block(
         .withColumn(
             "zscore", F.when(ok, (F.col(value_col) - mean) / std)
         )
-        .drop("_kmean", "_cv", "_cv2", "_rn", "_pfx__cv", "_pfx__cv2", "_lag_s", "_lag_q")
+        .drop(
+            "_kmean", "_cv", "_cv2", "_cn", "_rn",
+            "_pfx__cv", "_pfx__cv2", "_pfx__cn",
+            "_lag_s", "_lag_q", "_lag_c",
+        )
     )
 
 
@@ -300,9 +350,17 @@ def rolling_count(
         cur = df.withColumn("_secs", secs).withColumn("_grp", b).withColumn(
             "_orig", F.lit(True)
         )
-        nxt = df.withColumn("_secs", secs).withColumn(
-            "_grp", b + F.lit(1)
-        ).withColumn("_orig", F.lit(False))
+        # NULL-ts rows get NO next-bucket copy: b + 1 is NULL for
+        # them, so the copy would land back in the same (key, NULL)
+        # group as the original and every NULL-ts peer would count
+        # double vs the window twin (whose NULL peer group holds each
+        # row once)
+        nxt = (
+            df.withColumn("_secs", secs)
+            .filter(secs.isNotNull())
+            .withColumn("_grp", b + F.lit(1))
+            .withColumn("_orig", F.lit(False))
+        )
         both = cur.unionByName(nxt)
         wb = (
             W.partitionBy(key_col, "_grp")

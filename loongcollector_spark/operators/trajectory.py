@@ -50,6 +50,7 @@ __all__ = [
     "turn_gaps",
     "sft_gate",
     "REFUSAL_PATTERNS",
+    "REFUSAL_REGEXES",
     "speech_acts",
     "QUESTION_LEADS",
     "COMMAND_LEADS",
@@ -223,9 +224,8 @@ def tool_errors(
 # public, hand-written refusal markers (the standard over-refusal
 # audit phrases; lowercase substring match after normalization —
 # curly apostrophes fold to ASCII ' and the text is space-padded, so
-# patterns may anchor word boundaries with literal spaces). The short
-# marker "as an ai" is enumerated in bounded forms so 'as an airline'
-# / 'as an aid' no longer false-positive (ADVICE r4).
+# patterns may anchor word boundaries with literal spaces).
+# Boundary-sensitive short markers live in REFUSAL_REGEXES below.
 REFUSAL_PATTERNS: list[str] = [
     "i can't help",
     "i cannot help",
@@ -234,13 +234,16 @@ REFUSAL_PATTERNS: list[str] = [
     "i'm sorry, but",
     "i am unable to",
     "i won't be able to",
-    " as an ai ",
-    " as an ai,",
-    " as an ai.",
-    " as an ai;",
-    " as an ai:",
-    " as an ai!",
-    " as an ai?",
+]
+
+# boundary-sensitive markers as regexes over the normalized padded
+# text: [^a-z] on both sides rejects 'as an airline' / 'as an aid'
+# (the ADVICE r4 false positives) while still matching punctuation-
+# adjacent forms like '(as an ai)' or 'as an ai—' that enumerated
+# literal-space patterns missed. RE2-safe (no lookaround), so the
+# DuckDB oracle twin runs the identical pattern.
+REFUSAL_REGEXES: list[str] = [
+    r"[^a-z]as an ai[^a-z]",
 ]
 
 
@@ -253,6 +256,7 @@ def refusal_scan(
     text_col: str = "text",
     role: str = "assistant",
     patterns: list[str] | None = None,
+    regexes: list[str] | None = None,
 ) -> DataFrame:
     """Refusal-rate audit over one role's turns: per conversation, how
     many *role* turns contain a refusal phrase (case-insensitive
@@ -269,7 +273,8 @@ def refusal_scan(
     U+2019) folded to ASCII ``'`` (LLM output routinely emits "I
     can’t"), whitespace collapsed, then the text is padded with one
     leading and trailing space so patterns can bound words with
-    literal spaces (see the ``" as an ai "`` family above).
+    literal spaces; boundary-sensitive markers run as RE2-safe
+    regexes (``REFUSAL_REGEXES``) over the same padded text.
 
     Scale shape: the phrase test is one codegen expression (lower +
     whitespace collapse + N ``contains`` ORs — no regex alternation
@@ -277,8 +282,15 @@ def refusal_scan(
     groupBy on conv. One exchange, skinny rows.
     """
     pats = REFUSAL_PATTERNS if patterns is None else patterns
-    if not pats:
-        raise ValueError("refusal_scan: patterns must be non-empty")
+    # custom literal patterns alone opt out of the default regex set
+    # (pre-regex callers keep their exact matching surface)
+    rxs = (
+        regexes
+        if regexes is not None
+        else (REFUSAL_REGEXES if patterns is None else [])
+    )
+    if not pats and not rxs:
+        raise ValueError("refusal_scan: patterns/regexes must be non-empty")
     norm = F.regexp_replace(
         F.translate(
             F.lower(F.coalesce(F.col(text_col), F.lit(""))),
@@ -292,6 +304,9 @@ def refusal_scan(
     hit = None
     for p in pats:
         c = padded.contains(p.lower())
+        hit = c if hit is None else (hit | c)
+    for rx in rxs:
+        c = padded.rlike(rx)
         hit = c if hit is None else (hit | c)
     out = (
         tx.filter(F.col(role_col) == role)

@@ -5139,11 +5139,21 @@ def q_refusal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refusal_scan(aug)
 
 
-from .operators.trajectory import REFUSAL_PATTERNS as _REFUSALS
+from .operators.trajectory import (
+    REFUSAL_PATTERNS as _REFUSALS,
+    REFUSAL_REGEXES as _REFUSAL_RX,
+)
 
 _REFUSAL_OR = " OR ".join(
-    "contains(nt, '{}')".format(p.lower().replace("'", "''"))
-    for p in _REFUSALS
+    [
+        "contains(nt, '{}')".format(p.lower().replace("'", "''"))
+        for p in _REFUSALS
+    ]
+    + [
+        # the identical RE2-safe pattern the Spark rlike runs
+        "regexp_matches(nt, '{}')".format(rx.replace("'", "''"))
+        for rx in _REFUSAL_RX
+    ]
 )
 
 ORACLES["refusal_scan"] = f"""

@@ -416,6 +416,14 @@ def stream_loop_alert(
     with a smaller index — a non-zero value tells the monitor this
     conversation's run counts are a lower bound and the batch twin
     should re-derive them.
+
+    Checkpoint compatibility: the state schema is part of the
+    checkpoint contract — Structured Streaming validates it on
+    restart, so upgrading past a release that changed this operator's
+    state layout (e.g. the r5 addition of hi/ooo fields) requires a
+    FRESH checkpoint directory; open-run state is rebuilt by replaying
+    the input from the new checkpoint's start, or re-derived by the
+    batch twin. There is no in-place state migration.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

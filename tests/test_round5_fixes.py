@@ -61,6 +61,11 @@ def test_refusal_as_an_ai_is_word_bounded(spark):
         ("c2", 0, "assistant", "As an AI, I must decline", None),
         ("c2", 1, "assistant", "as an ai I cannot do this", None),
         ("c2", 2, "assistant", "I speak as an AI.", None),
+        # punctuation-adjacent forms (missed by the literal-space
+        # enumeration the regex boundary class replaced)
+        ("c3", 0, "assistant", "(As an AI) I must decline", None),
+        ("c3", 1, "assistant", 'He said "as an ai" again', None),
+        ("c3", 2, "assistant", "as an ai—no can do", None),
     ]
     out = {
         r["conv_id"]: r
@@ -68,6 +73,7 @@ def test_refusal_as_an_ai_is_word_bounded(spark):
     }
     assert out["c1"]["n_refusals"] == 0
     assert out["c2"]["n_refusals"] == 3
+    assert out["c3"]["n_refusals"] == 3
 
 
 # ---------------------------------------------------------- prefix_groups

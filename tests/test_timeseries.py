@@ -176,6 +176,73 @@ def test_trailing_zscore_block_engine_parity(spark, sf_dir):
                 assert vb == pytest.approx(va, rel=1e-9, abs=1e-9), (k, c)
 
 
+def test_block_engines_null_parity_with_window(spark):
+    """NULL keys, NULL values, and NULL timestamps follow the window
+    twin exactly: NULL keys are a real partition (not dropped by the
+    joins), cnt counts non-NULL VALUES (not frame rows), and NULL-ts
+    rows count their peer group once (no double-count via the
+    next-bucket copy)."""
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # key "a": first 10 values NULL, then 20 real — with
+    # min_history=15 the window cnt=count(value) gate must stay shut
+    # until 15 NON-NULL predecessors exist
+    for i in range(30):
+        rows.append(
+            ("a", base + timedelta(seconds=i), None if i < 10 else float(i), eid)
+        )
+        eid += 1
+    # NULL key: 12 scored rows of its own
+    for i in range(12):
+        rows.append((None, base + timedelta(seconds=i), float(i * i % 7), eid))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    cols = ["trail_mean", "trail_std", "zscore"]
+    kw = dict(lookback_rows=8, min_history=15)
+    a = {
+        r["event_id"]: r
+        for r in trailing_zscore(df, **kw).select("event_id", *cols).collect()
+    }
+    b = {
+        r["event_id"]: r
+        for r in trailing_zscore(df, engine="block", **kw)
+        .select("event_id", *cols)
+        .collect()
+    }
+    assert set(a) == set(b) and len(a) == 42  # NULL-key rows present
+    for k in a:
+        for c in cols:
+            va, vb = a[k][c], b[k][c]
+            assert (va is None) == (vb is None), (k, c, va, vb)
+            if va is not None:
+                assert vb == pytest.approx(va, rel=1e-9, abs=1e-9), (k, c)
+
+    # rolling_count: NULL ts rows + NULL key rows
+    rows2 = [
+        (1, base, 7),
+        (2, base + timedelta(seconds=30), 7),
+        (3, None, 7),
+        (4, None, 7),
+        (5, base, None),
+        (6, None, None),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "event_id: long, ts: timestamp, user_id: long"
+    )
+    w = {
+        r["event_id"]: r["rolling_n"]
+        for r in rolling_count(df2, window_seconds=60).collect()
+    }
+    blk = {
+        r["event_id"]: r["rolling_n"]
+        for r in rolling_count(df2, window_seconds=60, engine="block").collect()
+    }
+    assert blk == w and len(blk) == 6
+
+
 def test_block_engine_plans_decompose_the_key(spark, sf_dir):
     """Plan pins (VERDICT r4 item 2): the block engines never exchange
     on the bare key — every data exchange carries the block/bucket/row
@@ -193,8 +260,11 @@ def test_block_engine_plans_decompose_the_key(spark, sf_dir):
     assert "SPARK_PARTITION_ID" not in zplan
     assert "rangepartitioning" not in zplan
     assert re.search(r"hashpartitioning\(_blk#\d+", zplan)  # per-block window
-    assert re.search(r"hashpartitioning\([^)]*_rn#\d+", zplan) or re.search(
-        r"hashpartitioning\([^)]*_prn#\d+", zplan
+    # uniform self-join key: the null-safe key equality compiles to
+    # coalesce(key, ...) in the exchange, so allow nested parens
+    # before the _rn/_prn column
+    assert re.search(r"hashpartitioning\([^\n]*_rn#\d+", zplan) or re.search(
+        r"hashpartitioning\([^\n]*_prn#\d+", zplan
     )  # uniform self-join key
     # bare-key exchanges allowed ONLY for the tiny kmean/totals aggs —
     # the data-plane window never partitions by event_type alone
