@@ -88,11 +88,9 @@ def conversation_examples(
         raise ValueError("block_tokens must be >= max_tokens")
 
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    n_tok = (
-        F.when(F.length(F.trim(txt)) == 0, 0)
-        .otherwise(F.size(F.split(F.trim(txt), r"\s+")))
-        + 1
-    ).cast("long")
+    from .text import _ws_token_count
+
+    n_tok = (_ws_token_count(txt) + 1).cast("long")
     line = F.concat(F.coalesce(F.col(role_col), F.lit("")), F.lit(": "), txt)
 
     w = W.partitionBy("__conv").orderBy(
@@ -286,12 +284,9 @@ def preference_pairs(
         )
         .filter(F.col("prompt") != "")
     )
-    trimmed = F.trim(F.col("response"))
-    score = (
-        F.when(trimmed == "", F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
-        .cast("long")
-    )
+    from .text import _ws_token_count
+
+    score = _ws_token_count(F.col("response")).cast("long")
     scored = pairs.select("prompt", "response", score.alias("__score"))
     agg = scored.groupBy("prompt").agg(
         F.count("*").cast("long").alias("n_responses"),
@@ -453,9 +448,9 @@ def conv_windows(
         n_turns.cast("int").alias("n_turns"),
         window_text.alias("window_text"),
     )
-    n_tokens = F.when(
-        F.length(F.trim(F.col("window_text"))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col("window_text")), r"\s+")))
+    from .text import _ws_token_count
+
+    n_tokens = _ws_token_count(F.col("window_text"))
     return wins.select(
         conv_col,
         "window_idx",

@@ -370,8 +370,15 @@ def benchmark_contamination(
     # arrow builder here would insert a shingle-valued exchange before
     # the distinct that the codegen path provably avoids (plan-pinned:
     # test_benchmark_contamination_broadcasts_bench)
+    # the empty gram ('' — a NULL/blank benchmark row's whole-text
+    # fallback) never enters the hit set: content-free documents must
+    # not flag as contaminated just because the benchmark also
+    # contains a blank row
     bench_grams = (
-        per_doc_grams(bench, "zipwith").select("shingle").distinct()
+        per_doc_grams(bench, "zipwith")
+        .filter(F.col("shingle") != "")
+        .select("shingle")
+        .distinct()
         .withColumn("__hit", F.lit(1))
     )
     flagged = per_doc_grams(docs, gram_engine).join(
@@ -459,9 +466,7 @@ def mixture_report(
     it). One aggregation pass; the global totals are a one-row
     broadcast back onto the per-stratum rows (no ``collect``)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    n_toks = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(txt), r"\s+"))
-    )
+    n_toks = _ws_token_count(txt)
     # persist: totals and the final share projection both consume per
     # (the tfidf recompute lesson)
     per = persisted(

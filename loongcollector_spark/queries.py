@@ -1693,7 +1693,8 @@ ORACLES["contamination"] = f"""
                     ELSE [array_to_string(tk, ' ')] END) AS gr
       FROM norm
     ),
-    bench AS (SELECT DISTINCT unnest(gr) AS s FROM g WHERE doc_id % 29 = 0),
+    bench AS (SELECT DISTINCT s FROM (
+      SELECT unnest(gr) AS s FROM g WHERE doc_id % 29 = 0) WHERE s <> ''),
     docg AS (SELECT doc_id, unnest(gr) AS s FROM g WHERE doc_id % 29 != 0)
     SELECT d.doc_id,
            count(*) AS n_grams,
@@ -5671,7 +5672,8 @@ ORACLES["conv_contamination"] = f"""
                     ELSE [array_to_string(tk, ' ')] END) AS gr
       FROM norm
     ),
-    bench AS (SELECT DISTINCT unnest(gr) AS s FROM g WHERE b = 0),
+    bench AS (SELECT DISTINCT s FROM (
+      SELECT unnest(gr) AS s FROM g WHERE b = 0) WHERE s <> ''),
     docg AS (SELECT conv_id, tid, unnest(gr) AS s FROM g WHERE b != 0),
     per AS (
       SELECT conv_id, tid,

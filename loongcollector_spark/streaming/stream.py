@@ -201,7 +201,7 @@ def stateful_rate_limit(
             else None
         )
         for pdf in ([] if whole is None else [whole]):
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            pdf = pdf.sort_values(ts_col, kind="mergesort", na_position="first")
             keep = []
             epoch = pd.Timestamp("1970-01-01")
             for t in pdf[ts_col]:
@@ -458,9 +458,12 @@ def stream_loop_alert(
         chunks = list(pdfs)
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            pdf = pdf.sort_values("turn_idx", kind="mergesort", na_position="first")
             for f, i in zip(pdf["__fp"], pdf["turn_idx"]):
-                f, i = int(f), int(i)
+                # NULL turn_idx folds as the smallest index (the batch
+                # window's NULLS FIRST), never int(NaN)
+                f = int(f)
+                i = -(2**63) if pd.isna(i) else int(i)
                 # cross-batch order regression: a prior batch already
                 # folded a higher turn_idx, so this row is late
                 if hi is not None and i < hi:
@@ -559,11 +562,12 @@ def stream_dialogue_monitor(stream_df: DataFrame) -> DataFrame:
         chunks = list(pdfs)
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            pdf = pdf.sort_values("turn_idx", kind="mergesort", na_position="first")
             started = n > 0
             for r, i in zip(pdf["role"], pdf["turn_idx"]):
                 r = None if r is None or pd.isna(r) else str(r)
-                i = int(i)
+                # NULLS FIRST, matching the batch window ordering
+                i = -(2**63) if pd.isna(i) else int(i)
                 if hi is not None and i < hi:
                     ooo += 1
                 if hi is None or i > hi:

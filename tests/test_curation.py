@@ -444,6 +444,32 @@ def test_benchmark_contamination_semantics(spark):
     assert out[12]["contaminated"] == 0 and out[12]["n_grams"] == 1
 
 
+def test_benchmark_contamination_empty_docs_never_flag(spark):
+    """A NULL/blank document and a NULL/blank benchmark row share the
+    degenerate '' whole-text gram; content-free docs must NOT flag as
+    contaminated (the empty gram never enters the hit set). Both gram
+    engines agree."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "  "), (13, "alpha beta gamma zz")],
+        ["doc_id", "text"],
+    )
+    for eng in ("arrow", "zipwith"):
+        out = {
+            r["doc_id"]: r
+            for r in text.benchmark_contamination(
+                docs, bench, n=3, gram_engine=eng
+            ).collect()
+        }
+        assert len(out) == 4, eng  # one row per doc, empties included
+        for d in (10, 11, 12):
+            assert out[d]["contaminated"] == 0 and out[d]["n_hit"] == 0, eng
+        assert out[13]["contaminated"] == 1, eng
+
+
 def test_benchmark_contamination_broadcasts_bench(spark, docs):
     # the benchmark probe must be a broadcast join and the corpus must
     # never shuffle or sort by gram value at 100 TB — the only hash
