@@ -60,17 +60,26 @@ def group_count(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def per_conversation_stats(
-    df: DataFrame, conv_col: str = "conv_id", order_col: str = "turn_idx"
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Per-conversation turn counts + max turn index (north-star
     verification aggregate; context-aggregator grouping,
-    aggregator_context.go:44-62)."""
-    return df.groupBy(conv_col).agg(
+    aggregator_context.go:44-62). ``ts_col`` names the timestamp
+    column (parameterized like the other columns); frames without one
+    pass ``ts_col=None`` to skip the first/last bounds."""
+    aggs = [
         F.count("*").alias("n_turns"),
         F.max(order_col).alias("max_turn_idx"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-    )
+    ]
+    if ts_col is not None:
+        aggs += [
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        ]
+    return df.groupBy(conv_col).agg(*aggs)
 
 
 def pack_groups(
@@ -282,8 +291,14 @@ def event_funnel(
     counts = per_user.agg(
         *[F.count(c).alias(f"__n{i}") for i, c in enumerate(t_cols)]
     )
+    # step names are data, not SQL: escape quote/backslash so a name
+    # like "add'to'cart" neither breaks the stack() expression nor
+    # injects into the plan
+    def _sq(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     stack_args = ", ".join(
-        f"{i}, '{s}', __n{i}" for i, s in enumerate(steps)
+        f"{i}, '{_sq(s)}', __n{i}" for i, s in enumerate(steps)
     )
     tall = counts.select(
         F.expr(
@@ -399,6 +414,34 @@ def role_conformance(
     )
 
 
+def _transition_counts(
+    tx: DataFrame,
+    conv_col: str,
+    idx_col: str,
+    tool_col: str,
+    none_label: str,
+    count_alias: str,
+) -> DataFrame:
+    """Shared from->to tool transition counts (tool_transitions /
+    tool_entropy): normalize NULL/blank tool to *none_label*, lag over
+    the conversation window, count consecutive pairs map-side."""
+    tool = F.coalesce(
+        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
+    )
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    steps = (
+        tx.select(F.col(conv_col), F.col(idx_col), tool.alias("__tool"))
+        .select(
+            F.lag("__tool").over(w).alias("from_tool"),
+            F.col("__tool").alias("to_tool"),
+        )
+        .filter(F.col("from_tool").isNotNull())
+    )
+    return steps.groupBy("from_tool", "to_tool").agg(
+        F.count("*").cast("long").alias(count_alias)
+    )
+
+
 def tool_transitions(
     tx: DataFrame,
     *,
@@ -426,20 +469,8 @@ def tool_transitions(
     on the REDUCED matrix (≤ |tools|² rows), so its single extra
     exchange is O(matrix), not O(turns).
     """
-    tool = F.coalesce(
-        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
-    )
-    w = W.partitionBy(conv_col).orderBy(idx_col)
-    steps = (
-        tx.select(F.col(conv_col), F.col(idx_col), tool.alias("__tool"))
-        .select(
-            F.lag("__tool").over(w).alias("from_tool"),
-            F.col("__tool").alias("to_tool"),
-        )
-        .filter(F.col("from_tool").isNotNull())
-    )
-    counts = steps.groupBy("from_tool", "to_tool").agg(
-        F.count("*").cast("long").alias("n_steps")
+    counts = _transition_counts(
+        tx, conv_col, idx_col, tool_col, none_label, "n_steps"
     )
     wt = W.partitionBy("from_tool")
     return counts.select(
@@ -609,20 +640,8 @@ def tool_entropy(
     rollup runs on the REDUCED ≤|tools|² matrix, so its exchange is
     O(matrix), not O(turns).
     """
-    tool = F.coalesce(
-        F.nullif(F.trim(F.col(tool_col)), F.lit("")), F.lit(none_label)
-    )
-    w = W.partitionBy(conv_col).orderBy(idx_col)
-    steps = (
-        tx.select(F.col(conv_col), F.col(idx_col), tool.alias("__tool"))
-        .select(
-            F.lag("__tool").over(w).alias("from_tool"),
-            F.col("__tool").alias("to_tool"),
-        )
-        .filter(F.col("from_tool").isNotNull())
-    )
-    counts = steps.groupBy("from_tool", "to_tool").agg(
-        F.count("*").cast("long").alias("__n")
+    counts = _transition_counts(
+        tx, conv_col, idx_col, tool_col, none_label, "__n"
     )
     out = counts.groupBy("from_tool").agg(
         F.sum("__n").cast("long").alias("n_steps"),

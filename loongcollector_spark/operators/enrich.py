@@ -185,7 +185,17 @@ def desensitize(
         # can match the EMPTY string (zero-width match skipped on one
         # side only → silently corrupted output). Detect at plan time
         # and dispatch such patterns to the re.sub twin instead.
-        if _re.compile(regex).match("") is not None:
+        # Patterns in Java-only dialect (\p{...}, possessive
+        # quantifiers) fail the Python compile — for those the check
+        # cannot run (nor could the re.sub twin), so proceed native
+        # and rely on the runtime interleave guard below, which fails
+        # CLOSED (NULL output, no secret leaked) rather than emitting
+        # a misaligned mask.
+        try:
+            zero_width = _re.compile(regex).match("") is not None
+        except _re.error:
+            zero_width = False
+        if zero_width:
             return desensitize(
                 df, source_key, regex, method="md5",
                 replace_string=replace_string, engine="pandas",
@@ -204,8 +214,14 @@ def desensitize(
                 lambda s, h: F.concat(s, h),
             ),
         )
+        # runtime invariant: a zero-width-capable pattern that slipped
+        # past the plan-time check (mid-string lookarounds, Java-only
+        # dialect) breaks the interleave alignment — fail CLOSED with
+        # NULL instead of emitting a misaligned mask that could leak
+        # part of a secret
+        ok = F.size(segs) == F.size(hashes) + F.lit(1)
         masked = F.when(
-            col.isNotNull(), F.concat(body, F.element_at(segs, -1))
+            col.isNotNull() & ok, F.concat(body, F.element_at(segs, -1))
         )
         return df.withColumn(source_key, masked)
     if method == "md5":

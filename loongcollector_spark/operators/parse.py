@@ -116,9 +116,24 @@ def parse_regex(
     semantics); unmatched rows get NULL keys and follow the unmatch
     policy flags.
     """
-    # whole-line fast path (reference: Regex == '(.*)')
+    # whole-line fast path (reference: Regex == '(.*)') — must honor
+    # the same policy flags and type casts as the regex paths: a NULL
+    # source is the one "unmatched" case here
     if regex in ("(.*)", "^(.*)$") and len(keys) == 1:
-        return df.withColumn(keys[0], F.col(source_key))
+        out = df.withColumn(keys[0], F.col(source_key))
+        out = _apply_unmatch_policy(
+            out,
+            F.col(source_key).isNotNull(),
+            source_key,
+            keep_source,
+            discard_unmatched,
+            keep_source_if_parse_error,
+        )
+        if types and keys[0] in types:
+            ct = cast_for_hint(types[keys[0]])
+            if ct:
+                out = out.withColumn(keys[0], F.col(keys[0]).cast(ct))
+        return out
 
     # Wrapping in a non-capturing group keeps group numbering and is
     # safe for patterns already carrying ^/$ (including escaped \$ —
@@ -377,16 +392,27 @@ def parse_delimiter(
     Quoted mode delegates to ``from_csv`` (processor_csv semantics).
     """
     if quote:
-        schema = ", ".join(f"`{k}` string" for k in keys)
+        # corrupt-record column: PERMISSIVE from_csv alone returns a
+        # struct of NULLs for malformed rows (unbalanced quote, short
+        # row), so struct-isNotNull never detected a failure; the
+        # corrupt column is non-NULL exactly when the row failed to
+        # yield all keys — same unmatched rule as the unquoted path's
+        # size >= n check (partial fields stay assigned either way)
+        schema = ", ".join(f"`{k}` string" for k in keys) + ", `__corrupt` string"
         parsed = F.from_csv(
             F.col(source_key),
             F.lit(schema),
-            {"sep": separator, "quote": quote},
+            {
+                "sep": separator,
+                "quote": quote,
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "__corrupt",
+            },
         )
         out = df.withColumn("__p", parsed)
         for k in keys:
             out = out.withColumn(k, F.col("__p")[k])
-        matched = F.col("__p").isNotNull()
+        matched = F.col("__p").isNotNull() & F.col("__p")["__corrupt"].isNull()
         return _apply_unmatch_policy(
             out, matched, source_key, keep_source, discard_unmatched
         ).drop("__p")
@@ -441,10 +467,16 @@ def split_log_string(
     df: DataFrame, source_key: str, separator: str = "\n", dest_key: str | None = None
 ) -> DataFrame:
     """One event → many by separator (split_log_string.go:29-37):
-    ``explode(split(...))``. Other columns are duplicated per part,
-    matching the reference's copy-contents semantics."""
+    ``explode_outer(split(...))``. Other columns are duplicated per
+    part, matching the reference's copy-contents semantics. A NULL
+    source passes the event through (one row, NULL part) — the plugin
+    skips events without the key rather than dropping them, and plain
+    ``explode`` would erase the row entirely."""
     dest = dest_key or source_key
-    out = df.withColumn(dest, F.explode(F.split(F.col(source_key), re.escape(separator))))
+    out = df.withColumn(
+        dest,
+        F.explode_outer(F.split(F.col(source_key), re.escape(separator))),
+    )
     return out
 
 
@@ -503,11 +535,22 @@ def merge_multiline(
         F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(source_key)))),
         lambda s: s[source_key],
     )
+    # the merged event inherits every other column from its FIRST line
+    # (deterministic min_by over (order, line) — the reference merges
+    # later lines' CONTENT into the first event, keeping its fields);
+    # without this the groupBy would silently drop enrichment columns
+    first_key = F.struct(F.col(order_col), F.col(source_key))
+    carried = [
+        c
+        for c in df.columns
+        if c not in set(gcols) | {source_key, order_col, dest}
+    ]
     merged = (
         blocks.groupBy(*gcols, "__blk")
         .agg(
             F.concat_ws(joiner, sorted_lines).alias(dest),
             F.min(order_col).alias(order_col),
+            *[F.min_by(F.col(c), first_key).alias(c) for c in carried],
         )
         .drop("__blk")
     )
@@ -533,8 +576,12 @@ def parse_anchor(
             pat = f"{start}(.*?){stop}"
         elif a.get("start"):
             pat = f"{start}(.*)$"
-        else:
+        elif a.get("stop"):
             pat = f"^(.*?){stop}"
+        else:
+            # both anchors empty: whole line (a lazy ^(.*?) with no
+            # stop would always match zero characters)
+            pat = "^(.*)$"
         out = out.withColumn(
             a["field"], F.regexp_extract(F.col(source_key), pat, 1)
         )
@@ -747,10 +794,22 @@ def parse_gotime(
     ts = F.col("__gt")
     if dest_format in GO_FIXED_PATTERNS:
         # epoch output is location-independent (Go t.In(loc).Unix()
-        # ignores loc) — do NOT apply the dest wall-clock shift here
-        out_col = (
-            F.unix_timestamp(ts).cast("long") * _EPOCH_FACTORS[dest_format]
-        ).cast("string")
+        # ignores loc) — do NOT apply the dest wall-clock shift here.
+        # Sub-second precision survives (Go t.UnixMilli keeps the ms;
+        # unix_timestamp would floor to the second): derive from
+        # microseconds — floor division matches Go's always-positive
+        # nanosecond field for pre-epoch instants too. Nanosecond
+        # output carries µs precision (timestamp's resolution).
+        factor = _EPOCH_FACTORS[dest_format]
+        us = F.unix_micros(ts)
+        if factor <= 1_000_000:
+            out_col = (
+                F.floor(us / F.lit(1_000_000 // factor))
+                .cast("long")
+                .cast("string")
+            )
+        else:
+            out_col = (us * F.lit(factor // 1_000_000)).cast("string")
     else:
         if dst_tz:
             ts = F.from_utc_timestamp(ts, dst_tz)

@@ -1216,14 +1216,17 @@ def q_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx = load_transcripts(spark, sf_dir).select(
         "conv_id",
         "turn_idx",
-        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        # millisecond-bearing source string so the epoch pseudo-format
+        # path proves it keeps sub-seconds (Go t.UnixMilli semantics)
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_str"),
     )
     out = parse.parse_gotime(
-        tx, "ts_str", "2006-01-02 15:04:05", "bj_str", "2006/01/02T15:04:05",
+        tx, "ts_str", "2006-01-02 15:04:05.000", "bj_str",
+        "2006/01/02T15:04:05",
         source_location=0, dest_location=8,
     )
     out = parse.parse_gotime(
-        out, "ts_str", "2006-01-02 15:04:05", "epoch_ms", "milliseconds",
+        out, "ts_str", "2006-01-02 15:04:05.000", "epoch_ms", "milliseconds",
         source_location=0,
     )
     return out.select("conv_id", "turn_idx", "ts_str", "bj_str", "epoch_ms")
@@ -1900,9 +1903,9 @@ ORACLES["cloud_meta"] = f"""
 ORACLES["gotime"] = f"""
     WITH transcripts AS ({_TX})
     SELECT conv_id, turn_idx,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_str,
            strftime(ts + INTERVAL 8 HOUR, '%Y/%m/%dT%H:%M:%S') AS bj_str,
-           cast(epoch_ms(date_trunc('second', ts)) AS STRING) AS epoch_ms
+           cast(epoch_ms(date_trunc('ms', ts)) AS STRING) AS epoch_ms
     FROM transcripts
 """
 ORACLES["mock_generator"] = _mock_generator_oracle_sql()
