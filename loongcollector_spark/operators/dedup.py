@@ -41,6 +41,10 @@ __all__ = [
     "split_leakage",
     "prefix_groups",
     "source_overlap",
+    "hamming64",
+    "edit_distance_pairs",
+    "winnowing_fingerprints",
+    "winnowing_pairs",
 ]
 
 # deterministic odd seeds for minhash permutations (fixed, public math)
@@ -426,6 +430,8 @@ def lsh_candidate_pairs(
     near-duplicate clusters co-locate; all-pairs never materializes.
     Returns distinct (a, b) with a < b.
     """
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError("lsh_candidate_pairs: bands and rows_per_band must be >= 1")
     band_idx = F.posexplode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -479,6 +485,15 @@ def minhash_dedup_pairs(
     set AND estimates — value-matches the SQL oracle. Production use
     keeps the default xxhash64 kernel.
     """
+    if bands < 1 or num_perm % bands != 0:
+        # bands > num_perm would give zero-width bands: every band
+        # bucket becomes the empty string and the candidate join
+        # degenerates to a full quadratic self-join — the exact blowup
+        # LSH exists to avoid. Fail loudly instead.
+        raise ValueError(
+            f"minhash_dedup_pairs: bands ({bands}) must divide "
+            f"num_perm ({num_perm})"
+        )
     rows_per_band = num_perm // bands
     # flat-column signature path: cache because three consumers read
     # it (band bucketing + both sides of the verify join). Tracked by
@@ -814,7 +829,14 @@ def _window_rows(
     (same posexplode + ``lead`` codegen shape; keeps ``pos`` so span
     arithmetic downstream can map windows back into the document).
     Documents shorter than *k* tokens contribute no windows (they
-    cannot hold a k-token duplicate)."""
+    cannot hold a k-token duplicate).
+
+    Deliberately NOT merged with ``_shingle_rows`` despite the shared
+    shape: both kernels are plan-pinned and scale-measured, and their
+    NULL handling differs BY DESIGN — here NULL text coalesces to ''
+    (a span-dedup doc must stay addressable by position), while the
+    minhash path lets split(NULL) drop the doc (no shingles → no
+    signature → correctly absent from candidates)."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(

@@ -80,10 +80,20 @@ def asof_join(
     )
     m = F.col("__m")
     if tolerance_us is not None:
-        # exact integer-microsecond age; NTZ casts through TIMESTAMP
-        age = F.unix_micros(F.col("__t").cast("timestamp")) - F.unix_micros(
-            m[on].cast("timestamp")
-        )
+        # exact integer-microsecond age for timestamp 'on' columns
+        # (NTZ casts through TIMESTAMP). A NUMERIC 'on' column must
+        # NOT take that path: cast('timestamp') reads a long as epoch
+        # SECONDS, inflating the age 1e6× (or overflowing) and
+        # silently voiding every match — numeric columns compare in
+        # their own units, with tolerance_us interpreted likewise
+        # (the caller owns the unit of a numeric axis).
+        on_type = left.schema[on].dataType.typeName()
+        if on_type in ("long", "integer", "short", "byte", "double", "float", "decimal"):
+            age = F.col("__t") - m[on]
+        else:
+            age = F.unix_micros(F.col("__t").cast("timestamp")) - F.unix_micros(
+                m[on].cast("timestamp")
+            )
         m = F.when(age <= F.lit(int(tolerance_us)), F.col("__m"))
     out = u.filter(F.col("__side") == 1).select(
         *by,

@@ -60,7 +60,7 @@ def _collect_queries(
         raise ValueError(
             f"{caller} query side exceeds {_MAX_DRIVER_QUERIES} rows; "
             "collecting it driver-side would not scale — chunk the "
-            "queries or use ann_lsh"
+            "queries or use lsh_ann_topk"
         )
     return rows
 
@@ -162,7 +162,15 @@ def brute_force_topk(
                 out = []
                 for j, qid in enumerate(q_ids):
                     s = sims[:, j]
-                    part = np.argpartition(-s, take - 1)[:take]
+                    # canonical per-batch top-k: argpartition by sim
+                    # alone keeps an ARBITRARY take of boundary ties,
+                    # so a tied smallest-id neighbor could be dropped
+                    # before the global window ever ranks it (result
+                    # then depends on batch boundaries). lexsort by
+                    # (-sim, id) — primary key last — makes the local
+                    # selection the canonical prefix, and the merge of
+                    # canonical prefixes is the canonical global top-k.
+                    part = np.lexsort((ids, -s))[:take]
                     out.append(
                         pd.DataFrame(
                             {
@@ -241,6 +249,15 @@ def lsh_ann_topk(
     query. Recall < 1 by construction — the scale path; use
     brute_force_topk as the exactness baseline.
     """
+    if n_tables < 1 or n_planes % n_tables != 0:
+        # n_tables > n_planes would give zero-plane tables: every row
+        # and query lands in the '' bucket of every table — a silent
+        # full cross product; non-divisible n_planes silently discards
+        # planes. Fail loudly instead.
+        raise ValueError(
+            f"lsh_ann_topk: n_tables ({n_tables}) must divide "
+            f"n_planes ({n_planes})"
+        )
     per_table = n_planes // n_tables
     if dim is None:
         dim = _embedding_dim(vectors, vec_col)

@@ -36,7 +36,28 @@ __all__ = [
     "stratified_topn_sample",
     "split_assign",
     "score_sample",
+    "hll_oracle_sql",
 ]
+
+
+def _sample_key(id_col: str, salt: str):
+    """NULL-safe ``id || salt`` hash input shared by the samplers.
+    NULL ids coalesce to '' BEFORE the concat: a bare concat yields a
+    NULL key, which sorts first under md5 (always sampled) but hashes
+    to the seed under xxhash64 — breaking both uniformity and the
+    md5/xxhash parity contract. With the coalesce, NULL-id rows get
+    one deterministic hash in BOTH modes.
+
+    Domain separation: each sampler has a DISTINCT default salt
+    ("uniform"/"topn"/"score"; split_assign keeps '' as the primary
+    split axis), so composing two samplers with defaults draws
+    independent hashes — with a SHARED salt the keep decision and the
+    split assignment would be the same number, silently annihilating
+    whole splits (e.g. score_sample keeping only the low-bucket
+    splits of split_assign)."""
+    return F.concat(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")), F.lit(salt)
+    )
 
 
 def _order_hash(key, hash_mode: str):
@@ -116,8 +137,12 @@ def hll_distinct(
         F.sum(F.pow(F.lit(2.0), -F.col("__M"))).alias("__s"),
     )
     used = F.col("__used")
-    # empty buckets contribute 2^0 = 1 each to the harmonic sum
-    total = F.col("__s") + (F.lit(m) - used)
+    # empty buckets contribute 2^0 = 1 each to the harmonic sum;
+    # coalesce: an EMPTY input (zero registers) sums to NULL, which
+    # would poison every downstream expression — with 0 it flows into
+    # the linear-counting branch (V = m) and estimates exactly 0,
+    # matching COUNT(DISTINCT) / approx_count_distinct
+    total = F.coalesce(F.col("__s"), F.lit(0.0)) + (F.lit(m) - used)
     e_raw = F.lit(_alpha(m) * m * m) / total
     v = F.lit(m) - used  # zero-valued registers
     est = F.when(
@@ -148,7 +173,9 @@ def hll_oracle_sql(table: str, col: str, *, p: int = 12) -> str:
       FROM h GROUP BY 1
     ),
     s AS (
-      SELECT count(*) AS used, sum(pow(2.0, -M)) AS sm FROM r
+      -- coalesce: empty input sums to NULL (same hole as the Spark
+      -- side); 0 flows into linear counting and estimates exactly 0
+      SELECT count(*) AS used, coalesce(sum(pow(2.0, -M)), 0.0) AS sm FROM r
     )
     SELECT CASE WHEN (CAST({a} AS DOUBLE) * {m} * {m})
                      / (sm + ({m} - used)) <= 2.5 * {m}
@@ -166,7 +193,7 @@ def uniform_sample(
     n: int,
     *,
     id_col: str = "doc_id",
-    salt: str = "",
+    salt: str = "uniform",
     hash_mode: str = "md5",
 ) -> DataFrame:
     """Exactly-*n* uniform sample without RNG: keep the *n* rows whose
@@ -182,7 +209,7 @@ def uniform_sample(
     """
     if n <= 0:
         raise ValueError("uniform_sample: n must be positive")
-    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    key = _sample_key(id_col, salt)
     h = _order_hash(key, hash_mode)
     return (
         df.withColumn("__h", h)
@@ -297,7 +324,7 @@ def stratified_topn_sample(
     n: int,
     *,
     id_col: str = "doc_id",
-    salt: str = "",
+    salt: str = "topn",
     hash_mode: str = "md5",
 ) -> DataFrame:
     """Exactly-*n*-per-stratum deterministic sample — the eval-set
@@ -316,7 +343,7 @@ def stratified_topn_sample(
 
     if n < 1:
         raise ValueError("stratified_topn_sample: n must be >= 1")
-    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    key = _sample_key(id_col, salt)
     h = _order_hash(key, hash_mode)
     w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
@@ -361,11 +388,7 @@ def split_assign(
         raise ValueError("split_assign: fractions sum to > 1")
     from .dedup import _hash_bucket
 
-    bucket = _hash_bucket(
-        F.concat(F.col(id_col).cast("string"), F.lit(salt)),
-        precision,
-        hash_mode,
-    )
+    bucket = _hash_bucket(_sample_key(id_col, salt), precision, hash_mode)
     names = sorted(splits)
     expr = None
     cum = 0.0
@@ -388,7 +411,7 @@ def score_sample(
     *,
     id_col: str = "doc_id",
     power: float = 1.0,
-    salt: str = "",
+    salt: str = "score",
     hash_mode: str = "md5",
     precision: int = 1_000_000,
 ) -> DataFrame:
@@ -409,11 +432,7 @@ def score_sample(
         raise ValueError("score_sample: power must be > 0")
     from .dedup import _hash_bucket
 
-    bucket = _hash_bucket(
-        F.concat(F.col(id_col).cast("string"), F.lit(salt)),
-        precision,
-        hash_mode,
-    )
+    bucket = _hash_bucket(_sample_key(id_col, salt), precision, hash_mode)
     s = F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))
     p = F.pow(F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0)), F.lit(power))
     return df.filter(bucket < p * F.lit(precision))

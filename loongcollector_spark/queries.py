@@ -4282,12 +4282,20 @@ ORACLES["split_assign"] = f"""
     FROM documents
 """
 
+# score_sample's own domain salt ('score' — distinct from
+# split_assign's '' axis so composed sampling draws independent
+# hashes; sketch._sample_key)
+_MD5B_SCORE = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'score'), 1, 15))"
+    " AS BIGINT) % 1000000"
+)
+
 ORACLES["score_sample"] = f"""
     WITH s AS (
       SELECT doc_id, (n_chars % 7) / 7.0 AS score FROM documents
     )
     SELECT doc_id, score FROM s
-    WHERE {_MD5B} < pow(least(greatest(score, 0.0), 1.0), 2.0) * 1000000
+    WHERE {_MD5B_SCORE} < pow(least(greatest(score, 0.0), 1.0), 2.0) * 1000000
 """
 
 _CLEAN_KEEP = (
