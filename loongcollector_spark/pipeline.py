@@ -181,6 +181,13 @@ class Pipeline:
             spec = dict(spec)
             typ = spec.pop("type")
             name = spec.pop("name", typ)
+            if name in out:
+                # two unnamed entries of one type would silently
+                # overwrite each other (name defaults to the type)
+                raise ValueError(
+                    f"duplicate aggregate name {name!r}; give each "
+                    "same-type entry an explicit 'name'"
+                )
             if typ == "group_count":
                 out[name] = agg_ops.group_count(routed, **spec)
             elif typ == "per_conversation_stats":
@@ -215,6 +222,14 @@ class Pipeline:
 
         from pyspark.sql import Observation
 
+        routed_probe = self.spec.get("router")
+        if routed_probe is None:
+            raise ValueError(
+                "run_and_write needs a 'router' section in the spec "
+                "(fanout_write partitions by the 'sink' column the "
+                "router adds); use run() + your own writer for "
+                "unrouted pipelines"
+            )
         if metrics is not None:
             obs_in = Observation()
             obs_out = Observation()

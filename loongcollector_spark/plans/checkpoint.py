@@ -213,10 +213,15 @@ def run_with_checkpoint(
                 for u in attempt
             ],
         )
+        # routed outputs nest sink under the unit partition so a
+        # lineage-mode table keeps sink partition PRUNING for
+        # read_sink consumers (unit-dir cleanup above removes nested
+        # sink dirs with the unit, so retry semantics are unchanged)
+        part_cols = [UNIT_COL] + (["sink"] if "sink" in out.columns else [])
         (
             counted.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(UNIT_COL)
+            .partitionBy(*part_cols)
             .parquet(out_dir)
         )
         counts = obs.get
@@ -231,11 +236,18 @@ def run_with_checkpoint(
         # an all-empty write leaves no schema-bearing parquet files
         # (dynamic partition overwrite writes nothing for empty
         # partitions); the committed lineage is still correct — return
-        # an empty frame with the transform's schema
-        if attempt:
-            empty = spark.createDataFrame([], out.schema)
-            return empty
-        raise
+        # an empty frame with the transform's schema. This also covers
+        # RESUMING a fully-committed all-empty job (attempt == [], so
+        # derive the schema plan-only from a zero-row slice) — but if
+        # unit directories exist on disk, the failure is real
+        # corruption, not emptiness: re-raise.
+        has_units = os.path.isdir(out_dir) and any(
+            name.startswith(f"{UNIT_COL}=") for name in os.listdir(out_dir)
+        )
+        if has_units:
+            raise
+        schema = out.schema if attempt else transform(df.limit(0)).schema
+        return spark.createDataFrame([], schema)
     # the __lc_unit=<id> directory layout surfaces as a partition
     # column; drop it so checkpointed and direct runs share one schema
     return result.drop(UNIT_COL) if UNIT_COL in result.columns else result

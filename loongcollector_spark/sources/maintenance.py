@@ -91,22 +91,60 @@ def compact_parquet(
 
     Returns ``{before: stats, after: stats, n_rows}``.
     """
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    # crash recovery: a previous run may have died inside the swap.
+    # path present + backup present → the swap completed and only the
+    # backup delete was lost: clear the stale backup (it would make
+    # every later stage-out rename fail, or nest dirs on HDFS).
+    # path ABSENT + backup present → died between the two renames:
+    # restore the backup first (the docstring's documented recovery).
+    if fs.exists(backup):
+        if fs.exists(hpath):
+            fs.delete(backup, True)
+        elif not fs.rename(backup, hpath):
+            raise RuntimeError(
+                f"compact_parquet: could not restore {path} from backup"
+            )
+    # hive-layout guard: reading a col=value tree without partition_col
+    # would FLATTEN the layout (the partition column becomes a data
+    # column, every partition path breaks) — and the row-count
+    # validation cannot catch it. Refuse instead.
+    if partition_col is None:
+        it = fs.listStatus(hpath)
+        for st in it:
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith("_"):
+                raise ValueError(
+                    f"compact_parquet: {path} is hive-partitioned "
+                    f"(found {name!r}); pass partition_col="
+                    f"{name.split('=')[0]!r} or the layout would be "
+                    "flattened"
+                )
     before = sink_file_stats(spark, path)
     n_files = plan_target_files(before["total_bytes"], target_mb)
     df = spark.read.parquet(path)
-    n_rows = df.count()
 
     staged = path.rstrip("/") + "__staged"
+    # source row count piggybacks on the rewrite job via Observation
+    # (the checkpoint.py convention) — no dedicated count() scan; the
+    # staged read-back below is the independent verification read
+    from pyspark.sql import Observation
+
+    obs = Observation()
     writer_df = optimize_layout(
-        df, sort_col=sort_col, n_files=n_files, partition_col=partition_col
+        df.observe(obs, F.count(F.lit(1)).alias("n")),
+        sort_col=sort_col,
+        n_files=n_files,
+        partition_col=partition_col,
     )
     w = writer_df.write.mode("overwrite")
     if partition_col:
         w = w.partitionBy(partition_col)
     w.parquet(staged)
+    n_rows = obs.get["n"]
 
     got = spark.read.parquet(staged).count()
-    fs, hpath, jvm = _fs_and_path(spark, path)
     if got != n_rows:
         # drop the bad staging dir so a retry doesn't trip over it
         fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
@@ -115,7 +153,6 @@ def compact_parquet(
             f"expected {n_rows}; original left untouched at {path}, "
             "staging removed"
         )
-    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
     staged_p = jvm.org.apache.hadoop.fs.Path(staged)
     if not fs.rename(hpath, backup):
         raise RuntimeError(f"compact_parquet: could not stage-out {path}")

@@ -62,7 +62,11 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def format_string_col(fmt: str):
     """``%{col}`` format string → codegen concat Column (the
     reference's fmtstr.FormatTopic semantics) — shared by the dynamic
-    kafka topic renderer and the ES ``_index`` renderer."""
+    kafka topic renderer and the ES ``_index`` renderer. NULL field
+    values render as '' (concat NULL-propagates: one NULL field would
+    otherwise null the WHOLE rendered topic and partitionBy would
+    divert the row to __HIVE_DEFAULT_PARTITION__, invisible to every
+    topic-directory consumer)."""
     import re as _re
 
     parts: list = []
@@ -70,7 +74,7 @@ def format_string_col(fmt: str):
     for m in _re.finditer(r"%\{(\w+)\}", fmt):
         if m.start() > pos:
             parts.append(F.lit(fmt[pos : m.start()]))
-        parts.append(F.col(m.group(1)).cast("string"))
+        parts.append(F.coalesce(F.col(m.group(1)).cast("string"), F.lit("")))
         pos = m.end()
     if pos < len(fmt):
         parts.append(F.lit(fmt[pos:]))
@@ -128,15 +132,26 @@ def write_table(
     plans/checkpoint.py)."""
     spark = spark or df.sparkSession
     if iceberg_available(spark) and "/" not in name_or_path:
+        exists = spark.catalog.tableExists(name_or_path)
         if mode == "append":
-            if spark.catalog.tableExists(name_or_path):
+            if exists:
                 df.writeTo(name_or_path).append()
             else:
                 # first-ever append must create the table (append to a
                 # missing table raises NoSuchTableException)
                 df.writeTo(name_or_path).create()
-        else:
+        elif mode == "overwrite":
             df.writeTo(name_or_path).createOrReplace()
+        elif mode == "ignore":
+            if not exists:
+                df.writeTo(name_or_path).create()
+        elif mode in ("error", "errorifexists"):
+            # create() raises on an existing table — the parquet
+            # branch's semantics; createOrReplace here would DESTROY
+            # the existing table on a mode that promises to fail
+            df.writeTo(name_or_path).create()
+        else:
+            raise ValueError(f"write_table: unknown mode {mode!r}")
     else:
         df.write.mode(mode).parquet(name_or_path)
 
@@ -182,7 +197,16 @@ def read_text_logs(
     if line_number_col:
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(path_tag).orderBy(F.monotonically_increasing_id())
+        # order splits of one file by their BYTE OFFSET
+        # (_metadata.file_block_start), then rows within a split by
+        # monotonically_increasing_id (ascending within a partition).
+        # Ordering by the id alone assumed partition indices follow
+        # file offsets — an artifact of the current split bin-packing,
+        # not a contract.
+        w = W.partitionBy(path_tag).orderBy(
+            F.col("_metadata.file_block_start"),
+            F.monotonically_increasing_id(),
+        )
         df = df.withColumn(line_number_col, F.row_number().over(w))
     return df
 
